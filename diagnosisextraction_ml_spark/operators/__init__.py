@@ -1,0 +1,8 @@
+from diagnosisextraction_ml_spark.operators import (  # noqa: F401
+    dedup,
+    evaluate,
+    multimodal,
+    prep,
+    similarity,
+    textstats,
+)

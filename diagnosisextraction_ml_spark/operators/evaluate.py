@@ -1,0 +1,273 @@
+"""Evaluation operators (SURVEY.md §2.7 E1-E11) — the analytical core.
+
+The reference builds ROC/PR curves with a Python loop over a sorted
+prediction list (score_binary, src/TextClassification.py:691-723;
+sortedPredictionList, :612-648). That is exactly a *sort + window
+cumulative sum*, so here it is expressed as one:
+
+    w = Window.orderBy(desc(score))
+    TP(rank) = sum(label)  over w      FP(rank) = sum(1-label) over w
+
+Two curve shapes are provided:
+
+- :func:`curve_per_rank` — one row per test row (bit-parity with the
+  reference's vectors, including its trailing-rank conventions). A
+  global-order window is a single-partition sort at heart, so this is
+  for parity and driver-sized test sets.
+- :func:`curve_by_threshold` — one row per *distinct score*
+  (tie-collapsed, the sklearn ``roc_curve`` convention). The heavy
+  lifting is a groupBy(score) aggregation first, so the windowed part
+  runs over |distinct scores| rows — the scalable default at 100 TB
+  (a billion-row test set with float scores still collapses to at
+  most a few million curve points, and the window input is tiny).
+
+AUC is provided as trapezoid-over-curve (exact parity with
+calculateAUC, src/NLP_functions.py:663-678) and as the rank-statistic
+form (Mann-Whitney with tie correction) which needs no curve at all —
+one aggregation, fully distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# E1/E2 — curve construction
+# --------------------------------------------------------------------------
+
+def curve_per_rank(
+    df: DataFrame, score_col: str = "score", label_col: str = "label", tiebreak: str | None = None
+) -> DataFrame:
+    """E1+E2 — full ROC/PR/F1 curve, one row per ranked prediction.
+
+    Columns: rank, score, tp, fp, tpr (recall), fpr, precision, f1.
+    Ref: sortedPredictionList + score_binary
+    (src/TextClassification.py:612-723). Deterministic under score
+    ties via ``tiebreak`` (defaults to the label, matching a stable
+    sort on score only as closely as SQL semantics allow — pass an id
+    column for full determinism).
+    """
+    order = [F.col(score_col).desc()]
+    order.append(F.col(tiebreak).asc() if tiebreak else F.col(label_col).desc())
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    lbl = F.col(label_col).cast("double")
+    out = (
+        df.select(
+            F.col(score_col).cast("double").alias("score"),
+            lbl.alias("label"),
+            *([F.col(tiebreak).alias("__tb")] if tiebreak else []),
+        )
+        .withColumn("tp", F.sum("label").over(w))
+        .withColumn("fp", F.sum(1 - F.col("label")).over(w))
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    )
+    n_pos = F.sum("label").over(Window.partitionBy())
+    n_neg = F.sum(1 - F.col("label")).over(Window.partitionBy())
+    out = (
+        out.withColumn("tpr", F.col("tp") / n_pos)
+        .withColumn("fpr", F.col("fp") / n_neg)
+        .withColumn("precision", F.col("tp") / (F.col("tp") + F.col("fp")))
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("precision") + F.col("tpr")) > 0,
+                2 * F.col("precision") * F.col("tpr") / (F.col("precision") + F.col("tpr")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    cols = ["rank", "score", "label", "tp", "fp", "tpr", "fpr", "precision", "f1"]
+    return out.select(*cols)
+
+
+def curve_by_threshold(
+    df: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """E2 (scalable) — tie-collapsed curve, one row per distinct score.
+
+    groupBy(score) first (full map-side combine), then the cumulative
+    window runs over the distinct-score table only. Semantics match
+    sklearn's ``roc_curve`` points (thresholds descending).
+    """
+    lbl = F.col(label_col).cast("double")
+    per_score = df.groupBy(F.col(score_col).cast("double").alias("score")).agg(
+        F.sum(lbl).alias("pos"),
+        F.sum(1 - lbl).alias("neg"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        per_score.withColumn("tp", F.sum("pos").over(w))
+        .withColumn("fp", F.sum("neg").over(w))
+    )
+    n_pos = F.sum("pos").over(Window.partitionBy())
+    n_neg = F.sum("neg").over(Window.partitionBy())
+    return (
+        out.withColumn("tpr", F.col("tp") / n_pos)
+        .withColumn("fpr", F.col("fp") / n_neg)
+        .withColumn("precision", F.col("tp") / (F.col("tp") + F.col("fp")))
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("precision") + F.col("tpr")) > 0,
+                2 * F.col("precision") * F.col("tpr") / (F.col("precision") + F.col("tpr")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("score", "tp", "fp", "tpr", "fpr", "precision", "f1")
+    )
+
+
+# --------------------------------------------------------------------------
+# E3 — AUC
+# --------------------------------------------------------------------------
+
+def auc_trapezoid(
+    curve: DataFrame, x_col: str = "fpr", y_col: str = "tpr", anchor_origin: bool = True
+) -> DataFrame:
+    """E3 — trapezoid integration of a curve DataFrame → 1-row DF.
+
+    Ref: calculateAUC (src/NLP_functions.py:663-678,
+    src/TextClassification.py:385-400) — manual trapezoid sum. Here:
+    lag window + sum. ``anchor_origin`` prepends the implicit (0,0)
+    point (the reference's curves start from the first ranked row).
+    """
+    w = Window.orderBy(F.col(x_col).asc(), F.col(y_col).asc())
+    x, y = F.col(x_col), F.col(y_col)
+    lx = F.lag(x_col).over(w)
+    ly = F.lag(y_col).over(w)
+    if anchor_origin:
+        lx = F.coalesce(lx, F.lit(0.0))
+        ly = F.coalesce(ly, F.lit(0.0))
+    seg = (x - lx) * (y + ly) / 2.0
+    return curve.select(seg.alias("seg")).agg(F.sum("seg").alias("auc"))
+
+
+def auc_rank(df: DataFrame, score_col: str = "score", label_col: str = "label") -> DataFrame:
+    """E3 (scalable) — ROC-AUC as the Mann-Whitney rank statistic.
+
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with average
+    ranks for ties — identical to trapezoid ROC-AUC on the
+    tie-collapsed curve, but computed with one groupBy + one window
+    over distinct scores + one aggregate (no per-row window).
+    """
+    lbl = F.col(label_col).cast("double")
+    per_score = df.groupBy(F.col(score_col).cast("double").alias("s")).agg(
+        F.sum(lbl).alias("pos"), F.count("*").alias("cnt")
+    )
+    w = Window.orderBy(F.col("s").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_score.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "avg_rank", F.col("cum") - (F.col("cnt") - 1) / 2.0
+    )
+    agg = ranked.agg(
+        F.sum(F.col("avg_rank") * F.col("pos")).alias("r_pos"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n_neg"),
+    )
+    return agg.select(
+        (
+            (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc")
+    )
+
+
+# --------------------------------------------------------------------------
+# E7/E8 — confusion matrix and derived scores
+# --------------------------------------------------------------------------
+
+def confusion_counts(
+    df: DataFrame, label_col: str = "label", pred_col: str = "pred"
+) -> DataFrame:
+    """E7 — long-form confusion matrix: (label, pred, n).
+
+    Ref: plot_confusion_matrix (src/TextClassification.py:892-949).
+    """
+    return (
+        df.groupBy(F.col(label_col).cast("int").alias("label"), F.col(pred_col).cast("int").alias("pred"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def confusion_scores(
+    df: DataFrame, label_col: str = "label", pred_col: str = "pred"
+) -> DataFrame:
+    """E8 — TPR/TNR/PPV/NPV/FPR/FNR/FDR/ACC as one aggregation row.
+
+    Ref: scoresCM (src/TextClassification.py:865-890). One pass, four
+    conditional counts, scalar arithmetic — no pivot needed.
+    """
+    lbl = F.col(label_col).cast("int")
+    prd = F.col(pred_col).cast("int")
+    agg = df.agg(
+        F.sum(((lbl == 1) & (prd == 1)).cast("long")).alias("tp"),
+        F.sum(((lbl == 0) & (prd == 1)).cast("long")).alias("fp"),
+        F.sum(((lbl == 1) & (prd == 0)).cast("long")).alias("fn"),
+        F.sum(((lbl == 0) & (prd == 0)).cast("long")).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return agg.select(
+        tp, fp, fn, tn,
+        (tp / (tp + fn)).alias("tpr"),
+        (tn / (tn + fp)).alias("tnr"),
+        (tp / (tp + fp)).alias("ppv"),
+        (tn / (tn + fn)).alias("npv"),
+        (fp / (fp + tn)).alias("fpr"),
+        (fn / (fn + tp)).alias("fnr"),
+        (fp / (fp + tp)).alias("fdr"),
+        ((tp + tn) / (tp + tn + fp + fn)).alias("acc"),
+        (2 * tp / (2 * tp + fp + fn)).alias("f1"),
+    )
+
+
+def threshold_predictions(
+    df: DataFrame, score_col: str = "score", threshold: float = 0.5, out_col: str = "pred"
+) -> DataFrame:
+    """Apply a probability cut-off (ref: classificationReport at 0.68,
+    NB cell 86)."""
+    return df.withColumn(out_col, (F.col(score_col) >= F.lit(threshold)).cast("int"))
+
+
+# --------------------------------------------------------------------------
+# E9 — threshold search over the curve table
+# --------------------------------------------------------------------------
+
+def search_threshold(
+    curve: DataFrame, metric: str, desired: float, maximize: str = "precision"
+) -> DataFrame:
+    """E9 — smallest-score threshold meeting ``metric >= desired`` that
+    maximizes ``maximize``.
+
+    Ref: getConfusionMatrix (src/TextClassification.py:793-823). Pure
+    filter + order + limit over the (tiny) curve table.
+    """
+    return (
+        curve.filter(F.col(metric) >= F.lit(desired))
+        .orderBy(F.col(maximize).desc(), F.col("score").desc())
+        .limit(1)
+    )
+
+
+def optimal_cutoff_youden(curve: DataFrame) -> DataFrame:
+    """E9 — reference's optimalCutoff: argmin |tpr - (1 - fpr)|.
+
+    Ref: src/NLP_functions.py:229-257.
+    """
+    gap = F.abs(F.col("tpr") - (1 - F.col("fpr")))
+    return curve.orderBy(gap.asc(), F.col("score").desc()).limit(1)
+
+
+# --------------------------------------------------------------------------
+# E10 — classification report (composition)
+# --------------------------------------------------------------------------
+
+def classification_report(
+    df: DataFrame, score_col: str = "score", label_col: str = "label", threshold: float = 0.5
+) -> DataFrame:
+    """E10 — thresholded confusion scores + ROC-AUC in one row.
+
+    Ref: classificationReport (src/TextClassification.py:1097-1145).
+    """
+    preds = threshold_predictions(df, score_col, threshold)
+    scores = confusion_scores(preds, label_col, "pred")
+    auc = auc_rank(df, score_col, label_col)
+    return scores.crossJoin(auc)

@@ -1,0 +1,304 @@
+"""Data-prep operators (SURVEY.md §2.2 P1-P7, §2.4 A1, §2.5 V1-V7).
+
+Every operator is a pure DataFrame→DataFrame function; Catalyst fuses
+the chain into as few stages as the shuffles require. The reference's
+equivalents are eager pandas mutations (and A1 is an O(n·m) Python
+loop); here A1 is a single hash aggregation and every "random" choice
+is a deterministic hash of the row key, so results are reproducible
+across partitionings and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from diagnosisextraction_ml_spark.functions.hashing import M31, knuth_bucket
+from diagnosisextraction_ml_spark.functions.typo import correct_tokens_batch
+
+
+# --------------------------------------------------------------------------
+# Projections / simple row ops (§2.2)
+# --------------------------------------------------------------------------
+
+def recode_label(df: DataFrame, src: str = "annotation", dst: str = "Outcome") -> DataFrame:
+    """P2 — boolean label → 'y'/'n'. Ref: NB cell 8 apply(lambda)."""
+    return df.withColumn(dst, F.when(F.col(src), F.lit("y")).otherwise(F.lit("n")))
+
+
+def binarize_label(df: DataFrame, col: str = "Outcome", dst: str = "label") -> DataFrame:
+    """P3 — 'y' → 1 else 0.
+
+    Ref: binarize (src/NLP_functions.py:187-192), binarizeLabel
+    (src/TextClassification.py:232-237).
+    """
+    return df.withColumn(dst, (F.col(col) == F.lit("y")).cast("int"))
+
+
+def class_partition(df: DataFrame, label_col: str, value) -> DataFrame:
+    """P4 — one-class predicate filter. Ref: src/TextClassification.py:1381."""
+    return df.filter(F.col(label_col) == F.lit(value))
+
+
+# --------------------------------------------------------------------------
+# A1 — per-patient group-concat (the reference's only "join")
+# --------------------------------------------------------------------------
+
+def merge_on_column(
+    df: DataFrame,
+    key: str = "PATNR",
+    text_col: str = "text",
+    label_col: str = "annotation",
+    order_col: str | None = None,
+    out_text: str = "Text",
+    out_label: str = "Outcome",
+) -> DataFrame:
+    """A1 — concatenate all of a patient's entries into one row.
+
+    Ref: mergeOnColumn / entriesPatientMerge
+    (src/NLP_functions.py:838-886): a Python loop over
+    ``df[key].unique()`` with per-patient filtering and ``df.append``
+    — O(n_patients * n_rows) on one core. Here: one hash aggregation
+    (single shuffle on the patient key).
+
+    ``collect_list`` order is nondeterministic under parallel
+    execution, so entries are carried as (order, text) structs and
+    ``array_sort``-ed before joining — deterministic output at any
+    parallelism. ``order_col`` defaults to the text itself (stable for
+    bag-of-words semantics); pass an entry id/timestamp to preserve
+    record order at scale.
+
+    Skew note: a "hot" patient with millions of entries would skew the
+    shuffle; AQE skew handling covers the agg at this shape, and the
+    label comes from ``min`` (order-insensitive) rather than ``first``
+    (the label is constant per patient — FIXTURES.md §1).
+    """
+    order = F.col(order_col) if order_col else F.col(text_col)
+    pairs = F.struct(order.alias("o"), F.col(text_col).alias("t"))
+    return (
+        df.groupBy(key)
+        .agg(
+            F.array_join(F.array_sort(F.collect_list(pairs)).getField("t"), " ").alias(out_text),
+            F.min(label_col).alias(out_label),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# V1-V7 — shuffle / balance / resample / split / subset / set ops
+# --------------------------------------------------------------------------
+
+def shuffle_rows(df: DataFrame, seed: int) -> DataFrame:
+    """V1 — deterministic row shuffle. Ref: df.sample(frac=1, random_state).
+
+    Spark DataFrames are unordered; this exists only for parity with
+    order-sensitive reference steps. Uses ``rand(seed)`` ordering.
+    """
+    return df.orderBy(F.rand(seed))
+
+
+def downsample_to_balance(
+    df: DataFrame, label_col: str, key: Column | str, seed_salt: str = ""
+) -> DataFrame:
+    """V2 — downsample the majority class to the minority class size.
+
+    Ref: notebook cell 21; classifyOnLowerPrevalence
+    (src/NLP_functions.py:260-308) — pandas ``sample(n)``. Here the
+    kept subset is chosen by rank of a deterministic per-row hash
+    within each class (window), so the same rows are kept at any
+    parallelism and any scale; no driver collect.
+    """
+    from pyspark.sql import Window
+
+    counts = {r[label_col]: r["cnt"] for r in df.groupBy(label_col).agg(F.count("*").alias("cnt")).collect()}
+    n_min = min(counts.values())
+    keyc = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(F.concat_ws("§", keyc.cast("string"), F.lit(seed_salt))), 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy(label_col).orderBy(h, keyc)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_min)
+        .drop("__rk")
+    )
+
+
+def resample_to_prevalence(
+    df: DataFrame,
+    label_col: str,
+    target_prevalence: float,
+    total: int | None = None,
+    seed: int = 26062019,
+) -> DataFrame:
+    """V3 — over/undersample classes to a target positive prevalence.
+
+    Ref: plotPrevalencePR (src/TextClassification.py:1332-1424) —
+    pandas ``sample(n, replace=True)`` per class keeping total n.
+    Spark: per-class ``sample(withReplacement=True, fraction)``; the
+    fractions are computed from one count aggregation. Sampling with
+    replacement is inherently randomized — use only in robustness
+    sweeps (E12), not in oracle-checked paths.
+    """
+    counts = {r[label_col]: r["cnt"] for r in df.groupBy(label_col).agg(F.count("*").alias("cnt")).collect()}
+    n_total = total or sum(counts.values())
+    n_pos_target = target_prevalence * n_total
+    n_neg_target = n_total - n_pos_target
+    pos = df.filter(F.col(label_col) == 1).sample(
+        withReplacement=True, fraction=n_pos_target / max(counts.get(1, 1), 1), seed=seed
+    )
+    neg = df.filter(F.col(label_col) == 0).sample(
+        withReplacement=True, fraction=n_neg_target / max(counts.get(0, 1), 1), seed=seed + 1
+    )
+    return pos.unionByName(neg)
+
+
+def assign_folds(
+    df: DataFrame,
+    key: str,
+    n_folds: int = 10,
+    rounds: int = 1,
+    prefix: str = "fold",
+) -> DataFrame:
+    """V4 — CV fold assignment as *columns*, not index arrays.
+
+    Ref: preset_CV10Folds (src/NLP_functions.py:198-212) / splitData
+    (src/TextClassification.py:219-230) — sklearn ShuffleSplit index
+    arrays. Distributed translation: fold membership is data. For each
+    round r a deterministic md5 bucket of (key, r) gives each row a
+    fold id in [0, n_folds); train/test for split (r, f) is then
+    ``fold_r != f`` / ``== f``. No driver materialization, stable
+    under repartitioning, and O(1) extra columns per round.
+
+    sklearn's exact permutation for a given seed is RNG-internal —
+    reproducing it bit-for-bit would mean collecting ids to the driver
+    (fine at 668 patients, impossible at 100 TB). Documented semantic
+    difference: folds are statistically equivalent, not identical.
+    """
+    out = df
+    for r in range(rounds):
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("§", F.col(key).cast("string"), F.lit(str(r)))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        out = out.withColumn(f"{prefix}_{r}", (h % n_folds).cast("int"))
+    return out
+
+
+def split_train_test(
+    df: DataFrame, key: str, test_frac: float = 0.5, salt: str = "0"
+) -> tuple[DataFrame, DataFrame]:
+    """V4/E13 — one deterministic train/test split (hash of key).
+
+    Ref: holdOutSplitPerformance (src/NLP_functions.py:311-334).
+    """
+    buckets = 1_000_000
+    cut = int(test_frac * buckets)
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("§", F.col(key).cast("string"), F.lit(salt))), 1, 15), 16, 10
+    ).cast("long") % buckets
+    test = df.filter(h < cut)
+    train = df.filter(h >= cut)
+    return train, test
+
+
+def subset_first_n(df: DataFrame, order_key: str, n: int) -> DataFrame:
+    """V5 — deterministic first-n subset (learning-curve sweeps).
+
+    Ref: sampleSizeROC/PR (src/NLP_functions.py:752-836) — pandas
+    head(n) after shuffle. Deterministic order via the key hash.
+    """
+    return df.orderBy(knuth_bucket(order_key, M31), F.col(order_key)).limit(n)
+
+
+def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
+    """V6 — pd.concat equivalent."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def intersect_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+    """V7 — set intersection. Ref: intersection, src/TextClassification.py:1239."""
+    return a.intersect(b)
+
+
+# --------------------------------------------------------------------------
+# T5 at scale — typo correction as dedupe + broadcast-join
+# --------------------------------------------------------------------------
+
+def correct_typos_df(
+    df: DataFrame,
+    text_col: str,
+    vocab: Sequence[str],
+    thresh: float = 0.20,
+    out_col: str | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """T5 — distributed typo correction (see functions/typo.py).
+
+    Plan shape:
+      1. ``posexplode(split(text))`` to token rows (keeps position so
+         the sentence can be rebuilt in order),
+      2. ``distinct`` tokens (Heaps' law: vastly smaller than corpus),
+      3. pandas-UDF argmin Damerau-Levenshtein vs the vocab for tokens
+         *outside* the vocab only,
+      4. broadcast-join fixes back, re-aggregate ordered by position.
+
+    The reference corrects token-by-token per row with a driver memo
+    dict (src/NLP_functions.py:52-79) — the dedupe here is that memo,
+    expressed as data.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    out_col = out_col or text_col
+    id_col_real = id_col
+    if id_col is None:
+        df = df.withColumn("__rid", F.monotonically_increasing_id())
+        id_col_real = "__rid"
+
+    toks = df.select(
+        F.col(id_col_real).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("__pos", "__tok"),
+    ).filter(F.col("__tok") != "")
+
+    vocab_list = list(vocab)
+    vocab_set = set(vocab_list)
+
+    @pandas_udf(StringType())
+    def _fix(tokens: pd.Series) -> pd.Series:
+        return correct_tokens_batch(tokens, vocab_list, thresh)
+
+    distinct_toks = toks.select("__tok").distinct()
+    in_vocab = F.col("__tok").isin(vocab_set)
+    fixes = (
+        distinct_toks.withColumn(
+            "__fix", F.when(in_vocab, F.col("__tok")).otherwise(_fix(F.col("__tok")))
+        )
+    )
+
+    # No forced broadcast: the distinct-token side is Heaps'-law small
+    # relative to the corpus but can still be tens of millions of rows
+    # at 100 TB — let AQE pick broadcast vs shuffle join at runtime.
+    corrected = (
+        toks.join(fixes, "__tok", "left")
+        .groupBy("__id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos").alias("p"), F.col("__fix").alias("t")))
+                ).getField("t"),
+                " ",
+            ).alias(out_col)
+        )
+    )
+    joined = df.drop(out_col).join(
+        corrected.withColumnRenamed("__id", id_col_real), id_col_real, "left"
+    )
+    if id_col is None:
+        joined = joined.drop("__rid")
+    return joined

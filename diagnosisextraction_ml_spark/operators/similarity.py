@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two paths over an ``embeddings``-shaped table (vec_id, embedding:
+array<float>, ...):
+
+- :func:`brute_force_topk` — exact cosine top-k. The dot product is an
+  index-ordered ``zip_with`` + ``aggregate`` expression — JVM-side,
+  deterministic summation order (so the DuckDB oracle can reproduce it
+  bit-for-bit), no UDF, no Python. The query vector rides along as a
+  literal array → broadcast to every task for free.
+- :func:`lsh_bucketed_topk` — the scale path: random-hyperplane LSH
+  buckets (deterministic hyperplanes derived from md5 arithmetic, no
+  RNG state) prune the candidate set before the exact cosine rerank.
+  At 1B vectors the bucket join touches ~n/2^bits of the data per
+  probe instead of all of it.
+
+MLlib's ``BucketedRandomProjectionLSH``/``Normalizer`` cover the same
+ground as fitted models; these operator forms keep the computation a
+pure, explainable DataFrame plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from diagnosisextraction_ml_spark.functions.hashing import M31, md5_hash64
+
+KNUTH = 2654435761
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Index-ordered dot product of two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def query_vector_lit(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector.
+
+    Scan + projection + TakeOrdered: Spark's ``orderBy().limit(k)``
+    physical plan keeps a k-sized heap per partition and merges on the
+    driver — no global sort, no shuffle of the corpus. Deterministic
+    tie-break on the id.
+    """
+    q = query_vector_lit(query)
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplane_sign(vec_col: Column, plane_id: int) -> Column:
+    """Sign of <v, h_p> for a deterministic pseudo-random hyperplane.
+
+    Hyperplane component j of plane p = centered Knuth hash of (p, j):
+    ((p·KNUTH + j·40503 + 12345) mod M31) - M31/2 — fixed by (p, j), so
+    every executor (and the SQL oracle) derives the identical plane
+    without shipping any state.
+    """
+    signed = F.zip_with(
+        vec_col,
+        F.sequence(F.lit(0), F.size(vec_col) - 1),
+        lambda x, j: x.cast("double")
+        * (((F.lit(plane_id) * KNUTH + j * 40503 + 12345) % M31) - M31 / 2.0),
+    )
+    dot = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
+    return (dot > 0).cast("int")
+
+
+def lsh_bucket_expr(vec_col: Column, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id in [0, 2^n_planes)."""
+    bucket = None
+    for p in range(n_planes):
+        bit = _hyperplane_sign(vec_col, p) * F.lit(2**p)
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k: probe the query's LSH bucket (and its
+    hamming-≤1 neighbors), exact-rerank inside the probed buckets.
+
+    The bucket column is a pure expression of the vector, so a
+    persisted corpus can *pre-partition by bucket* and the probe
+    becomes a partition-pruned scan — the IVF pattern without an index
+    structure.
+    """
+    q = query_vector_lit(query)
+    bucketed = df.withColumn("__bucket", lsh_bucket_expr(F.col(vec_col), n_planes))
+    qdf = df.sparkSession.range(1).select(lsh_bucket_expr(q, n_planes).alias("qb"))
+    qbucket = qdf.collect()[0]["qb"]
+    probes = {qbucket}
+    if multiprobe_hamming >= 1:
+        probes |= {qbucket ^ (1 << b) for b in range(n_planes)}
+    return (
+        bucketed.filter(F.col("__bucket").isin(sorted(probes)))
+        .select(F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pairwise_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_vec: str = "embedding",
+    q_id: str = "vec_id",
+    c_vec: str = "embedding",
+    c_id: str = "vec_id",
+) -> DataFrame:
+    """k nearest corpus rows for *every* query row (batch ANN).
+
+    Broadcast the smaller (query) side; rank with a per-query window.
+    Output: (query_id, neighbor_id, cosine, rank ≤ k).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
+    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

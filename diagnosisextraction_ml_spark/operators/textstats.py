@@ -1,0 +1,164 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (north-star extensions): language ID,
+quality scoring, token counting, document fingerprinting — each a pure
+DataFrame expression chain over a ``documents``-shaped table
+(doc_id, text, ...), fully codegen'd, no Python in the path, so the
+per-row cost at 100 TB is a scan + map stage with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from diagnosisextraction_ml_spark.functions.hashing import md5_hash64
+from diagnosisextraction_ml_spark.functions.stopwords import (
+    DUTCH_STOPWORDS,
+    ENGLISH_STOPWORDS,
+)
+
+# A BPE-ish word-piece pattern: runs of letters, runs of digits, or a
+# single non-space symbol — the shape GPT-style pre-tokenizers use.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _txt(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count (argless-split semantics: empty → 0)."""
+    c = _txt(col)
+    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    return F.size(toks)
+
+
+def token_count_bpe_ish(col: Column | str) -> Column:
+    """Approximate subword count via the BPE-ish regex."""
+    c = _txt(col)
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def stopword_ratio(col: Column | str, stopwords: Sequence[str]) -> Column:
+    """Fraction of lowercase whitespace tokens that are stopwords."""
+    c = F.lower(_txt(col))
+    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of non-space characters that are punctuation/symbols."""
+    c = _txt(col)
+    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    punct = F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
+    return F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str, stopwords: Sequence[str] = ENGLISH_STOPWORDS) -> Column:
+    """Composite [0,1] quality heuristic (length, punct, stopwords).
+
+    The C4/Gopher-style cheap filters: very short docs, symbol-heavy
+    docs, and docs with no function words score low.
+    """
+    c = _txt(col)
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.lit(1.0) - F.least(punct_ratio(c) * 2.0, F.lit(1.0))
+    sw = stopword_ratio(c, stopwords)
+    sw_score = F.least(sw * 4.0, F.lit(1.0))
+    return F.round((len_score + punct_penalty + sw_score) / 3.0, 6)
+
+
+def lang_id_expr(col: Column | str) -> Column:
+    """Heuristic language ID (en/nl/other) from stopword hit counts.
+
+    N-gram-free variant of the classic stopword profile method: count
+    distinct high-frequency function words per language in the text;
+    highest count wins, ties → 'other'. Pure expressions → codegen.
+    """
+    c = F.lower(_txt(col))
+    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    en = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS[:40]])
+    nl = F.array(*[F.lit(w) for w in DUTCH_STOPWORDS[:40]])
+    n_en = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    n_nl = F.size(F.filter(toks, lambda t: F.array_contains(nl, t)))
+    return (
+        F.when((n_en > n_nl) & (n_en > 0), F.lit("en"))
+        .when((n_nl > n_en) & (n_nl > 0), F.lit("nl"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def fingerprint_expr(col: Column | str) -> Column:
+    """Order-sensitive 60-bit document fingerprint.
+
+    md5 of the whitespace-normalized text — the cross-engine-stable
+    stand-in for a rolling hash (same fingerprint ⇔ same normalized
+    byte sequence), used for exact dedup and change detection.
+    """
+    c = _txt(col)
+    normalized = F.regexp_replace(F.trim(c), r"\s+", " ")
+    return md5_hash64(normalized)
+
+
+def document_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All per-document text stats in one projection (single map stage)."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars_computed"),
+        token_count_ws(c).alias("n_tokens_ws"),
+        token_count_bpe_ish(c).alias("n_tokens_bpe"),
+        F.round(stopword_ratio(c, ENGLISH_STOPWORDS), 6).alias("stopword_ratio_en"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id_expr(c).alias("lang_pred"),
+        fingerprint_expr(c).alias("fingerprint"),
+    )
+
+
+def top_k_words(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    stopwords: Sequence[str] = (),
+    lowercase: bool = True,
+) -> DataFrame:
+    """A3 — corpus-wide top-k word frequency.
+
+    Ref: plotSampleDistribution (src/NLP_functions.py:571-594).
+    explode → filter → groupBy(word) → count → top-k, with a
+    deterministic (count desc, word asc) tie-break. The groupBy gets a
+    map-side partial aggregation, so the shuffle carries one row per
+    (partition, word) — Zipf-small — and the final top-k is a
+    TakeOrdered, not a full sort.
+    """
+    c = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = F.explode(F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")).alias("word")
+    words = df.select(toks)
+    if stopwords:
+        words = words.filter(~F.col("word").isin(list(stopwords)))
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(k)
+    )
+
+
+def lexical_dispersion(
+    df: DataFrame, terms: Sequence[str], text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """M14 — token positions of selected terms across the corpus.
+
+    Ref: plotLexicalDispersion (src/NLP_functions.py:523-567). Output:
+    (doc_id, term, position) — the plot's raw points, computed with
+    posexplode, filtered to the requested terms before the shuffle.
+    """
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
+    exploded = df.select(F.col(id_col), F.posexplode(toks).alias("position", "term"))
+    return exploded.filter(F.col("term").isin(list(terms)))

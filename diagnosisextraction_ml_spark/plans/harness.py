@@ -1,0 +1,160 @@
+"""CV harness (SURVEY.md §2.8 O1-O4, §2.7 E4-E6, E11) — the
+``TextClassification``-class equivalent.
+
+Ref: src/TextClassification.py — fitModels (:239-255), fitting
+(:726-773), assessPerformance (:583-610), median-model selection
+(:471-477), ttest_5x2cv (:1520-1574).
+
+Orchestration stays on the driver (it is control flow, not data flow):
+for each (model, round, fold) the harness launches distributed
+fit/transform jobs, then collects only the per-fold *curves* (≤ a few
+hundred points after tie-collapsing) and scalar AUCs. Row-level data
+never reaches the driver. Fold membership is a deterministic hash
+column (operators/prep.assign_folds), so a rerun on a different
+cluster produces identical folds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from diagnosisextraction_ml_spark.functions.stats import ttest_5x2cv
+from diagnosisextraction_ml_spark.operators.evaluate import (
+    auc_rank,
+    auc_trapezoid,
+    curve_by_threshold,
+)
+from diagnosisextraction_ml_spark.operators.prep import assign_folds
+from diagnosisextraction_ml_spark.plans.models import build_model_pipeline
+
+SEED = 26062019
+
+
+@dataclass
+class CVConfig:
+    """O4 — the reference's getters/setters as one config object."""
+
+    rounds: int = 5
+    folds: int = 2
+    key_col: str = "PATNR"
+    text_col: str = "Text"
+    label_col: str = "label"
+    seed: int = SEED
+
+
+@dataclass
+class FoldResult:
+    model: str
+    round: int
+    fold: int
+    roc_auc: float
+    pr_auc: float
+    max_f1: float
+    curve: list[dict] = field(repr=False, default_factory=list)
+
+
+class TextClassificationHarness:
+    """O1-O3 — fit the model zoo across CV splits, keep curves + models."""
+
+    def __init__(self, df: DataFrame, models: list[str], config: CVConfig | None = None):
+        self.config = config or CVConfig()
+        self.models = models
+        cfg = self.config
+        self.df = assign_folds(df, cfg.key_col, n_folds=cfg.folds, rounds=cfg.rounds)
+        self.results: dict[str, list[FoldResult]] = {m: [] for m in models}
+        self.fitted: dict[tuple[str, int, int], object] = {}
+
+    # -- O1 ----------------------------------------------------------------
+    def fit_models(self, persist_models: bool = False) -> dict[str, list[FoldResult]]:
+        cfg = self.config
+        base = self.df.persist()
+        try:
+            for name in self.models:
+                for r in range(cfg.rounds):
+                    fold_col = f"fold_{r}"
+                    for f_idx in range(cfg.folds):
+                        train = base.filter(F.col(fold_col) != f_idx)
+                        test = base.filter(F.col(fold_col) == f_idx)
+                        pipeline = build_model_pipeline(
+                            name, text_col=cfg.text_col, label_col=cfg.label_col
+                        )
+                        model = pipeline.fit(train)
+                        scored = model.transform(test).select(
+                            F.col("p1").alias("score"), F.col(cfg.label_col).alias("label")
+                        )
+                        res = self._assess(name, r, f_idx, scored)
+                        self.results[name].append(res)
+                        if persist_models:
+                            self.fitted[(name, r, f_idx)] = model
+        finally:
+            base.unpersist()
+        return self.results
+
+    # -- E2-E6 --------------------------------------------------------------
+    def _assess(self, name: str, r: int, f_idx: int, scored: DataFrame) -> FoldResult:
+        scored = scored.persist()
+        try:
+            curve = curve_by_threshold(scored, "score", "label")
+            curve_rows = [row.asDict() for row in curve.collect()]
+            roc = auc_rank(scored, "score", "label").collect()[0]["auc"]
+            pr = auc_trapezoid(
+                curve.select(F.col("tpr").alias("x"), F.col("precision").alias("y")),
+                "x",
+                "y",
+                anchor_origin=False,
+            ).collect()[0]["auc"]
+            max_f1 = max((c["f1"] for c in curve_rows), default=0.0)
+        finally:
+            scored.unpersist()
+        return FoldResult(
+            model=name,
+            round=r,
+            fold=f_idx,
+            roc_auc=float(roc or 0.0),
+            pr_auc=float(pr or 0.0),
+            max_f1=float(max_f1),
+            curve=curve_rows,
+        )
+
+    # -- E4/E5 aggregation ---------------------------------------------------
+    def summary(self) -> dict[str, dict[str, float]]:
+        """Mean/std ROC-AUC, PR-AUC, max-F1 per model over all folds."""
+        import statistics
+
+        out = {}
+        for name, results in self.results.items():
+            if not results:
+                continue
+            rocs = [x.roc_auc for x in results]
+            prs = [x.pr_auc for x in results]
+            f1s = [x.max_f1 for x in results]
+            out[name] = {
+                "roc_auc_mean": statistics.mean(rocs),
+                "roc_auc_std": statistics.pstdev(rocs),
+                "pr_auc_mean": statistics.mean(prs),
+                "pr_auc_std": statistics.pstdev(prs),
+                "f1_mean": statistics.mean(f1s),
+                "f1_std": statistics.pstdev(f1s),
+            }
+        return out
+
+    # -- E5/O3 median-model selection ----------------------------------------
+    def median_iteration(self, name: str) -> FoldResult:
+        """The fold with median PR-AUC — "the" trained model.
+
+        Ref: modelPrecisionRecall median pick,
+        src/TextClassification.py:471-477 (sort AUC list, take middle).
+        """
+        results = sorted(self.results[name], key=lambda x: x.pr_auc)
+        return results[len(results) // 2]
+
+    # -- E11 -------------------------------------------------------------------
+    def compare_5x2cv(self, model_a: str, model_b: str) -> tuple[float, float]:
+        """Dietterich 5x2cv paired t-test on ROC-AUCs (ref NB cells 48-56)."""
+        if self.config.rounds != 5 or self.config.folds != 2:
+            raise ValueError("5x2cv test needs rounds=5, folds=2")
+        order = lambda rs: [x.roc_auc for x in sorted(rs, key=lambda x: (x.round, x.fold))]
+        return ttest_5x2cv(order(self.results[model_a]), order(self.results[model_b]))

@@ -1,0 +1,192 @@
+"""Model zoo (SURVEY.md §2.6 M1-M10) — uniform name → ml.Pipeline registry.
+
+Every entry builds ``Pipeline([tfidf stages..., classifier, score])``
+ending in a ``p1`` column = P(positive). Ref: the 8 sklearn pipelines
+of notebook cells 38/40. Semantic mappings (documented differences):
+
+- WordMatching (M1): rule regex → Transformer, no fitting
+  (ref: CustomBinaryModel, src/TextClassification.py:32-75).
+- NaiveBayes (M2): MLlib multinomial NB — NB needs non-negative
+  feature values, so its pipeline skips the L2 normalizer sign issue
+  (TF-IDF is non-negative; fine).
+- GradientBoosting (M3) → GBTClassifier; trees can't take 2^18-dim
+  sparse TF-IDF efficiently → hashed to 4096 dims (documented).
+- NeuralNetworks (M4) → MultilayerPerceptronClassifier on hashed
+  features (layer sizes must be static).
+- DecisionTree (M5) → DecisionTreeClassifier (hashed dims, as M3).
+- SVM (M6): LinearSVC + sigmoid on the raw margin. sklearn's
+  probability=True runs internal Platt CV; the sigmoid preserves the
+  margin *ordering*, so ROC/PR-AUC are comparable and 0.5 maps to the
+  margin-0 decision boundary (SURVEY §7 hard part #2).
+- RandomForest (M7) → RandomForestClassifier (hashed dims).
+- Dummy (M8): stratified coin flip at train prevalence — an Estimator
+  that fits the prevalence, then a deterministic-hash coin.
+- SGD/XGBoost (M9, legacy outputs) → LogisticRegression (elasticNet)
+  and GBT already covered.
+"""
+
+from __future__ import annotations
+
+from pyspark import keyword_only
+from pyspark.ml import Estimator, Pipeline, Transformer
+from pyspark.ml.classification import (
+    DecisionTreeClassifier,
+    GBTClassifier,
+    LinearSVC,
+    LogisticRegression,
+    MultilayerPerceptronClassifier,
+    NaiveBayes,
+    RandomForestClassifier,
+)
+from pyspark.ml.functions import vector_to_array
+from pyspark.ml.param.shared import Param, Params
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from diagnosisextraction_ml_spark.functions.text import RA_TARGETS, word_match_expr
+from diagnosisextraction_ml_spark.plans.features import build_tfidf_stages
+
+SEED = 26062019  # ref: notebook cell 2
+
+
+class ExtractScore(Transformer, DefaultParamsReadable, DefaultParamsWritable):
+    """Append ``p1`` = P(class 1) from an MLlib probability vector."""
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("p1", vector_to_array(F.col("probability")).getItem(1))
+
+
+class MarginSigmoid(Transformer, DefaultParamsReadable, DefaultParamsWritable):
+    """``p1`` = sigmoid(margin) from LinearSVC's rawPrediction.
+
+    Order-preserving stand-in for Platt scaling (see module docstring).
+    """
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        margin = vector_to_array(F.col("rawPrediction")).getItem(1)
+        return df.withColumn("p1", F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)))
+
+
+class WordMatchModel(Transformer, DefaultParamsReadable, DefaultParamsWritable):
+    """M1 — rule-based word matching (no fitting).
+
+    Ref: CustomBinaryModel.judgeEntry/predict
+    (src/TextClassification.py:57-75); targets from notebook cell 36.
+    """
+
+    def __init__(self, targets: tuple[str, ...] = RA_TARGETS, input_col: str = "Text"):
+        super().__init__()
+        self._targets = tuple(targets)
+        self._input_col = input_col
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        hit = word_match_expr(F.lower(F.col(self._input_col)), self._targets)
+        return df.withColumn("p1", hit.cast("double")).withColumn(
+            "prediction", hit.cast("double")
+        )
+
+
+class DummyStratified(Estimator, DefaultParamsReadable, DefaultParamsWritable):
+    """M8 — sklearn DummyClassifier(strategy='stratified') equivalent.
+
+    Fits the train prevalence; predicts positive with that probability
+    via a seeded per-row coin. Baseline only — not oracle-checkable by
+    construction.
+    """
+
+    def __init__(self, label_col: str = "label", seed: int = SEED):
+        super().__init__()
+        self._label_col = label_col
+        self._seed = seed
+
+    def _fit(self, df: DataFrame) -> "DummyStratifiedModel":
+        prevalence = df.agg(F.avg(F.col(self._label_col).cast("double"))).collect()[0][0]
+        return DummyStratifiedModel(prevalence=float(prevalence or 0.0), seed=self._seed)
+
+
+class DummyStratifiedModel(Transformer, DefaultParamsReadable, DefaultParamsWritable):
+    def __init__(self, prevalence: float = 0.5, seed: int = SEED):
+        super().__init__()
+        self._prevalence = prevalence
+        self._seed = seed
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        coin = (F.rand(self._seed) < F.lit(self._prevalence)).cast("double")
+        return df.withColumn("p1", coin).withColumn("prediction", coin)
+
+
+def _hashed_features(dim: int):
+    return dict(use_hashing=True, vocab_size=dim)
+
+
+def build_model_pipeline(
+    name: str,
+    text_col: str = "Text",
+    label_col: str = "label",
+    **feature_overrides,
+) -> Pipeline:
+    """Build the full text→score pipeline for a registry model name."""
+    fkw = dict(input_col=text_col, output_col="features")
+    fkw.update(feature_overrides)
+
+    def tfidf(**extra):
+        kw = dict(fkw)
+        kw.update(extra)
+        return build_tfidf_stages(**kw)
+
+    if name == "WordMatching":
+        return Pipeline(stages=[WordMatchModel(input_col=text_col)])
+    if name == "NaiveBayes":
+        clf = NaiveBayes(
+            modelType="multinomial", featuresCol="features", labelCol=label_col, smoothing=1.0
+        )
+        return Pipeline(stages=[*tfidf(), clf, ExtractScore()])
+    if name == "GradientBoosting":
+        clf = GBTClassifier(
+            featuresCol="features", labelCol=label_col, seed=SEED, maxIter=50, maxDepth=3
+        )
+        return Pipeline(stages=[*tfidf(**_hashed_features(4096)), clf, ExtractScore()])
+    if name == "NeuralNetworks":
+        dim = 1024
+        clf = MultilayerPerceptronClassifier(
+            featuresCol="features",
+            labelCol=label_col,
+            layers=[dim, 32, 2],
+            solver="l-bfgs",
+            seed=SEED,
+            maxIter=200,
+        )
+        return Pipeline(stages=[*tfidf(**_hashed_features(dim)), clf, ExtractScore()])
+    if name == "DecisionTree":
+        clf = DecisionTreeClassifier(featuresCol="features", labelCol=label_col, seed=SEED)
+        return Pipeline(stages=[*tfidf(**_hashed_features(4096)), clf, ExtractScore()])
+    if name == "SVM":
+        clf = LinearSVC(featuresCol="features", labelCol=label_col, maxIter=100, regParam=0.01)
+        return Pipeline(stages=[*tfidf(), clf, MarginSigmoid()])
+    if name == "RandomForest":
+        clf = RandomForestClassifier(
+            featuresCol="features", labelCol=label_col, seed=SEED, numTrees=100
+        )
+        return Pipeline(stages=[*tfidf(**_hashed_features(4096)), clf, ExtractScore()])
+    if name == "Dummy":
+        return Pipeline(stages=[DummyStratified(label_col=label_col)])
+    if name == "SGDClassifier":
+        clf = LogisticRegression(
+            featuresCol="features", labelCol=label_col, elasticNetParam=0.15, regParam=1e-4
+        )
+        return Pipeline(stages=[*tfidf(), clf, ExtractScore()])
+    raise KeyError(f"unknown model {name!r} — known: {sorted(MODEL_REGISTRY)}")
+
+
+MODEL_REGISTRY: tuple[str, ...] = (
+    "WordMatching",
+    "NaiveBayes",
+    "GradientBoosting",
+    "NeuralNetworks",
+    "DecisionTree",
+    "SVM",
+    "RandomForest",
+    "Dummy",
+    "SGDClassifier",
+)

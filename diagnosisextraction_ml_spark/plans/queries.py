@@ -1,0 +1,362 @@
+"""Query registry — every SURVEY.md §2 operator as an oracle-checked query.
+
+Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, duckdb_sql | None).
+The driver compares row count + schema + order-insensitive value hash
+at sf=0.01, so every query here is written for *cross-engine bitwise
+determinism*:
+
+- ratios are divisions of exact integer counts (IEEE division of the
+  same ints is exactly rounded → identical bits in both engines);
+- sums of doubles go through DECIMAL casts (associative, exact) and
+  back to double, because float summation order differs between
+  engines;
+- every "random" choice is an md5/Knuth hash of a key (see
+  functions/hashing.py) — reproducible across engines, partitionings,
+  and cluster sizes;
+- top-k queries carry a total tie-break order.
+
+Column names are aliased identically in both implementations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from diagnosisextraction_ml_spark.functions.hashing import M31, md5_hash64, md5_hash64_sql
+from diagnosisextraction_ml_spark.functions.stopwords import ENGLISH_STOPWORDS
+from diagnosisextraction_ml_spark.functions.text import (
+    ARTEFACT_MAP,
+    STICKY_CHARS_RE,
+    fix_xml_artefacts,
+    simple_cleaning,
+    word_match_expr,
+)
+from diagnosisextraction_ml_spark.operators import dedup, evaluate, prep, similarity, textstats
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# Oracle-side twin of the events nanos→micros conversion: the raw
+# parquet is TIMESTAMP_NS in DuckDB; CAST(.. AS TIMESTAMP) truncates to
+# microseconds, matching Spark's `ts DIV 1000` exactly.
+_TS = "CAST(ts AS TIMESTAMP)"
+
+
+# ===========================================================================
+# Relational core (S1, P4-P6, A2, A1, joins, windows)
+# ===========================================================================
+
+@register(
+    "rel_filter_project",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_totalprice > 200000.0 AND o_orderstatus = 'O'
+    """,
+)
+def rel_filter_project(spark, sf_dir):
+    """P4/P5 — predicate + projection; pushdown visible in .explain()."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_totalprice") > 200000.0) & (F.col("o_orderstatus") == "O"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "rel_distinct",
+    "SELECT DISTINCT o_custkey FROM orders",
+)
+def rel_distinct(spark, sf_dir):
+    """P6 — distinct keys (hash aggregate, map-side partial)."""
+    return _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+
+
+@register(
+    "rel_value_counts",
+    "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+)
+def rel_value_counts(spark, sf_dir):
+    """A2 — value_counts as groupBy().count()."""
+    return _t(spark, sf_dir, "documents").groupBy("lang").agg(F.count("*").alias("n"))
+
+
+@register(
+    "rel_group_concat",
+    """
+    SELECT user_id,
+           string_agg(event_type, ' ' ORDER BY CAST(ts AS TIMESTAMP), event_id) AS merged,
+           count(*) AS n_entries
+    FROM events GROUP BY user_id
+    """,
+)
+def rel_group_concat(spark, sf_dir):
+    """A1 — the patient-merge shape: ordered group-concat per key.
+
+    Ref: mergeOnColumn (src/NLP_functions.py:861-886) — there an O(n·m)
+    driver loop; here one hash aggregation with an in-group sort of
+    (ts, event_id) structs for deterministic order at any parallelism.
+    """
+    ev = _t(spark, sf_dir, "events")
+    pairs = F.struct(F.col("ts").alias("o1"), F.col("event_id").alias("o2"), F.col("event_type").alias("t"))
+    merged = F.array_join(
+        F.transform(F.array_sort(F.collect_list(pairs)), lambda s: s.getField("t")), " "
+    )
+    return ev.groupBy("user_id").agg(
+        merged.alias("merged"), F.count("*").alias("n_entries")
+    )
+
+
+@register(
+    "rel_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def rel_q1_pricing(spark, sf_dir):
+    """TPC-H Q1 shape — scan + filter + hash agg with decimal-exact sums.
+
+    Doubles are summed via DECIMAL casts so the result is independent
+    of partitioning/accumulation order (cross-engine identical), then
+    surfaced as DOUBLE.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            (F.sum("l_quantity").cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rel_q3_topk",
+    """
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def rel_q3_topk(spark, sf_dir):
+    """TPC-H Q3 shape — dim-filtered join + agg + deterministic top-k.
+
+    The customer side is small after the segment filter → explicit
+    broadcast hint; lineitem⋈orders is the real shuffle and AQE keeps
+    it healthy under skew.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "rel_star_join",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           count(*) AS n_orders
+    FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def rel_star_join(spark, sf_dir):
+    """Star-schema rollup — fact⋈dims with broadcast dimensions."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "win_running_total",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def win_running_total(spark, sf_dir):
+    """Window cumsum per key — the E2 pattern on a business column.
+
+    Partitioned window (scales: one shuffle on user_id, state bounded
+    per partition). The sum goes through DECIMAL: engines differ in
+    windowed-float accumulation (DuckDB uses segment trees), so only
+    an associative exact type is cross-engine stable.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "win_topn_per_group",
+    """
+    SELECT * FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events) t
+    WHERE rn <= 3
+    """,
+)
+def win_topn_per_group(spark, sf_dir):
+    """Top-n per group via ranked window (deterministic tie-break)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH base AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, tsu,
+             CASE WHEN lag(tsu) OVER w IS NULL THEN 0
+                  WHEN epoch_us(tsu) - epoch_us(lag(tsu) OVER w) > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min) — lag + cumsum windows.
+
+    The classic streaming-adjacent batch op: one shuffle on user_id;
+    both windows share the same partitioning (no second exchange).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    ev = _t(spark, sf_dir, "events")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull(), F.lit(0))
+        .when(gap > 1800 * 1_000_000, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return (
+        flagged.withColumn("session_id", F.sum("new_session").over(wc))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "stream_hourly_counts",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_hourly_counts(spark, sf_dir):
+    """Tumbling-window agg — the batch twin of
+    streaming.windowed_event_counts (same expressions run under
+    readStream with a watermark; Structured Streaming's unified model).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )

@@ -1,0 +1,116 @@
+"""Sources (SURVEY.md §2.1 S1/S2/S5) — explicit-schema readers.
+
+The reference relies on pandas dtype inference
+(`pd.read_csv(..., sep=';')`, notebook cell 4). We fix schemas up
+front: at 100 TB an `inferSchema` pass is a full extra scan of the
+data, and silent dtype drift (bool→string) breaks downstream plans.
+
+Parity notes:
+- entry-level EHR table: ``PATNR`` double, ``annotation`` boolean,
+  ``text`` string (reference `sample_data/dummydata.csv`).
+- patient-level cache: ``Text`` string, ``PATNR`` double, ``Outcome``
+  string, ``|``-separated (reference notebook cells 17/19).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# SURVEY §1.1 — entry-level EHR table (ref: NB cell 4).
+EHR_ENTRY_SCHEMA = StructType(
+    [
+        StructField("PATNR", DoubleType(), True),
+        StructField("annotation", BooleanType(), True),
+        StructField("text", StringType(), True),
+    ]
+)
+
+# SURVEY §1.2 — patient-level preprocessed cache (ref: NB cells 17/19).
+EHR_PATIENT_SCHEMA = StructType(
+    [
+        StructField("Text", StringType(), True),
+        StructField("PATNR", DoubleType(), True),
+        StructField("Outcome", StringType(), True),
+    ]
+)
+
+# FIXTURES.md §4 — golden prediction files (ref: writePredictionsToFile,
+# src/TextClassification.py:431-444).
+PREDICTIONS_SCHEMA = StructType(
+    [
+        StructField("PRED", DoubleType(), True),
+        StructField("TRUE", IntegerType(), True),
+    ]
+)
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_ehr_entries(
+    spark: SparkSession, path: str, sep: str = ";", fill_empty_text: bool = True
+) -> DataFrame:
+    """S1 — read the `;`-separated entry-level EHR CSV.
+
+    Ref: ``pd.read_csv(path, sep=';')`` + ``fillna('')`` (NB cells 4, 17).
+    """
+    df = spark.read.csv(path, sep=sep, header=True, schema=EHR_ENTRY_SCHEMA)
+    if fill_empty_text:
+        df = df.na.fill({"text": ""})  # S5
+    return df
+
+
+def read_patient_cache(spark: SparkSession, path: str) -> DataFrame:
+    """S2 — re-read the `|`-separated preprocessed patient cache.
+
+    Ref: ``pd.read_csv(path, sep='|')`` + ``fillna('')`` (NB cell 19).
+    """
+    df = spark.read.csv(path, sep="|", header=True, schema=EHR_PATIENT_SCHEMA)
+    return df.na.fill({"Text": ""})
+
+
+def read_predictions(spark: SparkSession, path: str) -> DataFrame:
+    """Read a golden ``pred*.csv`` file (PRED|TRUE) — curve-engine oracle."""
+    return spark.read.csv(path, sep="|", header=True, schema=PREDICTIONS_SCHEMA)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated parquet table (TESTDATA.md).
+
+    ``events.parquet`` carries TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default — read the nanos as long (legacy conf)
+    and convert to a microsecond timestamp with *integer* arithmetic
+    (ts DIV 1000: nanos ~1.7e18 exceed double's 53-bit mantissa, so a
+    float division would corrupt low digits).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every TESTDATA table as a dict name → DataFrame."""
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
