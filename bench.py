@@ -1,0 +1,87 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query from the registry and forces full execution
+with the ``noop`` sink (computes everything, writes nothing, no
+driver-side collect bottleneck — the honest way to time a plan).
+
+Prints exactly ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+# Headline set: the queries that exercise the engine's hot paths —
+# scan+agg, shuffling join, windows, group-concat, text/NLP pipeline,
+# dedup sketching, similarity top-k. Names must exist in the registry.
+HEADLINE = [
+    "rel_q1_pricing",
+    "rel_q3_topk",
+    "rel_star_join",
+    "rel_group_concat",
+    "win_running_total",
+    "events_sessionize",
+    "stream_hourly_counts",
+    "text_clean_pipeline",
+    "text_top_words",
+    "doc_stats",
+    "dedup_exact_groups",
+    "dedup_minhash_bands",
+    "sim_bruteforce_topk",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from diagnosisextraction_ml_spark import get_spark
+    from diagnosisextraction_ml_spark.plans.queries import queries
+
+    spark = get_spark("bench")
+    qs = queries()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not first-touch JIT/IO (clusters are warm in steady state).
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

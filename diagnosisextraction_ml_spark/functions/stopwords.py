@@ -17,7 +17,7 @@ DUTCH_STOPWORDS: tuple[str, ...] = (
     "moet", "ben", "zonder", "kan", "hun", "dus", "alles", "onder",
     "ja", "eens", "hier", "wie", "werd", "altijd", "doch", "wordt",
     "wezen", "kunnen", "ons", "zelf", "tegen", "na", "reeds", "wil",
-    "kon", "niets", "uw", "iemand", "geweest", "kieken",
+    "kon", "niets", "uw", "iemand", "geweest", "andere",
 )
 
 # Compact English list for the documents-table text-analysis operators

@@ -61,13 +61,23 @@ def normalized_damerau_levenshtein(a: str, b: str) -> float:
     return damerau_levenshtein(a, b) / max(len(a), len(b))
 
 
-def correct_token(word: str, vocab: Sequence[str], thresh: float = 0.20) -> str:
+def correct_token(
+    word: str,
+    vocab: Sequence[str],
+    thresh: float = 0.20,
+    vocab_set: frozenset | None = None,
+) -> str:
     """Correct one token against a vocabulary (first argmin wins).
 
     Mirrors the reference's ``np.where(arr == np.amin(arr))[0][0]``
-    first-match tie-break so corrections are deterministic.
+    first-match tie-break so corrections are deterministic. Callers in
+    a loop should pass ``vocab_set=frozenset(vocab)`` once — no global
+    cache (an ``id()``-keyed cache can silently serve a stale set after
+    garbage collection reuses the address).
     """
-    if word in _vocab_set(vocab):
+    if vocab_set is None:
+        vocab_set = frozenset(vocab)
+    if word in vocab_set:
         return word
     best_d, best_w = None, word
     for v in vocab:
@@ -79,18 +89,6 @@ def correct_token(word: str, vocab: Sequence[str], thresh: float = 0.20) -> str:
     return word
 
 
-_VOCAB_CACHE: dict[int, frozenset] = {}
-
-
-def _vocab_set(vocab: Sequence[str]) -> frozenset:
-    key = id(vocab)
-    got = _VOCAB_CACHE.get(key)
-    if got is None:
-        got = frozenset(vocab)
-        _VOCAB_CACHE[key] = got
-    return got
-
-
 def correct_typos(sentence: str, vocab: Sequence[str], thresh: float = 0.20) -> str:
     """Correct every whitespace token of a sentence (driver-side helper).
 
@@ -98,10 +96,11 @@ def correct_typos(sentence: str, vocab: Sequence[str], thresh: float = 0.20) -> 
     exists for parity tests on small strings.
     """
     memo: dict[str, str] = {}
+    vocab_set = frozenset(vocab)
     out = []
     for w in sentence.split():
         if w not in memo:
-            memo[w] = correct_token(w, vocab, thresh)
+            memo[w] = correct_token(w, vocab, thresh, vocab_set=vocab_set)
         out.append(memo[w])
     return " ".join(out)
 
@@ -114,4 +113,7 @@ def correct_tokens_batch(
     Used inside the pandas UDF of ``correct_typos_df`` — the caller
     guarantees dedup, so no memo is needed here.
     """
-    return tokens.map(lambda t: correct_token(t, vocab, thresh) if t else t)
+    vocab_set = frozenset(vocab)
+    return tokens.map(
+        lambda t: correct_token(t, vocab, thresh, vocab_set=vocab_set) if t else t
+    )

@@ -41,10 +41,16 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
     Output: (fingerprint, n_dups, keep_id) for groups with n > 1;
     ``keep_id`` is the min doc id (the canonical survivor).
+
+    The fingerprint is the full 128-bit md5 hex: at billions of docs a
+    60-bit hash hits birthday collisions (~2^30), which for *exact*
+    dedup would silently merge distinct documents. The 60-bit integer
+    form stays in the sketching paths where collisions only cost
+    recall/precision, not correctness.
     """
     normalized = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     return (
-        df.select(md5_hash64(normalized).alias("fingerprint"), F.col(id_col))
+        df.select(F.md5(normalized).alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
         .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_dups") > 1)
@@ -52,9 +58,9 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one row (min id) per distinct normalized text."""
+    """Keep one row (min id) per distinct normalized text (128-bit fp)."""
     normalized = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    fp = md5_hash64(normalized).alias("__fp")
+    fp = F.md5(normalized).alias("__fp")
     from pyspark.sql import Window
 
     w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
@@ -266,19 +272,37 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    candidates: DataFrame | None = None,
+    n_planes: int = 8,
 ) -> DataFrame:
     """Pairs of rows whose embeddings have cosine similarity ≥ threshold.
 
-    Brute-force within-join form (index-ordered dot product via
-    ``zip_with`` + ``aggregate`` — JVM-side, no UDF). For 100 TB use
-    the LSH-bucketed variant in operators/similarity.py to block the
-    join; this exact form is the verify stage.
+    Candidate generation is LSH-blocked by default: each vector gets a
+    deterministic random-hyperplane bucket, candidate pairs only
+    materialize *within* a bucket (a self-equi-join on the bucket —
+    the same shape as MinHash banding, never a crossJoin), and the
+    exact index-ordered cosine (``zip_with`` + ``aggregate``, JVM-side,
+    no UDF) is the verify stage. Vectors with cosine ≥ 0.95 sit within
+    ~18° of each other, so they agree on almost every hyperplane sign;
+    recall can be raised with a second plane set if needed.
+
+    Pass ``candidates`` (id_a, id_b) — e.g. from a multiprobe
+    :func:`~.similarity.pairwise_topk_join` run — to verify an
+    externally-generated pair list instead.
     """
-    from diagnosisextraction_ml_spark.operators.similarity import cosine_expr
+    from diagnosisextraction_ml_spark.operators.similarity import (
+        cosine_expr,
+        lsh_bucket_expr,
+    )
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    if candidates is None:
+        ab = a.withColumn("__bucket", lsh_bucket_expr(F.col("va"), n_planes))
+        bb = b.withColumn("__bucket", lsh_bucket_expr(F.col("vb"), n_planes))
+        pairs = ab.join(bb, "__bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
     return (
         pairs.withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -105,23 +106,30 @@ def downsample_to_balance(
     """V2 — downsample the majority class to the minority class size.
 
     Ref: notebook cell 21; classifyOnLowerPrevalence
-    (src/NLP_functions.py:260-308) — pandas ``sample(n)``. Here the
-    kept subset is chosen by rank of a deterministic per-row hash
-    within each class (window), so the same rows are kept at any
-    parallelism and any scale; no driver collect.
+    (src/NLP_functions.py:260-308) — pandas ``sample(n)``. Kept rows
+    are chosen by thresholding a deterministic per-row hash: class c
+    keeps rows with ``h % B < ceil(n_min/n_c · B)``. One tiny count
+    aggregation, then a pure filter — no window. (The earlier
+    window-rank variant funneled the entire dataset through
+    n_classes partitions: a binary label meant 2 tasks total — a
+    single-executor bottleneck at scale.) Sampled sizes are within
+    ~sqrt(n) of exact n_min rather than exact: the right trade for a
+    class-balancing step that feeds a stochastic trainer anyway.
+    Deterministic: same rows kept at any parallelism/scale.
     """
-    from pyspark.sql import Window
+    import math
 
     counts = {r[label_col]: r["cnt"] for r in df.groupBy(label_col).agg(F.count("*").alias("cnt")).collect()}
     n_min = min(counts.values())
+    buckets = 1_000_000
     keyc = F.col(key) if isinstance(key, str) else key
-    h = F.conv(F.substring(F.md5(F.concat_ws("§", keyc.cast("string"), F.lit(seed_salt))), 1, 15), 16, 10).cast("long")
-    w = Window.partitionBy(label_col).orderBy(h, keyc)
-    return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= n_min)
-        .drop("__rk")
-    )
+    h = F.conv(F.substring(F.md5(F.concat_ws("§", keyc.cast("string"), F.lit(seed_salt))), 1, 15), 16, 10).cast("long") % buckets
+    cond = None
+    for label_val, n_c in counts.items():
+        cut = min(buckets, math.ceil(n_min / n_c * buckets))
+        this = (F.col(label_col) == F.lit(label_val)) & (h < cut)
+        cond = this if cond is None else (cond | this)
+    return df.filter(cond)
 
 
 def resample_to_prevalence(
@@ -235,35 +243,43 @@ def correct_typos_df(
     vocab: Sequence[str],
     thresh: float = 0.20,
     out_col: str | None = None,
-    id_col: str | None = None,
 ) -> DataFrame:
     """T5 — distributed typo correction (see functions/typo.py).
 
     Plan shape:
-      1. ``posexplode(split(text))`` to token rows (keeps position so
-         the sentence can be rebuilt in order),
-      2. ``distinct`` tokens (Heaps' law: vastly smaller than corpus),
-      3. pandas-UDF argmin Damerau-Levenshtein vs the vocab for tokens
+      1. key every row by md5(text) — deterministic (unlike
+         ``monotonically_increasing_id``, which is partition-layout-
+         dependent and can diverge between the two sides of the
+         self-join under AQE/recomputation) and collapses duplicate
+         texts so correction work runs once per *distinct text*,
+      2. ``posexplode(split(text))`` to token rows per distinct text,
+      3. ``distinct`` tokens (Heaps' law: vastly smaller than corpus),
+      4. pandas-UDF argmin Damerau-Levenshtein vs the vocab for tokens
          *outside* the vocab only,
-      4. broadcast-join fixes back, re-aggregate ordered by position.
+      5. join fixes back, re-aggregate ordered by position, join the
+         corrected text onto the original rows by the same md5 key.
+
+    Empty/whitespace-only texts produce no token rows; the final
+    ``coalesce`` keeps the original text (the reference's
+    ``TypoCorrection.correct`` returns such input unchanged — the EHR
+    reader fills text with '' per S5, so these rows are real).
 
     The reference corrects token-by-token per row with a driver memo
     dict (src/NLP_functions.py:52-79) — the dedupe here is that memo,
     expressed as data.
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
     out_col = out_col or text_col
-    id_col_real = id_col
-    if id_col is None:
-        df = df.withColumn("__rid", F.monotonically_increasing_id())
-        id_col_real = "__rid"
+    key = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    texts = (
+        df.select(key.alias("__tkey"), F.col(text_col).alias("__text")).distinct()
+    )
 
-    toks = df.select(
-        F.col(id_col_real).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("__pos", "__tok"),
+    toks = texts.select(
+        "__tkey",
+        F.posexplode(F.split(F.col("__text"), r"\s+")).alias("__pos", "__tok"),
     ).filter(F.col("__tok") != "")
 
     vocab_list = list(vocab)
@@ -286,19 +302,23 @@ def correct_typos_df(
     # at 100 TB — let AQE pick broadcast vs shuffle join at runtime.
     corrected = (
         toks.join(fixes, "__tok", "left")
-        .groupBy("__id")
+        .groupBy("__tkey")
         .agg(
             F.array_join(
                 F.array_sort(
                     F.collect_list(F.struct(F.col("__pos").alias("p"), F.col("__fix").alias("t")))
                 ).getField("t"),
                 " ",
-            ).alias(out_col)
+            ).alias("__corrected")
         )
     )
-    joined = df.drop(out_col).join(
-        corrected.withColumnRenamed("__id", id_col_real), id_col_real, "left"
+    original = df.withColumn("__tkey", key)
+    joined = (
+        original.join(corrected, "__tkey", "left")
+        .withColumn(
+            out_col,
+            F.coalesce(F.col("__corrected"), F.col(text_col), F.lit("")),
+        )
+        .drop("__tkey", "__corrected")
     )
-    if id_col is None:
-        joined = joined.drop("__rid")
     return joined

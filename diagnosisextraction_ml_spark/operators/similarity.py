@@ -150,25 +150,60 @@ def pairwise_topk_join(
     q_id: str = "vec_id",
     c_vec: str = "embedding",
     c_id: str = "vec_id",
+    n_planes: int = 8,
+    multiprobe_hamming: int = 1,
+    exact: bool = False,
 ) -> DataFrame:
     """k nearest corpus rows for *every* query row (batch ANN).
 
-    Broadcast the smaller (query) side; rank with a per-query window.
+    Default (bucketed) path: both sides get a deterministic
+    random-hyperplane LSH bucket; the query side is *expanded* to its
+    bucket plus all hamming-≤1 neighbor buckets (multiprobe, recall
+    knob), then an equi-join on the bucket prunes the candidate set to
+    ~ (1+n_planes)/2^n_planes of the corpus per query before the exact
+    cosine rerank. No crossJoin anywhere in the plan: the join is a
+    plain shuffle (or broadcast, AQE's choice) hash join, so a 10^6 ×
+    10^9 batch-ANN stays a bounded-fan-out equi-join instead of a
+    cartesian scale-killer. Each corpus row owns exactly one bucket, so
+    multiprobe never duplicates a (query, neighbor) pair.
+
+    ``exact=True`` keeps the old broadcast-cartesian exact rerank for
+    tiny query sets (≤10³) where full recall matters more than cost.
+
     Output: (query_id, neighbor_id, cosine, rank ≤ k).
     """
     from pyspark.sql import Window
 
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
     c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    if exact:
+        scored = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            )
         )
-    )
+    else:
+        probes = [F.lit(0)]
+        if multiprobe_hamming >= 1:
+            probes += [F.lit(2**b) for b in range(n_planes)]
+        qb = q.withColumn("__qb", lsh_bucket_expr(F.col("qv"), n_planes)).withColumn(
+            "__bucket",
+            F.explode(F.array(*[F.col("__qb").bitwiseXOR(p) for p in probes])),
+        )
+        cb = c.withColumn("__bucket", lsh_bucket_expr(F.col("cv"), n_planes))
+        scored = (
+            qb.join(cb, "__bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
