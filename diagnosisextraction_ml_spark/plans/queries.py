@@ -25,17 +25,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from diagnosisextraction_ml_spark.functions.hashing import M31, md5_hash64, md5_hash64_sql
-from diagnosisextraction_ml_spark.functions.stopwords import ENGLISH_STOPWORDS
-from diagnosisextraction_ml_spark.functions.text import (
-    ARTEFACT_MAP,
-    STICKY_CHARS_RE,
-    fix_xml_artefacts,
-    simple_cleaning,
-    word_match_expr,
-)
-from diagnosisextraction_ml_spark.operators import dedup, evaluate, prep, similarity, textstats
-
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
@@ -360,3 +349,8 @@ def stream_hourly_counts(spark, sf_dir):
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
+
+
+# Extended registrations (text/NLP, dedup, similarity, eval, prep) —
+# imported last so the registry above exists; see plans/queries_ext.py.
+from diagnosisextraction_ml_spark.plans import queries_ext  # noqa: E402,F401

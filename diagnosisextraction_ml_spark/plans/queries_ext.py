@@ -1,0 +1,549 @@
+"""Extended query registry — text/NLP, dedup, similarity, eval, prep.
+
+Registered into the same registry as plans.queries (imported from its
+module bottom). Every oracle SQL string here is *generated from the
+same Python constants the Spark expressions use* (ARTEFACT_MAP,
+STICKY_CHARS_RE, stopword lists, KNUTH/M31), so the two sides cannot
+drift.
+
+Cross-engine determinism notes (same doctrine as plans.queries):
+- all "random" values are md5/Knuth hashes of keys;
+- ratio columns are divisions of exact integer counts (IEEE division
+  is exactly rounded → identical bits in both engines);
+- rank-sum AUC terms are multiples of 0.5 below 2^52 → exact
+  addition in any order;
+- every top-k carries a total tie-break order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from diagnosisextraction_ml_spark.functions.hashing import M31, md5_hash64, md5_hash64_sql
+from diagnosisextraction_ml_spark.functions.stopwords import (
+    DUTCH_STOPWORDS,
+    ENGLISH_STOPWORDS,
+)
+from diagnosisextraction_ml_spark.functions.text import (
+    _ACCENT_DST,
+    _ACCENT_SRC,
+    ARTEFACT_MAP,
+    STICKY_CHARS_RE,
+    fix_xml_artefacts,
+    fold_accents,
+    remove_stopwords_expr,
+    simple_cleaning,
+    tokenize_expr,
+    word_match_expr,
+)
+from diagnosisextraction_ml_spark.operators import dedup, evaluate, prep, similarity, textstats
+from diagnosisextraction_ml_spark.plans.queries import _t, register
+
+KNUTH = 2654435761
+
+# A fixed suffix containing artefacts/accents/digits/punctuation so the
+# cleaning queries actually exercise every replacement rule even though
+# the synthetic documents are plain lowercase text.
+_DIRTY_SUFFIX = " ã«ã¶\tCafé-1.2(x)·ãºok"
+
+
+def _sq(s: str) -> str:
+    """SQL single-quoted literal (quote-doubled)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_char(s: str) -> str:
+    """SQL literal for a (possibly control/nbsp) string."""
+    if len(s) == 1 and (ord(s) < 32 or ord(s) == 0xA0):
+        return f"chr({ord(s)})"
+    return _sq(s)
+
+
+def _clean_sql(expr: str) -> str:
+    """DuckDB twin of fix_xml → fold_accents → simple_cleaning."""
+    for src, dst in ARTEFACT_MAP.items():
+        expr = f"replace({expr}, {_sql_char(src)}, {_sql_char(dst)})"
+    expr = f"translate({expr}, {_sq(_ACCENT_SRC)}, {_sq(_ACCENT_DST)})"
+    sticky = STICKY_CHARS_RE.replace("'", "''")
+    return f"lower(regexp_replace({expr}, '{sticky}', ' ', 'g'))"
+
+
+def _toks_sql(expr: str) -> str:
+    r"""DuckDB twin of tokenize_expr: split on \s+, drop empties."""
+    return f"list_filter(string_split_regex(trim({expr}), '\\s+'), x -> x != '')"
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(_sq(w) for w in words) + "]"
+
+
+# ===========================================================================
+# Text / NLP (T1-T3, T6-T8, A3, M14)
+# ===========================================================================
+
+register(
+    "text_clean_pipeline",
+    f"""
+    SELECT doc_id, {_clean_sql(f"concat(text, {_sq(_DIRTY_SUFFIX)})")} AS cleaned
+    FROM documents
+    """,
+)(
+    lambda spark, sf_dir: _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        simple_cleaning(
+            fold_accents(fix_xml_artefacts(F.concat(F.col("text"), F.lit(_DIRTY_SUFFIX))))
+        ).alias("cleaned"),
+    )
+)
+
+
+def _text_token_stats(spark, sf_dir):
+    """T6/T7 — token counts before/after stopword removal."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_expr(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(remove_stopwords_expr(toks, ENGLISH_STOPWORDS)).alias("n_content_tokens"),
+    )
+
+
+register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           len({_toks_sql('lower(text)')}) AS n_tokens,
+           len(list_filter({_toks_sql('lower(text)')},
+               t -> NOT list_contains({_sql_list(ENGLISH_STOPWORDS)}, t))) AS n_content_tokens
+    FROM documents
+    """,
+)(_text_token_stats)
+
+
+_MATCH_TARGETS = ("spark", "query", "join")
+
+register(
+    "text_word_match",
+    f"""
+    SELECT doc_id,
+           CAST(regexp_matches(text, '\\b({"|".join(_MATCH_TARGETS)})\\b') AS INT) AS match
+    FROM documents
+    """,
+)(
+    lambda spark, sf_dir: _t(spark, sf_dir, "documents").select(
+        "doc_id", word_match_expr("text", _MATCH_TARGETS).alias("match")
+    )
+)
+
+
+register(
+    "text_top_words",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_toks_sql('lower(text)')}) AS word FROM documents)
+    SELECT word, count(*) AS n FROM toks
+    WHERE NOT list_contains({_sql_list(ENGLISH_STOPWORDS)}, word)
+    GROUP BY word ORDER BY n DESC, word ASC LIMIT 50
+    """,
+)(
+    lambda spark, sf_dir: textstats.top_k_words(
+        _t(spark, sf_dir, "documents"), "text", k=50, stopwords=ENGLISH_STOPWORDS
+    )
+)
+
+
+_DISPERSION_TERMS = ("table", "row", "query")
+
+register(
+    "text_lexical_dispersion",
+    f"""
+    WITH t AS (SELECT doc_id, {_toks_sql('lower(text)')} AS toks FROM documents),
+    pos AS (SELECT doc_id, unnest(range(0, len(toks))) AS position, unnest(toks) AS term FROM t)
+    SELECT doc_id, position, term FROM pos
+    WHERE list_contains({_sql_list(_DISPERSION_TERMS)}, term)
+    """,
+)(
+    lambda spark, sf_dir: textstats.lexical_dispersion(
+        _t(spark, sf_dir, "documents"), _DISPERSION_TERMS, "text", "doc_id"
+    ).select("doc_id", "position", "term")
+)
+
+
+# ---------------------------------------------------------------------------
+# doc_stats — the full textstats projection (validates md5_hash64_sql)
+# ---------------------------------------------------------------------------
+
+def _doc_stats_sql() -> str:
+    c = "text"
+    toks = _toks_sql(f"lower({c})")
+    sw = _sql_list(ENGLISH_STOPWORDS)
+    n_sw = f"len(list_filter({toks}, t -> list_contains({sw}, t)))"
+    n_toks = f"len({toks})"
+    sw_ratio = f"(CASE WHEN {n_toks} > 0 THEN {n_sw} / {n_toks} ELSE 0.0 END)"
+    nonspace = f"length(regexp_replace({c}, '\\s', '', 'g'))"
+    punct = f"length(regexp_replace({c}, '[a-zA-Z0-9\\s]', '', 'g'))"
+    punct_ratio = f"(CASE WHEN {nonspace} > 0 THEN {punct} / {nonspace} ELSE 0.0 END)"
+    len_score = f"least(length({c}) / 500.0, 1.0)"
+    punct_pen = f"(1.0 - least({punct_ratio} * 2.0, 1.0))"
+    sw_score = f"least({sw_ratio} * 4.0, 1.0)"
+    quality = f"round(({len_score} + {punct_pen} + {sw_score}) / 3.0, 6)"
+    en40 = _sql_list(ENGLISH_STOPWORDS[:40])
+    nl40 = _sql_list(DUTCH_STOPWORDS[:40])
+    n_en = f"len(list_filter({toks}, t -> list_contains({en40}, t)))"
+    n_nl = f"len(list_filter({toks}, t -> list_contains({nl40}, t)))"
+    lang = (
+        f"(CASE WHEN {n_en} > {n_nl} AND {n_en} > 0 THEN 'en' "
+        f"WHEN {n_nl} > {n_en} AND {n_nl} > 0 THEN 'nl' ELSE 'other' END)"
+    )
+    normalized = f"regexp_replace(trim({c}), '\\s+', ' ', 'g')"
+    bpe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    return f"""
+    SELECT doc_id,
+           length({c}) AS n_chars_computed,
+           {n_toks} AS n_tokens_ws,
+           len(regexp_extract_all({c}, '{bpe}')) AS n_tokens_bpe,
+           round({sw_ratio}, 6) AS stopword_ratio_en,
+           round({punct_ratio}, 6) AS punct_ratio,
+           {quality} AS quality,
+           {lang} AS lang_pred,
+           {md5_hash64_sql(normalized)} AS fingerprint
+    FROM documents
+    """
+
+
+register("doc_stats", _doc_stats_sql())(
+    lambda spark, sf_dir: textstats.document_stats(_t(spark, sf_dir, "documents"))
+)
+
+
+# ===========================================================================
+# Dedup (exact / MinHash / SimHash / Jaccard)
+# ===========================================================================
+
+# A deterministic dup-injected corpus: every 10th doc appears twice
+# (copy gets doc_id + 1,000,000) so dedup queries have non-empty output.
+_DUP_UNION_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _dup_union(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return docs.unionByName(dups)
+
+
+register(
+    "dedup_exact_groups",
+    f"""
+    WITH corpus AS ({_DUP_UNION_SQL})
+    SELECT md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fingerprint,
+           count(*) AS n_dups, min(doc_id) AS keep_id
+    FROM corpus GROUP BY 1 HAVING count(*) > 1
+    """,
+)(lambda spark, sf_dir: dedup.exact_duplicates(_dup_union(spark, sf_dir)))
+
+
+_MH_K = 8
+
+register(
+    "dedup_minhash_sigs",
+    f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id, unnest({_toks_sql('lower(text)')}) AS shingle FROM docs)
+      WHERE shingle != ''),
+    hx AS (SELECT doc_id, {md5_hash64_sql('shingle')} % {M31} AS x FROM sh),
+    expanded AS (SELECT doc_id, x, i
+                 FROM hx CROSS JOIN (SELECT unnest(range(0, {_MH_K})) AS i) t)
+    SELECT doc_id, i,
+           min((((i * {KNUTH} + 1) % {M31}) * x % {M31} + (i * 40503 + 7) % {M31}) % {M31}) AS minhash
+    FROM expanded GROUP BY doc_id, i
+    """,
+)(
+    lambda spark, sf_dir: dedup.minhash_signatures(
+        dedup.shingles(
+            _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0),
+            "text",
+            "doc_id",
+            n=1,
+        ),
+        "doc_id",
+        k=_MH_K,
+    )
+)
+
+
+_SH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    toks = _toks_sql("lower(text)")
+    x = md5_hash64_sql("tok")
+    votes = ", ".join(
+        f"sum(CASE WHEN (({x}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)" for b in range(_SH_BITS)
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    tok AS (SELECT doc_id, unnest({toks}) AS tok FROM docs),
+    votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)
+    SELECT doc_id, {sig} AS simhash FROM votes
+    """
+
+
+register("dedup_simhash_sigs", _simhash_sql())(
+    lambda spark, sf_dir: dedup.simhash_signatures(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0),
+        "text",
+        "doc_id",
+        bits=_SH_BITS,
+    )
+)
+
+
+def _jaccard_sql() -> str:
+    toks = _toks_sql("lower(text)")
+    grams = (
+        f"list_distinct([array_to_string(t[i+1:i+3], ' ') "
+        f"for i in range(0, greatest(len(t)-3, 0)+1)])"
+    )
+    return f"""
+    WITH corpus AS ({_DUP_UNION_SQL}),
+    tt AS (SELECT doc_id, {toks} AS t FROM corpus),
+    sh AS (SELECT doc_id, unnest({grams}) AS shingle FROM tt),
+    shf AS (SELECT doc_id, shingle FROM sh WHERE shingle != ''),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.5
+    """
+
+
+register("dedup_jaccard_pairs", _jaccard_sql())(
+    lambda spark, sf_dir: dedup.ngram_jaccard_pairs(
+        _dup_union(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5
+    )
+)
+
+
+# LSH banding: registered rows-only (the band-key string-agg SQL would
+# only restate the Spark plan; correctness of the parts is pinned by
+# dedup_minhash_sigs + tests/test_dedup.py).
+register("dedup_lsh_band_pairs", None)(
+    lambda spark, sf_dir: dedup.minhash_lsh_pairs(
+        _dup_union(spark, sf_dir), "text", "doc_id", shingle_n=3, k=16, bands=4
+    )
+)
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+def _query_vec(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+
+
+_COS_E = (
+    "list_dot_product(ev, qv)"
+    " / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv)))"
+)
+
+register(
+    "sim_bruteforce_topk",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
+    SELECT vec_id, round({_COS_E}, 6) AS cosine
+    FROM e, q
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)(
+    lambda spark, sf_dir: similarity.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10
+    )
+)
+
+# Approximate paths: rows-only (recall/plan-shape is pinned by
+# tests/test_similarity.py against the exact path).
+register("sim_lsh_topk", None)(
+    lambda spark, sf_dir: similarity.lsh_bucketed_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10
+    )
+)
+
+register("sim_pairwise_topk", None)(
+    lambda spark, sf_dir: similarity.pairwise_topk_join(
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20),
+        _t(spark, sf_dir, "embeddings"),
+        k=5,
+    )
+)
+
+
+# ===========================================================================
+# Evaluation (E2/E3/E8/E10 — the curve engine through the oracle)
+# ===========================================================================
+
+# Deterministic scored predictions from the embeddings table: binary
+# label = label % 2; score = hash-noise + 0.3·label (AUC ≈ 0.75).
+_SCORED_SQL = f"""
+      SELECT CAST(({md5_hash64_sql("concat(CAST(vec_id AS VARCHAR), 'curve')")} % 1000) AS DOUBLE) / 1000.0
+             + (label % 2) * 0.3 AS score,
+             label % 2 AS label
+      FROM embeddings
+"""
+
+
+def _scored(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    noise = (
+        md5_hash64(F.concat(F.col("vec_id").cast("string"), F.lit("curve"))) % 1000
+    ).cast("double") / 1000.0
+    return emb.select(
+        (noise + (F.col("label") % 2) * 0.3).alias("score"),
+        (F.col("label") % 2).alias("label"),
+    )
+
+
+register(
+    "eval_curve_by_threshold",
+    f"""
+    WITH base AS ({_SCORED_SQL}),
+    per AS (SELECT score, sum(CAST(label AS DOUBLE)) AS pos,
+                   sum(1 - CAST(label AS DOUBLE)) AS neg
+            FROM base GROUP BY score),
+    cum AS (SELECT score, sum(pos) OVER w AS tp, sum(neg) OVER w AS fp
+            FROM per WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)),
+    tot AS (SELECT sum(pos) AS n_pos, sum(neg) AS n_neg FROM per)
+    SELECT score, tp, fp, tp / n_pos AS tpr, fp / n_neg AS fpr,
+           tp / (tp + fp) AS precision,
+           CASE WHEN (tp / (tp + fp) + tp / n_pos) > 0
+                THEN 2 * (tp / (tp + fp)) * (tp / n_pos) / (tp / (tp + fp) + tp / n_pos)
+                ELSE 0.0 END AS f1
+    FROM cum, tot
+    """,
+)(lambda spark, sf_dir: evaluate.curve_by_threshold(_scored(spark, sf_dir)))
+
+
+register(
+    "eval_auc_rank",
+    f"""
+    WITH base AS ({_SCORED_SQL}),
+    per AS (SELECT score AS s, sum(CAST(label AS DOUBLE)) AS pos, count(*) AS cnt
+            FROM base GROUP BY score),
+    ranked AS (SELECT s, pos, cnt,
+                      sum(cnt) OVER (ORDER BY s ASC ROWS UNBOUNDED PRECEDING) AS cum
+               FROM per),
+    r AS (SELECT s, pos, cnt, cum - (cnt - 1) / 2.0 AS avg_rank FROM ranked),
+    agg AS (SELECT sum(avg_rank * pos) AS r_pos, sum(pos) AS n_pos,
+                   sum(cnt - pos) AS n_neg FROM r)
+    SELECT (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg) AS auc FROM agg
+    """,
+)(lambda spark, sf_dir: evaluate.auc_rank(_scored(spark, sf_dir)))
+
+
+register(
+    "eval_confusion_scores",
+    f"""
+    WITH base AS ({_SCORED_SQL}),
+    preds AS (SELECT label, CAST(score >= 0.5 AS INT) AS pred FROM base),
+    agg AS (SELECT
+      sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
+      sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
+      sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn,
+      sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn
+      FROM preds)
+    SELECT tp, fp, fn, tn,
+           tp / (tp + fn) AS tpr, tn / (tn + fp) AS tnr,
+           tp / (tp + fp) AS ppv, tn / (tn + fn) AS npv,
+           fp / (fp + tn) AS fpr, fn / (fn + tp) AS fnr,
+           fp / (fp + tp) AS fdr,
+           (tp + tn) / (tp + tn + fp + fn) AS acc,
+           2 * tp / (2 * tp + fp + fn) AS f1
+    FROM agg
+    """,
+)(
+    lambda spark, sf_dir: evaluate.confusion_scores(
+        evaluate.threshold_predictions(_scored(spark, sf_dir), "score", 0.5)
+    )
+)
+
+
+# ===========================================================================
+# Prep (V2 hash-balanced sampling, V4 fold assignment)
+# ===========================================================================
+
+register(
+    "prep_fold_assign",
+    f"""
+    SELECT c_custkey,
+           CAST({md5_hash64_sql("concat(CAST(c_custkey AS VARCHAR), '§', '0')")} % 5 AS INT) AS fold_0,
+           CAST({md5_hash64_sql("concat(CAST(c_custkey AS VARCHAR), '§', '1')")} % 5 AS INT) AS fold_1
+    FROM customer
+    """,
+)(
+    lambda spark, sf_dir: prep.assign_folds(
+        _t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey", n_folds=5, rounds=2
+    )
+)
+
+
+register(
+    "prep_downsample_balance",
+    f"""
+    WITH c AS (SELECT label, count(*) AS cnt FROM embeddings GROUP BY label),
+    m AS (SELECT min(cnt) AS n_min FROM c)
+    SELECT e.vec_id, e.label
+    FROM embeddings e JOIN c ON c.label = e.label CROSS JOIN m
+    WHERE {md5_hash64_sql("concat(CAST(e.vec_id AS VARCHAR), '§', '')")} % 1000000
+          < least(1000000, CAST(ceil(CAST(m.n_min AS DOUBLE) / c.cnt * 1000000) AS BIGINT))
+    """,
+)(
+    lambda spark, sf_dir: prep.downsample_to_balance(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "label"), "label", "vec_id"
+    )
+)
+
+
+# ===========================================================================
+# Rows-only text paths (pandas-UDF stages — not SQL-expressible)
+# ===========================================================================
+
+register("text_stemmed", None)(
+    lambda spark, sf_dir: _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        __import__(
+            "diagnosisextraction_ml_spark.functions.stemmer", fromlist=["stem_text_udf"]
+        ).stem_text_udf(F.col("text")).alias("stemmed"),
+    )
+)
+
+_TYPO_VOCAB = [
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+    "hash", "batch", "window", "spark", "order", "data", "column", "join",
+    "small", "line", "customer", "query", "filter", "the",
+]
+
+register("text_typo_corrected", None)(
+    lambda spark, sf_dir: prep.correct_typos_df(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "text", _TYPO_VOCAB
+    ).select("doc_id", "text")
+)
