@@ -67,12 +67,16 @@ def _r1_r2(word: str) -> tuple[int, int]:
                 return i + 2
         return len(word)
 
-    r1 = region_after(0)
+    r1_unadjusted = region_after(0)
+    # R2 is computed from the *unadjusted* R1 — the min-3-letters
+    # adjustment below applies to R1 only (e.g. 'overig': unadjusted
+    # R1='erig' → R2='ig' → step-3b removes 'ig' → 'over'; computing
+    # R2 from the adjusted R1 would wrongly keep the suffix).
+    r2 = region_after(r1_unadjusted)
     # Spec: R1 is adjusted so that the region before it has >= 3 letters.
-    r1 = max(r1, 3) if r1 < len(word) else r1
+    r1 = max(r1_unadjusted, 3) if r1_unadjusted < len(word) else r1_unadjusted
     if r1 > len(word):
         r1 = len(word)
-    r2 = region_after(r1)
     return r1, r2
 
 

@@ -141,6 +141,30 @@ class TextClassificationHarness:
             }
         return out
 
+    # -- E4 — fold curves interpolated onto a common grid ---------------------
+    def roc_grid(self, name: str, n_points: int = 100):
+        """E4 — per-fold ROC curves interpolated to a common FPR grid,
+        with mean±std TPR per grid point.
+
+        Ref: modelROC (src/TextClassification.py:402-429) — each fold's
+        (fpr, tpr) interpolated onto ``linspace(0, 1, 100)``; the plot
+        shows mean ± std. Curves are driver-sized (tie-collapsed), so
+        numpy interp on the driver is the right altitude.
+
+        Returns (grid, mean_tpr, std_tpr) as numpy arrays.
+        """
+        import numpy as np
+
+        grid = np.linspace(0.0, 1.0, n_points)
+        interped = []
+        for res in self.results[name]:
+            pts = sorted((c["fpr"], c["tpr"]) for c in res.curve)
+            fpr = np.array([0.0] + [p[0] for p in pts])
+            tpr = np.array([0.0] + [p[1] for p in pts])
+            interped.append(np.interp(grid, fpr, tpr))
+        stack = np.vstack(interped)
+        return grid, stack.mean(axis=0), stack.std(axis=0)
+
     # -- E5/O3 median-model selection ----------------------------------------
     def median_iteration(self, name: str) -> FoldResult:
         """The fold with median PR-AUC — "the" trained model.

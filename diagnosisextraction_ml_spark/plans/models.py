@@ -91,28 +91,42 @@ class DummyStratified(Estimator, DefaultParamsReadable, DefaultParamsWritable):
     """M8 — sklearn DummyClassifier(strategy='stratified') equivalent.
 
     Fits the train prevalence; predicts positive with that probability
-    via a seeded per-row coin. Baseline only — not oracle-checkable by
-    construction.
+    via a deterministic md5 coin on ``key_col`` (the engine's hashing
+    doctrine — ``F.rand(seed)`` is partition-dependent, so the same
+    row would flip differently on different cluster layouts).
     """
 
-    def __init__(self, label_col: str = "label", seed: int = SEED):
+    def __init__(self, label_col: str = "label", key_col: str = "Text", seed: int = SEED):
         super().__init__()
         self._label_col = label_col
+        self._key_col = key_col
         self._seed = seed
 
     def _fit(self, df: DataFrame) -> "DummyStratifiedModel":
         prevalence = df.agg(F.avg(F.col(self._label_col).cast("double"))).collect()[0][0]
-        return DummyStratifiedModel(prevalence=float(prevalence or 0.0), seed=self._seed)
+        return DummyStratifiedModel(
+            prevalence=float(prevalence or 0.0), key_col=self._key_col, seed=self._seed
+        )
 
 
 class DummyStratifiedModel(Transformer, DefaultParamsReadable, DefaultParamsWritable):
-    def __init__(self, prevalence: float = 0.5, seed: int = SEED):
+    def __init__(self, prevalence: float = 0.5, key_col: str = "Text", seed: int = SEED):
         super().__init__()
         self._prevalence = prevalence
+        self._key_col = key_col
         self._seed = seed
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        coin = (F.rand(self._seed) < F.lit(self._prevalence)).cast("double")
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("§", F.col(self._key_col).cast("string"), F.lit(str(self._seed)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        coin = ((h % 1_000_000) < F.lit(int(self._prevalence * 1_000_000))).cast("double")
         return df.withColumn("p1", coin).withColumn("prediction", coin)
 
 
@@ -170,7 +184,7 @@ def build_model_pipeline(
         )
         return Pipeline(stages=[*tfidf(**_hashed_features(4096)), clf, ExtractScore()])
     if name == "Dummy":
-        return Pipeline(stages=[DummyStratified(label_col=label_col)])
+        return Pipeline(stages=[DummyStratified(label_col=label_col, key_col=text_col)])
     if name == "SGDClassifier":
         clf = LogisticRegression(
             featuresCol="features", labelCol=label_col, elasticNetParam=0.15, regParam=1e-4
