@@ -70,7 +70,8 @@ def quality_score(col: Column | str, stopwords: Sequence[str] = ENGLISH_STOPWORD
     punct_penalty = F.lit(1.0) - F.least(punct_ratio(c) * 2.0, F.lit(1.0))
     sw = stopword_ratio(c, stopwords)
     sw_score = F.least(sw * 4.0, F.lit(1.0))
-    return F.round((len_score + punct_penalty + sw_score) / 3.0, 6)
+    score = F.round((len_score + punct_penalty + sw_score) / 3.0, 6)
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(score)
 
 
 def lang_id_expr(col: Column | str) -> Column:

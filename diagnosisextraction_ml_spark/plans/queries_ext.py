@@ -186,7 +186,10 @@ def _doc_stats_sql() -> str:
     len_score = f"least(length({c}) / 500.0, 1.0)"
     punct_pen = f"(1.0 - least({punct_ratio} * 2.0, 1.0))"
     sw_score = f"least({sw_ratio} * 4.0, 1.0)"
-    quality = f"round(({len_score} + {punct_pen} + {sw_score}) / 3.0, 6)"
+    quality = (
+        f"(CASE WHEN length({c}) = 0 THEN 0.0 "
+        f"ELSE round(({len_score} + {punct_pen} + {sw_score}) / 3.0, 6) END)"
+    )
     en40 = _sql_list(ENGLISH_STOPWORDS[:40])
     nl40 = _sql_list(DUTCH_STOPWORDS[:40])
     n_en = f"len(list_filter({toks}, t -> list_contains({en40}, t)))"

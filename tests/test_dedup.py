@@ -1,0 +1,104 @@
+"""Dedup operator tests — exact, MinHash/LSH, SimHash, Jaccard,
+embedding near-dup."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from diagnosisextraction_ml_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_dup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "the  quick brown fox jumps  over the lazy dog "),  # ws-normalized dup
+            (4, "the quick brown fox leaps over the lazy dog"),  # near dup (1 word)
+            (5, "completely different content about spark engines"),
+            (6, "yet another unrelated document entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 3
+    assert groups[0]["keep_id"] == 1
+    assert len(groups[0]["fingerprint"]) == 32  # full 128-bit md5 hex
+
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
+    assert kept == [1, 4, 5, 6]
+
+
+def test_minhash_identical_docs_share_signature(docs):
+    sigs = minhash_signatures(shingles(docs, "text", "doc_id", n=3), "doc_id", k=16)
+    by_doc = {}
+    for r in sigs.collect():
+        by_doc.setdefault(r["doc_id"], {})[r["i"]] = r["minhash"]
+    assert by_doc[1] == by_doc[2] == by_doc[3]
+    assert by_doc[1] != by_doc[5]
+    assert all(len(v) == 16 for v in by_doc.values())
+
+
+def test_minhash_lsh_pairs_finds_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, k=16, bands=4).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert (5, 6) not in pairs
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # near dup shares most trigrams but not all
+    assert 0.2 <= pairs[(1, 4)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_simhash(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]
+    # near dup differs in fewer bits than an unrelated doc
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sigs[1], sigs[4]) < ham(sigs[1], sigs[5])
+    near = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(docs, max_hamming=10).collect()}
+    assert near[(1, 2)] == 0 and near[(1, 3)] == 0
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (1, 4) not in got
+    # no cartesian product in the default plan
+    plan = embedding_near_dup_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # explicit candidates path verifies only the provided pairs
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got2 = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, candidates=cands, threshold=0.95).collect()}
+    assert got2 == {(1, 2)}

@@ -1,0 +1,139 @@
+"""E1-E10 — curve engine tests against the reference's golden files.
+
+The 16 committed ``output_files/pred*.csv`` (PRED|TRUE, written by
+writePredictionsToFile, src/TextClassification.py:431-444) pin exact
+ROC/PR vectors: an independent numpy implementation inside this test
+recomputes them and the Spark window-cumsum curves must agree, and the
+resulting ROC-AUCs must match BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from diagnosisextraction_ml_spark.operators.evaluate import (
+    auc_rank,
+    auc_trapezoid,
+    classification_report,
+    confusion_counts,
+    confusion_scores,
+    curve_by_threshold,
+    curve_per_rank,
+    optimal_cutoff_youden,
+    search_threshold,
+    threshold_predictions,
+)
+
+# BASELINE.md ROC-AUC targets recomputed from the golden files.
+GOLDEN_ROC = {
+    "predSVM.csv": 0.952,
+    "predNaiveBayes.csv": 0.953,
+    "predGradientBoosting.csv": 0.902,
+    "predWordMatching.csv": 0.828,
+    "predDummy.csv": 0.517,
+}
+
+
+def _numpy_rank_auc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Independent Mann-Whitney AUC with average ranks for ties."""
+    order = np.argsort(scores, kind="mergesort")
+    s, y = scores[order], labels[order]
+    ranks = np.empty(len(s))
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and s[j + 1] == s[i]:
+            j += 1
+        ranks[i : j + 1] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    n_pos = y.sum()
+    n_neg = len(y) - n_pos
+    return float((ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+
+
+@pytest.mark.parametrize("fname,target", sorted(GOLDEN_ROC.items()))
+def test_golden_roc_auc(spark, reference_dir, fname, target):
+    from diagnosisextraction_ml_spark.sources.readers import read_predictions
+
+    df = read_predictions(spark, f"{reference_dir}/output_files/{fname}")
+    got = auc_rank(df, "PRED", "TRUE").collect()[0]["auc"]
+    rows = df.collect()
+    scores = np.array([r["PRED"] for r in rows])
+    labels = np.array([r["TRUE"] for r in rows])
+    assert got == pytest.approx(_numpy_rank_auc(scores, labels), abs=1e-12)
+    assert got == pytest.approx(target, abs=5e-4)
+
+
+def test_golden_curve_vectors(spark, reference_dir):
+    """The tie-collapsed curve equals an independent numpy cumsum."""
+    from diagnosisextraction_ml_spark.sources.readers import read_predictions
+
+    df = read_predictions(spark, f"{reference_dir}/output_files/predSVM.csv")
+    rows = df.collect()
+    scores = np.array([r["PRED"] for r in rows])
+    labels = np.array([r["TRUE"] for r in rows])
+
+    curve = curve_by_threshold(df, "PRED", "TRUE").orderBy("score").collect()
+    uniq = np.unique(scores)
+    for row in curve:
+        mask = scores >= row["score"]
+        assert row["tp"] == labels[mask].sum()
+        assert row["fp"] == (1 - labels[mask]).sum()
+        assert row["tpr"] == pytest.approx(labels[mask].sum() / labels.sum())
+        assert row["precision"] == pytest.approx(labels[mask].mean())
+    assert len(curve) == len(uniq)
+
+    # Trapezoid over the tie-collapsed ROC equals the rank AUC.
+    roc = auc_trapezoid(curve_by_threshold(df, "PRED", "TRUE")).collect()[0]["auc"]
+    rank = auc_rank(df, "PRED", "TRUE").collect()[0]["auc"]
+    assert roc == pytest.approx(rank, abs=1e-12)
+
+
+def test_curve_per_rank_small(spark):
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 0), (0.7, 1), (0.3, 0)], "score double, label int"
+    )
+    rows = curve_per_rank(df).orderBy("rank").collect()
+    assert [r["tp"] for r in rows] == [1, 1, 2, 2]
+    assert [r["fp"] for r in rows] == [0, 1, 1, 2]
+    assert rows[2]["tpr"] == pytest.approx(1.0)
+    assert rows[2]["fpr"] == pytest.approx(0.5)
+    assert rows[2]["precision"] == pytest.approx(2 / 3)
+
+
+def test_confusion_and_report(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 0), (0, 1), (0, 0), (0, 0)], "label int, pred int"
+    )
+    counts = {(r["label"], r["pred"]): r["n"] for r in confusion_counts(df).collect()}
+    assert counts == {(1, 1): 2, (1, 0): 1, (0, 1): 1, (0, 0): 2}
+    s = confusion_scores(df).collect()[0]
+    assert s["tp"] == 2 and s["fp"] == 1 and s["fn"] == 1 and s["tn"] == 2
+    assert s["tpr"] == pytest.approx(2 / 3)
+    assert s["acc"] == pytest.approx(4 / 6)
+    assert s["f1"] == pytest.approx(2 * 2 / (2 * 2 + 1 + 1))
+
+    scored = spark.createDataFrame(
+        [(0.9, 1), (0.6, 1), (0.4, 0), (0.2, 0)], "score double, label int"
+    )
+    rep = classification_report(scored, threshold=0.5).collect()[0]
+    assert rep["tp"] == 2 and rep["tn"] == 2
+    assert rep["auc"] == pytest.approx(1.0)
+
+
+def test_threshold_search_and_youden(spark):
+    scored = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.6, 0), (0.5, 1), (0.3, 0), (0.1, 0)],
+        "score double, label int",
+    )
+    curve = curve_by_threshold(scored)
+    hit = search_threshold(curve, "tpr", 0.9, maximize="precision").collect()[0]
+    assert hit["tpr"] >= 0.9
+    yod = optimal_cutoff_youden(curve).collect()[0]
+    assert 0.0 < yod["score"] <= 0.9
+
+    preds = threshold_predictions(scored, "score", 0.55)
+    assert [r["pred"] for r in preds.orderBy(preds.score.desc()).collect()] == [
+        1, 1, 1, 0, 0, 0,
+    ]

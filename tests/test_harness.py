@@ -1,0 +1,71 @@
+"""O1-O4 / E4-E6 / E11 — CV harness tests, including the EP2
+end-to-end reproduction of BASELINE.md metrics on the reference's own
+dummy corpus (marked slow)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from diagnosisextraction_ml_spark.functions.stats import t_sf, ttest_5x2cv
+from diagnosisextraction_ml_spark.plans.harness import CVConfig, TextClassificationHarness
+
+
+def test_t_sf_against_known_values():
+    # Student-t survival values (two-sided tables, df=5):
+    # P(T > 2.015) ≈ 0.05, P(T > 0) = 0.5
+    assert t_sf(0.0, 5) == pytest.approx(0.5, abs=1e-12)
+    assert t_sf(2.015, 5) == pytest.approx(0.05, abs=2e-3)
+    assert t_sf(12.7062, 1) == pytest.approx(0.025, abs=1e-4)
+
+
+def test_ttest_5x2cv_identical_is_insignificant():
+    a = [0.9, 0.91, 0.89, 0.9, 0.92, 0.88, 0.9, 0.91, 0.9, 0.89]
+    t, p = ttest_5x2cv(a, a)
+    assert t == 0.0 and p == pytest.approx(1.0)
+    b = [x - 0.2 for x in a]
+    t2, p2 = ttest_5x2cv(a, b)
+    assert p2 < 0.05
+
+
+@pytest.fixture(scope="module")
+def patient_df(spark):
+    from diagnosisextraction_ml_spark.operators.prep import binarize_label
+    from diagnosisextraction_ml_spark.sources.readers import read_patient_cache
+
+    df = read_patient_cache(spark, "/root/reference/sample_data/autocorrect_dummydata.csv")
+    return binarize_label(df, "Outcome", "label").persist()
+
+
+def test_harness_wordmatching_fast(patient_df):
+    cfg = CVConfig(rounds=1, folds=2)
+    h = TextClassificationHarness(patient_df, ["WordMatching"], cfg)
+    results = h.fit_models()
+    assert len(results["WordMatching"]) == 2
+    for res in results["WordMatching"]:
+        assert 0.6 < res.roc_auc < 1.0  # baseline WM ROC-AUC ≈ 0.83
+    grid, mean_tpr, std_tpr = h.roc_grid("WordMatching", n_points=50)
+    assert len(grid) == 50 and mean_tpr[-1] == pytest.approx(1.0)
+    assert (std_tpr >= 0).all()
+    med = h.median_iteration("WordMatching")
+    assert med.model == "WordMatching"
+
+
+@pytest.mark.slow
+def test_ep2_baseline_parity(patient_df):
+    """EP2 — NaiveBayes + SVM + WordMatching 5x2cv on the reference
+    corpus; mean ROC-AUC within tolerance of BASELINE.md (SVM 0.952,
+    NB 0.953, WM 0.828 — exact parity impossible: different TF-IDF
+    formula/optimizers, SURVEY §7)."""
+    cfg = CVConfig(rounds=5, folds=2)
+    h = TextClassificationHarness(patient_df, ["WordMatching", "NaiveBayes", "SVM"], cfg)
+    h.fit_models()
+    s = h.summary()
+    assert s["NaiveBayes"]["roc_auc_mean"] == pytest.approx(0.953, abs=0.05)
+    assert s["SVM"]["roc_auc_mean"] == pytest.approx(0.952, abs=0.05)
+    assert s["WordMatching"]["roc_auc_mean"] == pytest.approx(0.828, abs=0.06)
+    # 5x2cv: learned models should beat the rule baseline significantly
+    t, p = h.compare_5x2cv("NaiveBayes", "WordMatching")
+    assert not math.isnan(t)

@@ -1,0 +1,92 @@
+"""P2/P3, A1, V1-V7 — prep operator tests (determinism under
+repartitioning is the load-bearing property at scale)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from diagnosisextraction_ml_spark.operators.prep import (
+    assign_folds,
+    binarize_label,
+    class_partition,
+    downsample_to_balance,
+    intersect_rows,
+    merge_on_column,
+    recode_label,
+    split_train_test,
+    subset_first_n,
+    union_all,
+)
+
+
+def test_recode_and_binarize(spark):
+    df = spark.createDataFrame([(1.0, True), (2.0, False)], "PATNR double, annotation boolean")
+    out = binarize_label(recode_label(df)).collect()
+    got = {r["PATNR"]: (r["Outcome"], r["label"]) for r in out}
+    assert got == {1.0: ("y", 1), 2.0: ("n", 0)}
+
+
+def test_merge_on_column(spark):
+    df = spark.createDataFrame(
+        [(1.0, True, "a"), (1.0, True, "b"), (2.0, False, "c")],
+        "PATNR double, annotation boolean, text string",
+    )
+    rows = {r["PATNR"]: r for r in merge_on_column(df).collect()}
+    assert rows[1.0]["Text"] == "a b"
+    assert rows[2.0]["Text"] == "c"
+    assert rows[1.0]["Outcome"] is True
+
+
+def test_merge_deterministic_under_repartition(spark):
+    rows = [(float(i % 10), i % 2 == 0, f"t{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "PATNR double, annotation boolean, text string")
+    a = sorted(map(tuple, merge_on_column(df).collect()))
+    b = sorted(map(tuple, merge_on_column(df.repartition(13)).collect()))
+    assert a == b
+
+
+def test_assign_folds_properties(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    out = assign_folds(df, "k", n_folds=5, rounds=2)
+    rows = out.collect()
+    # folds in range, both rounds present, deterministic under repartition
+    assert all(0 <= r["fold_0"] < 5 and 0 <= r["fold_1"] < 5 for r in rows)
+    again = sorted(map(tuple, assign_folds(df.repartition(7), "k", 5, 2).collect()))
+    assert sorted(map(tuple, rows)) == again
+    # roughly balanced
+    counts = out.groupBy("fold_0").count().collect()
+    assert all(140 < r["count"] < 260 for r in counts)
+
+
+def test_split_train_test_partition(spark):
+    df = spark.range(500).withColumnRenamed("id", "k")
+    train, test = split_train_test(df, "k", test_frac=0.4)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 500
+    assert train.intersect(test).count() == 0
+    assert 130 < n_test < 270
+
+
+def test_downsample_to_balance(spark):
+    df = spark.range(1100).withColumn("label", (F.col("id") < 100).cast("int"))
+    out = downsample_to_balance(df, "label", "id")
+    counts = {r["label"]: r["count"] for r in out.groupBy("label").count().collect()}
+    assert counts[1] == 100  # minority kept whole
+    assert 70 <= counts[0] <= 130  # majority ~n_min (hash threshold is approximate)
+    # deterministic at any parallelism
+    again = downsample_to_balance(df.repartition(11), "label", "id")
+    assert sorted(r["id"] for r in out.collect()) == sorted(r["id"] for r in again.collect())
+
+
+def test_subset_union_intersect(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    sub = subset_first_n(df, "k", 10)
+    assert sub.count() == 10
+    assert sorted(map(tuple, subset_first_n(df.repartition(5), "k", 10).collect())) == sorted(
+        map(tuple, sub.collect())
+    )
+    a = spark.createDataFrame([(1,), (2,)], "x int")
+    b = spark.createDataFrame([(2,), (3,)], "x int")
+    assert union_all([a, b]).count() == 4
+    assert [r["x"] for r in intersect_rows(a, b).collect()] == [2]
+    assert class_partition(a, "x", 1).count() == 1

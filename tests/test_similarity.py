@@ -1,0 +1,67 @@
+"""Similarity-search tests — exact top-k correctness, ANN recall vs the
+exact path, and no-cartesian plan shape."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from diagnosisextraction_ml_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+    pairwise_topk_join,
+)
+
+
+def test_brute_force_topk_tiny(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [r["vec_id"] for r in brute_force_topk(df, [1.0, 0.0], k=3).collect()]
+    assert got == [1, 2, 3]
+
+
+def test_lsh_topk_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_bucketed_topk(emb, q, k=10).collect()]
+    # multiprobe hamming-1 over 8 planes: expect to recover most of the
+    # true top-10 (including the query itself at rank 1)
+    assert approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 5
+
+
+def test_pairwise_topk_no_cartesian_and_sane(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = pairwise_topk_join(queries, emb, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, nbrs in by_q.items():
+        assert len(nbrs) <= 3
+        assert all(n["neighbor_id"] != qid for n in nbrs)
+        ranks = sorted(n["rank"] for n in nbrs)
+        assert ranks == list(range(1, len(nbrs) + 1))
+
+
+def test_pairwise_topk_exact_mode_matches_bruteforce(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows += [(10 + i, [0.5, 0.5, float(i), 0.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    got = {
+        (r["neighbor_id"], r["rank"])
+        for r in pairwise_topk_join(q, df, k=2, exact=True).collect()
+    }
+    exact = brute_force_topk(df.filter(F.col("vec_id") != 0), [1.0, 0.0, 0.0, 0.0], k=2)
+    want = {(r["vec_id"], i + 1) for i, r in enumerate(exact.collect())}
+    assert got == want

@@ -1,0 +1,54 @@
+"""Text-analysis operator tests (token counts, quality, lang-id,
+fingerprints, top-k words, dispersion)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from diagnosisextraction_ml_spark.operators.textstats import (
+    document_stats,
+    lexical_dispersion,
+    top_k_words,
+)
+
+
+def test_document_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog"),
+            (2, "de kat en de hond zijn in het huis"),
+            (3, ""),
+            (4, "!!! ??? ###"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in document_stats(df).collect()}
+    assert stats[1]["n_tokens_ws"] == 8
+    assert stats[1]["lang_pred"] == "en"
+    assert stats[2]["lang_pred"] == "nl"
+    assert stats[3]["n_tokens_ws"] == 0
+    assert stats[3]["quality"] == 0.0
+    assert stats[4]["punct_ratio"] == 1.0
+    assert stats[1]["stopword_ratio_en"] == 0.375  # the, and, the
+    assert 0.0 <= stats[1]["quality"] <= 1.0
+    # fingerprint is whitespace-insensitive
+    df2 = spark.createDataFrame(
+        [(1, "a  b"), (2, " a b ")], "doc_id long, text string"
+    )
+    fps = [r["fingerprint"] for r in document_stats(df2).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_top_k_words(spark):
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana apple the the")],
+        "doc_id long, text string",
+    )
+    rows = top_k_words(df, k=2, stopwords=("the",)).collect()
+    assert [(r["word"], r["n"]) for r in rows] == [("apple", 3), ("banana", 2)]
+
+
+def test_lexical_dispersion(spark):
+    df = spark.createDataFrame([(1, "a b a c")], "doc_id long, text string")
+    rows = lexical_dispersion(df, ["a"], "text", "doc_id").collect()
+    assert sorted(r["position"] for r in rows) == [0, 2]
