@@ -36,9 +36,17 @@ HEADLINE = [
     "text_top_words",
     "doc_stats",
     "dedup_exact_groups",
-    "dedup_minhash_bands",
+    "dedup_minhash_sigs",
+    "dedup_lsh_band_pairs",
     "sim_bruteforce_topk",
 ]
+
+# Every headline name must exist in the registry — a typo here would
+# silently shrink the bench.
+def _check_headline(available):
+    missing = [n for n in HEADLINE if n not in available]
+    if missing:
+        raise SystemExit(f"bench: unknown headline queries {missing}")
 
 
 def main() -> int:
@@ -53,6 +61,7 @@ def main() -> int:
 
     spark = get_spark("bench")
     qs = queries()
+    _check_headline(qs)
 
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not first-touch JIT/IO (clusters are warm in steady state).
