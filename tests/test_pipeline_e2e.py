@@ -1,0 +1,75 @@
+"""EP1/EP3 end-to-end pipelines + S4 model persistence.
+
+EP1 (preprocess) is pinned exactly by test_stemmer.test_golden_cache_parity;
+here: EP3 — train on the preprocessed corpus, preprocess + score the
+independent gold set, classification report at the reference's 0.68
+cut-off (notebook cells 76-86)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from diagnosisextraction_ml_spark.functions.stemmer import stem_text_udf
+from diagnosisextraction_ml_spark.functions.text import fix_xml_artefacts, simple_cleaning
+from diagnosisextraction_ml_spark.operators.evaluate import auc_rank, classification_report
+from diagnosisextraction_ml_spark.operators.prep import binarize_label, merge_on_column
+from diagnosisextraction_ml_spark.plans.models import build_model_pipeline
+from diagnosisextraction_ml_spark.sources.readers import (
+    read_ehr_entries,
+    read_patient_cache,
+)
+
+
+def _preprocess(spark, path):
+    """EP1 — read ';' EHR entries → merge → clean → stem → label."""
+    ehr = read_ehr_entries(spark, path)
+    merged = merge_on_column(ehr)
+    cleaned = merged.withColumn(
+        "Text", stem_text_udf(simple_cleaning(fix_xml_artefacts(F.col("Text"))))
+    )
+    return cleaned.withColumn("label", F.col("Outcome").cast("int"))
+
+
+@pytest.mark.slow
+def test_ep3_gold_set_scoring(spark, reference_dir):
+    train = binarize_label(
+        read_patient_cache(spark, f"{reference_dir}/sample_data/autocorrect_dummydata.csv"),
+        "Outcome",
+        "label",
+    )
+    model = build_model_pipeline("SVM").fit(train)
+
+    gold = _preprocess(spark, f"{reference_dir}/sample_data/dummydata_gold.csv")
+    scored = model.transform(gold).select(
+        F.col("p1").alias("score"), F.col("label").alias("label")
+    )
+    auc = auc_rank(scored).collect()[0]["auc"]
+    assert auc > 0.9  # gold set drawn from the same dummy distribution
+
+    rep = classification_report(scored, threshold=0.68).collect()[0]
+    assert rep["tp"] + rep["fp"] + rep["fn"] + rep["tn"] == gold.count()
+    assert rep["acc"] > 0.8
+
+
+def test_model_save_load_round_trip(spark, reference_dir, tmp_path):
+    """S4 — PipelineModel.save/load preserves transform output."""
+    train = binarize_label(
+        read_patient_cache(spark, f"{reference_dir}/sample_data/autocorrect_dummydata.csv"),
+        "Outcome",
+        "label",
+    ).limit(200)
+    model = build_model_pipeline("NaiveBayes").fit(train)
+    path = str(tmp_path / "nb_model")
+    model.write().overwrite().save(path)
+
+    from pyspark.ml import PipelineModel
+
+    loaded = PipelineModel.load(path)
+    a = sorted(
+        (r["PATNR"], round(r["p1"], 9)) for r in model.transform(train).select("PATNR", "p1").collect()
+    )
+    b = sorted(
+        (r["PATNR"], round(r["p1"], 9)) for r in loaded.transform(train).select("PATNR", "p1").collect()
+    )
+    assert a == b
