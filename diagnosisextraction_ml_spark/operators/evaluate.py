@@ -257,6 +257,46 @@ def optimal_cutoff_youden(curve: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# E14 — swarm/scatter plot data
+# --------------------------------------------------------------------------
+
+def swarm_points(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    max_points: int = 2000,
+    salt: str = "swarm",
+) -> DataFrame:
+    """E14 — the (label, score) points behind plotSwarm/plotScatter.
+
+    Ref: plotSwarm (src/TextClassification.py:986-1019), plotScatter
+    (:484-513) — seaborn scatter of predicted probabilities per class.
+    Plotting itself is out of engine scope; this op produces the
+    plot's data, hash-downsampled to a driver-safe point budget
+    (deterministic md5 threshold per row — same points at any
+    parallelism, no window, no sort).
+    """
+    n = df.count()
+    if n <= max_points:
+        return df.select(F.col(label_col).alias("label"), F.col(score_col).alias("score"))
+    buckets = 1_000_000
+    cut = int(max_points / n * buckets)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("§", F.col(score_col).cast("string"), F.lit(salt))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    return df.filter(h < cut).select(
+        F.col(label_col).alias("label"), F.col(score_col).alias("score")
+    )
+
+
+# --------------------------------------------------------------------------
 # E10 — classification report (composition)
 # --------------------------------------------------------------------------
 

@@ -182,3 +182,81 @@ class TextClassificationHarness:
             raise ValueError("5x2cv test needs rounds=5, folds=2")
         order = lambda rs: [x.roc_auc for x in sorted(rs, key=lambda x: (x.round, x.fold))]
         return ttest_5x2cv(order(self.results[model_a]), order(self.results[model_b]))
+
+
+# ---------------------------------------------------------------------------
+# E12/V3 — low-prevalence robustness sweep
+# ---------------------------------------------------------------------------
+
+def prevalence_sweep(
+    df: DataFrame,
+    model_name: str,
+    prevalences: list[float],
+    config: CVConfig | None = None,
+    seed: int = SEED,
+) -> list[dict]:
+    """E12 — ROC-AUC as the test prevalence drops.
+
+    Ref: classifyOnLowerPrevalence (src/NLP_functions.py:260-308) —
+    train once on a balanced split, then re-evaluate on test sets
+    resampled to each target prevalence. Returns driver-side rows
+    [{prevalence, roc_auc, n_test}]. Resampling uses seeded Spark
+    sampling (robustness sweep, not an oracle path).
+    """
+    from diagnosisextraction_ml_spark.operators.prep import (
+        resample_to_prevalence,
+        split_train_test,
+    )
+
+    cfg = config or CVConfig()
+    train, test = split_train_test(df, cfg.key_col, test_frac=0.5, salt=str(seed))
+    model = build_model_pipeline(model_name, text_col=cfg.text_col, label_col=cfg.label_col).fit(train)
+    out = []
+    for p in prevalences:
+        resampled = resample_to_prevalence(test, cfg.label_col, p, seed=seed)
+        scored = model.transform(resampled).select(
+            F.col("p1").alias("score"), F.col(cfg.label_col).alias("label")
+        )
+        n_test = scored.count()
+        roc = auc_rank(scored, "score", "label").collect()[0]["auc"]
+        out.append({"prevalence": p, "roc_auc": float(roc or 0.0), "n_test": n_test})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# V5 — learning-curve sweep over training-set sizes
+# ---------------------------------------------------------------------------
+
+def sample_size_sweep(
+    df: DataFrame,
+    model_name: str,
+    sizes: list[int],
+    config: CVConfig | None = None,
+    seed: int = SEED,
+) -> list[dict]:
+    """V5/E13 — ROC-AUC vs training-set size (learning curve).
+
+    Ref: sampleSizeROC/PR (src/NLP_functions.py:752-836),
+    samplingCurveROC/PR (src/TextClassification.py:1021-1237). Each
+    size takes a deterministic hash-ordered first-n subset of the
+    train half and evaluates on the fixed test half.
+    """
+    from diagnosisextraction_ml_spark.operators.prep import (
+        split_train_test,
+        subset_first_n,
+    )
+
+    cfg = config or CVConfig()
+    train, test = split_train_test(df, cfg.key_col, test_frac=0.5, salt=str(seed))
+    out = []
+    for n in sizes:
+        sub = subset_first_n(train, cfg.key_col, n)
+        model = build_model_pipeline(
+            model_name, text_col=cfg.text_col, label_col=cfg.label_col
+        ).fit(sub)
+        scored = model.transform(test).select(
+            F.col("p1").alias("score"), F.col(cfg.label_col).alias("label")
+        )
+        roc = auc_rank(scored, "score", "label").collect()[0]["auc"]
+        out.append({"n_train": n, "roc_auc": float(roc or 0.0)})
+    return out

@@ -137,3 +137,18 @@ def test_threshold_search_and_youden(spark):
     assert [r["pred"] for r in preds.orderBy(preds.score.desc()).collect()] == [
         1, 1, 1, 0, 0, 0,
     ]
+
+
+def test_swarm_points(spark):
+    from diagnosisextraction_ml_spark.operators.evaluate import swarm_points
+
+    df = spark.createDataFrame(
+        [(i / 1000.0, i % 2) for i in range(1000)], "score double, label int"
+    )
+    small = swarm_points(df, max_points=5000)
+    assert small.count() == 1000  # under budget: passthrough
+    sampled = swarm_points(df, max_points=100)
+    n = sampled.count()
+    assert 40 < n < 200  # hash-threshold ~budget
+    again = swarm_points(df.repartition(7), max_points=100)
+    assert sorted(map(tuple, sampled.collect())) == sorted(map(tuple, again.collect()))

@@ -69,3 +69,21 @@ def test_ep2_baseline_parity(patient_df):
     # 5x2cv: learned models should beat the rule baseline significantly
     t, p = h.compare_5x2cv("NaiveBayes", "WordMatching")
     assert not math.isnan(t)
+
+
+def test_prevalence_sweep_wordmatching(patient_df):
+    from diagnosisextraction_ml_spark.plans.harness import prevalence_sweep
+
+    rows = prevalence_sweep(patient_df, "WordMatching", [0.5, 0.2])
+    assert [r["prevalence"] for r in rows] == [0.5, 0.2]
+    for r in rows:
+        assert 0.5 < r["roc_auc"] <= 1.0
+        assert r["n_test"] > 0
+
+
+def test_sample_size_sweep_wordmatching(patient_df):
+    from diagnosisextraction_ml_spark.plans.harness import sample_size_sweep
+
+    rows = sample_size_sweep(patient_df, "WordMatching", [50, 200])
+    assert [r["n_train"] for r in rows] == [50, 200]
+    assert all(0.5 < r["roc_auc"] <= 1.0 for r in rows)
