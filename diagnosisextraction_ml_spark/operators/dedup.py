@@ -171,6 +171,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
@@ -178,10 +179,21 @@ def ngram_jaccard_pairs(
     shingle (so only docs that share something ever meet), count the
     intersection, derive the union from per-doc sizes. At scale this is
     the verify stage after :func:`minhash_lsh_pairs` prunes candidates;
-    on its own it is quadratic only within shingle-share groups.
+    on its own it is quadratic only within shingle-share groups —
+    ``max_doc_freq`` prunes shingles shared by more than that many
+    docs from the *join* (boilerplate n-grams generate O(df²) pairs
+    and carry no discriminative signal; per-doc sizes still count
+    them, so Jaccard becomes a slight underestimate for affected
+    pairs — the standard inverted-index guard).
     """
     sh = shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    if max_doc_freq is not None:
+        from pyspark.sql import Window
+
+        sh = sh.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("__df") <= max_doc_freq).drop("__df")
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -241,6 +253,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     bits: int = 48,
     max_hamming: int = 3,
+    max_block: int = 10000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
@@ -248,10 +261,18 @@ def simhash_near_pairs(
     agree there) to avoid the full cross join, then verifies with
     bit_count(xor). For guaranteed recall use multi-probe blocking on
     rotated signatures; this single-block variant is the cheap pass.
+    ``max_block`` caps a pathological block (e.g. the all-zero
+    signature of empty/boilerplate docs) before the self-join, the
+    same guard as ``minhash_lsh_pairs``'s ``max_bucket``.
     """
+    from pyspark.sql import Window
+
     sigs = simhash_signatures(df, text_col, id_col, bits)
     block = F.shiftright(F.col("simhash"), bits // 2)
     blocked = sigs.withColumn("block", block)
+    blocked = blocked.withColumn(
+        "__bn", F.count("*").over(Window.partitionBy("block"))
+    ).filter(F.col("__bn") <= max_block).drop("__bn")
     a = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "block")
     b = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "block")
     return (

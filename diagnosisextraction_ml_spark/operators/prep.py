@@ -87,6 +87,48 @@ def merge_on_column(
     )
 
 
+def merge_on_column_salted(
+    df: DataFrame,
+    key: str = "PATNR",
+    text_col: str = "text",
+    label_col: str = "annotation",
+    order_col: str | None = None,
+    out_text: str = "Text",
+    out_label: str = "Outcome",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """A1 with two-phase salted aggregation for hot keys.
+
+    Same result as :func:`merge_on_column`; use when one key owns an
+    outsized share of rows (a patient with millions of entries at
+    100 TB). Phase 1 groups by (key, salt) — the hot key's list
+    building spreads over ``salt_buckets`` reducers; phase 2 merges
+    the ≤``salt_buckets`` pre-sorted partial arrays per key (flatten +
+    sort of far fewer, larger items). The salt is a deterministic hash
+    of the order value, so output is identical at any parallelism.
+    """
+    order = F.col(order_col) if order_col else F.col(text_col)
+    salt = F.conv(F.substring(F.md5(order.cast("string")), 1, 8), 16, 10).cast("long") % salt_buckets
+    pairs = F.struct(order.alias("o"), F.col(text_col).alias("t"))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(
+            F.array_sort(F.collect_list(pairs)).alias("__partial"),
+            F.min(label_col).alias("__lbl"),
+        )
+    )
+    return (
+        partial.groupBy(key)
+        .agg(
+            F.array_join(
+                F.array_sort(F.flatten(F.collect_list("__partial"))).getField("t"), " "
+            ).alias(out_text),
+            F.min("__lbl").alias(out_label),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # V1-V7 — shuffle / balance / resample / split / subset / set ops
 # --------------------------------------------------------------------------

