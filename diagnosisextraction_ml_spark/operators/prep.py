@@ -43,6 +43,20 @@ def class_partition(df: DataFrame, label_col: str, value) -> DataFrame:
     return df.filter(F.col(label_col) == F.lit(value))
 
 
+def class_prevalence(df: DataFrame, label_col: str) -> DataFrame:
+    """A5 — per-class counts and fractions in one aggregation.
+
+    Ref: src/TextClassification.py:1384-1390 (len(df_class)/total on
+    the driver). The total comes from a window over the tiny grouped
+    result — no second scan, no driver arithmetic.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(label_col).agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.withColumn("fraction", F.col("n") / total)
+
+
 # --------------------------------------------------------------------------
 # A1 — per-patient group-concat (the reference's only "join")
 # --------------------------------------------------------------------------

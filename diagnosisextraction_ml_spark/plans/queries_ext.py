@@ -463,6 +463,51 @@ register(
 )(lambda spark, sf_dir: evaluate.auc_rank(_scored(spark, sf_dir)))
 
 
+# Shared SQL body for the tie-collapsed curve (E2) used by E9 queries.
+_CURVE_SQL = f"""
+    WITH base AS ({_SCORED_SQL}),
+    per AS (SELECT score, sum(CAST(label AS DOUBLE)) AS pos,
+                   sum(1 - CAST(label AS DOUBLE)) AS neg
+            FROM base GROUP BY score),
+    cum AS (SELECT score, sum(pos) OVER w AS tp, sum(neg) OVER w AS fp
+            FROM per WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)),
+    tot AS (SELECT sum(pos) AS n_pos, sum(neg) AS n_neg FROM per),
+    curve AS (
+      SELECT score, tp, fp, tp / n_pos AS tpr, fp / n_neg AS fpr,
+             tp / (tp + fp) AS precision,
+             CASE WHEN (tp / (tp + fp) + tp / n_pos) > 0
+                  THEN 2 * (tp / (tp + fp)) * (tp / n_pos) / (tp / (tp + fp) + tp / n_pos)
+                  ELSE 0.0 END AS f1
+      FROM cum, tot)
+"""
+
+register(
+    "eval_threshold_search",
+    _CURVE_SQL
+    + """
+    SELECT * FROM curve WHERE tpr >= 0.9
+    ORDER BY precision DESC, score DESC LIMIT 1
+    """,
+)(
+    lambda spark, sf_dir: evaluate.search_threshold(
+        evaluate.curve_by_threshold(_scored(spark, sf_dir)), "tpr", 0.9, maximize="precision"
+    )
+)
+
+register(
+    "eval_youden_cutoff",
+    _CURVE_SQL
+    + """
+    SELECT * FROM curve
+    ORDER BY abs(tpr - (1 - fpr)) ASC, score DESC LIMIT 1
+    """,
+)(
+    lambda spark, sf_dir: evaluate.optimal_cutoff_youden(
+        evaluate.curve_by_threshold(_scored(spark, sf_dir))
+    )
+)
+
+
 register(
     "eval_confusion_scores",
     f"""
@@ -505,6 +550,20 @@ register(
 )(
     lambda spark, sf_dir: prep.assign_folds(
         _t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey", n_folds=5, rounds=2
+    )
+)
+
+
+register(
+    "prep_class_prevalence",
+    """
+    SELECT label, count(*) AS n,
+           count(*) / (SELECT count(*) FROM embeddings) AS fraction
+    FROM embeddings GROUP BY label
+    """,
+)(
+    lambda spark, sf_dir: prep.class_prevalence(
+        _t(spark, sf_dir, "embeddings"), "label"
     )
 )
 
