@@ -129,8 +129,7 @@ def lsh_bucketed_topk(
     """
     q = query_vector_lit(query)
     bucketed = df.withColumn("__bucket", lsh_bucket_expr(F.col(vec_col), n_planes))
-    qdf = df.sparkSession.range(1).select(lsh_bucket_expr(q, n_planes).alias("qb"))
-    qbucket = qdf.collect()[0]["qb"]
+    qbucket = _bucket_of(query, n_planes)
     probes = {qbucket}
     if multiprobe_hamming >= 1:
         probes |= {qbucket ^ (1 << b) for b in range(n_planes)}
@@ -140,6 +139,77 @@ def lsh_bucketed_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def write_bucketed_corpus(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an embedding corpus partitioned by its LSH bucket.
+
+    The IVF pattern as pure Spark storage layout: the bucket is a
+    deterministic expression of the vector, written as a parquet
+    *partition column* — a later probe filters on ``bucket`` and the
+    scan physically prunes to the probed directories (see
+    :func:`bucketed_topk_pruned`). At 1B vectors a hamming-1 multiprobe
+    touches (1+n_planes)/2^n_planes of the files instead of all of
+    them, with zero index structures to maintain.
+    """
+    (
+        df.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), n_planes))
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def bucketed_topk_pruned(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k over a :func:`write_bucketed_corpus` layout.
+
+    The ``bucket IN (probes)`` filter is a partition-pruning predicate:
+    only the probed bucket directories are read (verify with
+    ``.explain`` — the scan shows the pruned partition count).
+    """
+    probes = {_bucket_of(query, n_planes)}
+    if multiprobe_hamming >= 1:
+        probes |= {next(iter(probes)) ^ (1 << b) for b in range(n_planes)}
+    q = query_vector_lit(query)
+    corpus = spark.read.parquet(path)
+    return (
+        corpus.filter(F.col("bucket").isin(sorted(probes)))
+        .select(F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _bucket_of(query: Sequence[float], n_planes: int) -> int:
+    """Driver-side twin of :func:`lsh_bucket_expr` for a literal vector.
+
+    Same Knuth-hash hyperplanes, plain Python arithmetic — no Spark job
+    needed to find the probe buckets.
+    """
+    bucket = 0
+    for p in range(n_planes):
+        dot = 0.0
+        for j, x in enumerate(query):
+            w = ((p * KNUTH + j * 40503 + 12345) % M31) - M31 / 2.0
+            dot += float(x) * w
+        if dot > 0:
+            bucket |= 1 << p
+    return bucket
 
 
 def pairwise_topk_join(

@@ -65,3 +65,37 @@ def test_pairwise_topk_exact_mode_matches_bruteforce(spark):
     exact = brute_force_topk(df.filter(F.col("vec_id") != 0), [1.0, 0.0, 0.0, 0.0], k=2)
     want = {(r["vec_id"], i + 1) for i, r in enumerate(exact.collect())}
     assert got == want
+
+
+def test_bucketed_corpus_partition_pruning(spark, sf_dir, tmp_path):
+    from diagnosisextraction_ml_spark.operators.similarity import (
+        _bucket_of,
+        bucketed_topk_pruned,
+        lsh_bucket_expr,
+        write_bucketed_corpus,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "bucketed")
+    write_bucketed_corpus(emb, path, n_planes=4)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+
+    # driver-side bucket equals the Spark expression's bucket
+    spark_bucket = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(lsh_bucket_expr(F.col("embedding"), 4).alias("b"))
+        .collect()[0]["b"]
+    )
+    assert _bucket_of(q, 4) == spark_bucket
+
+    out = bucketed_topk_pruned(spark, path, q, k=5, n_planes=4)
+    rows = out.collect()
+    assert rows[0]["vec_id"] == 0  # the query itself
+    # partition pruning visible in the scan: 5 probes of 16 buckets
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # agrees with the in-memory LSH path on the same probes
+    from diagnosisextraction_ml_spark.operators.similarity import lsh_bucketed_topk
+
+    mem = [r["vec_id"] for r in lsh_bucketed_topk(emb, q, k=5, n_planes=4).collect()]
+    assert [r["vec_id"] for r in rows] == mem
