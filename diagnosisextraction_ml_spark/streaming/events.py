@@ -57,3 +57,47 @@ def streaming_quality_filter(docs: DataFrame, min_quality: float = 0.3) -> DataF
     return docs.withColumn("quality", quality_score(F.col("text"))).filter(
         F.col("quality") >= min_quality
     )
+
+
+# Output/state schemas for the custom stateful operator below.
+USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_USER_STATE_SCHEMA = "n bigint, total double"
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count + value sum.
+
+    ``applyInPandasWithState`` — the escape hatch for stateful logic
+    Structured Streaming's built-in aggs can't express (the state here
+    *could* be an agg; the point is the operator shape: user-managed
+    state, arbitrary Python update logic, Arrow-batched input). State
+    is one (n, total) pair per user — O(distinct users), bounded;
+    partitioned by the group key so each executor owns its users'
+    state. Emits the updated running totals for every user seen in the
+    micro-batch (output mode "update").
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_TOTALS_SCHEMA,
+            stateStructType=_USER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

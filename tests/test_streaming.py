@@ -71,3 +71,41 @@ def test_streaming_quality_filter(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT doc_id FROM quality_gate").collect()
     assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_stateful_user_totals(spark, sf_dir, tmp_path):
+    from diagnosisextraction_ml_spark.streaming.events import stateful_user_totals
+
+    path, schema = _events_dir(spark, sf_dir, tmp_path)
+    stream = read_events_stream(spark, path, schema, max_files_per_trigger=1)
+    out = stateful_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # the last update per user must equal the batch ground truth
+    import pyspark.sql.functions as F
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn"
+            "  FROM user_totals) WHERE rn = 1"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in spark.read.parquet(path)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-6
