@@ -1,0 +1,52 @@
+"""Property-based tests (hypothesis) for the pure-Python function layer
+— no SparkSession needed, so these run in milliseconds."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from diagnosisextraction_ml_spark.functions.stats import t_sf
+from diagnosisextraction_ml_spark.functions.stemmer import stem_dutch
+from diagnosisextraction_ml_spark.functions.typo import (
+    damerau_levenshtein,
+    normalized_damerau_levenshtein,
+)
+
+words = st.text(alphabet="abcdefghijklmnopqrstuvwxyzëéè", min_size=0, max_size=12)
+
+
+@given(words)
+@settings(max_examples=200, deadline=None)
+def test_stemmer_never_grows_and_is_lowercase(w):
+    s = stem_dutch(w)
+    assert len(s) <= len(w)
+    assert s == s.lower()
+
+
+@given(words, words)
+@settings(max_examples=200, deadline=None)
+def test_osa_symmetric_and_bounded(a, b):
+    d = damerau_levenshtein(a, b)
+    assert d == damerau_levenshtein(b, a)
+    assert 0 <= d <= max(len(a), len(b))
+    assert (d == 0) == (a == b)
+    n = normalized_damerau_levenshtein(a, b)
+    assert 0.0 <= n <= 1.0
+
+
+@given(words)
+@settings(max_examples=200, deadline=None)
+def test_osa_single_edit_is_distance_one(w):
+    # appending a char / transposing the last two chars are 1 edit
+    assert damerau_levenshtein(w, w + "x") == 1
+    if len(w) >= 2 and w[-1] != w[-2]:
+        assert damerau_levenshtein(w, w[:-2] + w[-1] + w[-2]) == 1
+
+
+@given(st.floats(min_value=0.0, max_value=50.0), st.integers(min_value=1, max_value=100))
+@settings(max_examples=200, deadline=None)
+def test_t_sf_range_and_monotonicity(t, df):
+    p = t_sf(t, df)
+    assert 0.0 <= p <= 0.5 + 1e-12
+    assert t_sf(t + 1.0, df) <= p + 1e-12
