@@ -355,6 +355,26 @@ register("dedup_lsh_band_pairs", None)(
 )
 
 
+def _emb_with_dups(spark, sf_dir):
+    """Embeddings plus exact copies of every 10th vector (id+100000) so
+    the near-dup query has guaranteed pairs."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(dups)
+
+
+# Embedding near-dup: rows-only (the LSH-blocked candidate join; exact
+# cosine arithmetic is oracle-pinned by sim_bruteforce_topk, recall by
+# tests/test_dedup.py).
+register("dedup_embedding_near", None)(
+    lambda spark, sf_dir: dedup.embedding_near_dup_pairs(
+        _emb_with_dups(spark, sf_dir), threshold=0.98
+    )
+)
+
+
 # ===========================================================================
 # Similarity search
 # ===========================================================================
@@ -597,6 +617,19 @@ register("text_stemmed", None)(
         ).stem_text_udf(F.col("text")).alias("stemmed"),
     )
 )
+
+# Multimodal plumbing: rows-only (payload decode is a pandas-UDF path
+# with the deterministic fake decoder — not SQL-expressible).
+def _mm_features(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators import multimodal as mm
+
+    media = mm.documents_as_media(_t(spark, sf_dir, "documents"))
+    feats = mm.extract_features(media, decoder=mm.fake_decoder)
+    return feats.select("asset_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
+register("mm_extract_features", None)(_mm_features)
+
 
 _TYPO_VOCAB = [
     "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
