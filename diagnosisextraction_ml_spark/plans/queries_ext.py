@@ -609,14 +609,15 @@ register(
 # Rows-only text paths (pandas-UDF stages — not SQL-expressible)
 # ===========================================================================
 
-register("text_stemmed", None)(
-    lambda spark, sf_dir: _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        __import__(
-            "diagnosisextraction_ml_spark.functions.stemmer", fromlist=["stem_text_udf"]
-        ).stem_text_udf(F.col("text")).alias("stemmed"),
+def _text_stemmed(spark, sf_dir):
+    from diagnosisextraction_ml_spark.functions.stemmer import stem_text_udf
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", stem_text_udf(F.col("text")).alias("stemmed")
     )
-)
+
+
+register("text_stemmed", None)(_text_stemmed)
 
 # Multimodal plumbing: rows-only (payload decode is a pandas-UDF path
 # with the deterministic fake decoder — not SQL-expressible).
