@@ -175,6 +175,29 @@ class TextClassificationHarness:
         results = sorted(self.results[name], key=lambda x: x.pr_auc)
         return results[len(results) // 2]
 
+    # -- S3/O3 — write the median iteration's predictions --------------------
+    def write_median_predictions(self, name: str, path: str) -> "FoldResult":
+        """Write PRED|TRUE for the median-PR-AUC iteration of ``name``.
+
+        Ref: writePredictionsToFile for the median CV iteration
+        (src/TextClassification.py:431-444, 471-477) — exactly how the
+        committed ``output_files/pred*.csv`` golden files were made.
+        Requires ``fit_models(persist_models=True)``.
+        """
+        from diagnosisextraction_ml_spark.sources.writers import write_predictions
+
+        med = self.median_iteration(name)
+        model = self.fitted.get((name, med.round, med.fold))
+        if model is None:
+            raise ValueError("write_median_predictions needs fit_models(persist_models=True)")
+        cfg = self.config
+        test = self.df.filter(F.col(f"fold_{med.round}") == med.fold)
+        scored = model.transform(test).select(
+            F.col("p1").alias("PRED"), F.col(cfg.label_col).alias("TRUE")
+        )
+        write_predictions(scored, path)
+        return med
+
     # -- E11 -------------------------------------------------------------------
     def compare_5x2cv(self, model_a: str, model_b: str) -> tuple[float, float]:
         """Dietterich 5x2cv paired t-test on ROC-AUCs (ref NB cells 48-56)."""

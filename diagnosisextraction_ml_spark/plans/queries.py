@@ -351,6 +351,82 @@ def stream_hourly_counts(spark, sf_dir):
     )
 
 
+@register(
+    "rel_anti_join",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000.0)
+    """,
+)
+def rel_anti_join(spark, sf_dir):
+    """Customers with no high-value order — left anti join (the
+    distributed NOT EXISTS: one shuffle, no row multiplication; the
+    price filter shrinks the probe side before the join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "rel_semi_join",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
+    """,
+)
+def rel_semi_join(spark, sf_dir):
+    """Suppliers with any high-quantity lineitem — left semi join; the
+    filter is pushed below the join so the big side shrinks first."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return s.join(li, s["s_suppkey"] == li["l_suppkey"], "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "rel_min_cost_supplier",
+    """
+    SELECT p_partkey, l_suppkey, l_extendedprice FROM (
+      SELECT p.p_partkey, l.l_suppkey, l.l_extendedprice,
+             row_number() OVER (PARTITION BY p.p_partkey
+                                ORDER BY l.l_extendedprice ASC, l.l_suppkey ASC,
+                                         l.l_orderkey ASC, l.l_linenumber ASC) AS rn
+      FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+      WHERE p.p_size <= 20) t
+    WHERE rn = 1
+    """,
+)
+def rel_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape — cheapest supplier per part via a ranked window
+    over the join (the decorrelated form of Q2's correlated min
+    subquery: one shuffle on the part key instead of a per-part
+    re-scan; the dim filter broadcasts)."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("l_extendedprice").asc(),
+        F.col("l_suppkey").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "l_suppkey", "l_extendedprice")
+    )
+
+
 # Extended registrations (text/NLP, dedup, similarity, eval, prep) —
 # imported last so the registry above exists; see plans/queries_ext.py.
 from diagnosisextraction_ml_spark.plans import queries_ext  # noqa: E402,F401

@@ -87,3 +87,20 @@ def test_sample_size_sweep_wordmatching(patient_df):
     rows = sample_size_sweep(patient_df, "WordMatching", [50, 200])
     assert [r["n_train"] for r in rows] == [50, 200]
     assert all(0.5 < r["roc_auc"] <= 1.0 for r in rows)
+
+
+def test_write_median_predictions(patient_df, tmp_path):
+    from diagnosisextraction_ml_spark.plans.harness import CVConfig, TextClassificationHarness
+    from diagnosisextraction_ml_spark.sources.readers import read_predictions
+
+    cfg = CVConfig(rounds=1, folds=2)
+    h = TextClassificationHarness(patient_df, ["WordMatching"], cfg)
+    h.fit_models(persist_models=True)
+    path = str(tmp_path / "predWM")
+    med = h.write_median_predictions("WordMatching", path)
+    spark = patient_df.sparkSession
+    back = read_predictions(spark, path)
+    assert back.count() > 100
+    assert set(back.columns) == {"PRED", "TRUE"}
+    # the written fold is the median result's test fold
+    assert med.model == "WordMatching"
