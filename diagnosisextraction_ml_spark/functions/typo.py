@@ -24,34 +24,54 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-import numpy as np
 import pandas as pd
 
 
-def damerau_levenshtein(a: str, b: str) -> int:
-    """Optimal-string-alignment Damerau-Levenshtein distance."""
+def damerau_levenshtein(a: str, b: str, max_dist: int | None = None) -> int:
+    """Optimal-string-alignment Damerau-Levenshtein distance.
+
+    ``max_dist`` enables Ukkonen-style early exit: once every cell of
+    a DP row exceeds it, the true distance provably does too and
+    ``max_dist + 1`` is returned (rows are built from min-of-neighbors
+    + costs ≥ 0, so row minima never decrease). Exact value whenever
+    the result is ≤ ``max_dist``.
+    """
     la, lb = len(a), len(b)
     if la == 0:
         return lb
     if lb == 0:
         return la
-    prev2 = None
-    prev = np.arange(lb + 1)
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
     for i in range(1, la + 1):
-        cur = np.empty(lb + 1, dtype=np.int64)
-        cur[0] = i
+        ai = a[i - 1]
+        cur = [i] + [0] * lb
+        row_min = i
         for j in range(1, lb + 1):
-            cost = 0 if a[i - 1] == b[j - 1] else 1
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            cost = 0 if ai == b[j - 1] else 1
+            d = prev[j - 1] + cost
+            up = prev[j] + 1
+            if up < d:
+                d = up
+            left = cur[j - 1] + 1
+            if left < d:
+                d = left
             if (
                 i > 1
                 and j > 1
-                and a[i - 1] == b[j - 2]
+                and ai == b[j - 2]
                 and a[i - 2] == b[j - 1]
             ):
-                cur[j] = min(cur[j], prev2[j - 2] + 1)
+                t = prev2[j - 2] + 1
+                if t < d:
+                    d = t
+            cur[j] = d
+            if d < row_min:
+                row_min = d
+        if max_dist is not None and row_min > max_dist:
+            return max_dist + 1
         prev2, prev = prev, cur
-    return int(prev[lb])
+    return prev[lb]
 
 
 def normalized_damerau_levenshtein(a: str, b: str) -> float:
@@ -74,14 +94,39 @@ def correct_token(
     a loop should pass ``vocab_set=frozenset(vocab)`` once — no global
     cache (an ``id()``-keyed cache can silently serve a stale set after
     garbage collection reuses the address).
+
+    Pruning: edit distance is at least the length difference, so any
+    ``v`` with ``|len(w)-len(v)| / max(len) > thresh`` has normalized
+    distance above the threshold and is skipped without computing it.
+    This never changes the output: a substitution happens only when
+    the global argmin is ≤ thresh, and a pruned candidate can neither
+    be ≤ thresh itself nor tie a candidate that is (ties at the argmin
+    require equal distance). When every candidate is pruned the word
+    is returned unchanged — same as an over-threshold argmin.
     """
     if vocab_set is None:
         vocab_set = frozenset(vocab)
     if word in vocab_set:
         return word
+    lw = len(word)
     best_d, best_w = None, word
     for v in vocab:
-        d = normalized_damerau_levenshtein(word, v)
+        lv = len(v)
+        m = lw if lw > lv else lv
+        if m == 0:
+            return word
+        # length lower bound: d(w, v) >= |lw - lv| → normalized > thresh
+        if abs(lw - lv) / m > thresh:
+            continue
+        # band cutoff: distances beyond the current acceptable bound
+        # can neither accept nor tie an accepted argmin (see above)
+        cap = int(thresh * m)
+        if best_d is not None and best_d <= thresh:
+            cap = min(cap, int(best_d * m))
+        raw = damerau_levenshtein(word, v, max_dist=cap)
+        d = raw / m
+        if raw > cap:
+            continue
         if best_d is None or d < best_d:
             best_d, best_w = d, v
     if best_d is not None and best_d <= thresh:
