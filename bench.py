@@ -29,6 +29,9 @@ HEADLINE = [
     "rel_q3_topk",
     "rel_star_join",
     "rel_group_concat",
+    "rel_anti_join",
+    "rel_semi_join",
+    "rel_min_cost_supplier",
     "win_running_total",
     "events_sessionize",
     "stream_hourly_counts",
