@@ -104,3 +104,31 @@ def test_write_median_predictions(patient_df, tmp_path):
     assert set(back.columns) == {"PRED", "TRUE"}
     # the written fold is the median result's test fold
     assert med.model == "WordMatching"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "model_name",
+    ["NaiveBayes", "GradientBoosting", "NeuralNetworks", "DecisionTree",
+     "SVM", "RandomForest", "Dummy", "SGDClassifier", "WordMatching"],
+)
+def test_model_zoo_fits_and_scores(patient_df, model_name):
+    """M1-M9 — every registry model fits and emits p1 in [0, 1]."""
+    from diagnosisextraction_ml_spark.plans.models import build_model_pipeline
+
+    small = patient_df.limit(120)
+    model = build_model_pipeline(model_name).fit(small)
+    scored = model.transform(small).select("p1")
+    vals = [r["p1"] for r in scored.collect()]
+    assert len(vals) == 120
+    assert all(v is not None and 0.0 <= v <= 1.0 for v in vals)
+
+
+def test_shuffle_rows_is_deterministic_for_seed(spark):
+    from diagnosisextraction_ml_spark.operators.prep import shuffle_rows
+
+    df = spark.range(100)
+    a = [r["id"] for r in shuffle_rows(df, seed=42).collect()]
+    b = [r["id"] for r in shuffle_rows(df, seed=42).collect()]
+    assert a == b
+    assert sorted(a) == list(range(100))
