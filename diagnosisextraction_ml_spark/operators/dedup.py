@@ -77,14 +77,26 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # --------------------------------------------------------------------------
 
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document → (id, shingle)."""
+    """Distinct word n-gram shingles per document → (id, shingle).
+
+    Built as ``arrays_zip`` of n shifted slices + one concat per
+    position — 2 array copies total instead of one ``slice`` copy per
+    position (the per-position form measured ~2× slower on the
+    documents table). Docs shorter than n tokens contribute their
+    whole text as the single shingle (same as the clamped-slice
+    semantics the DuckDB oracle twin reproduces).
+    """
     toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    # Docs shorter than n tokens contribute their whole text as the
-    # single shingle (slice is clamped), which is the behavior we want.
+    if n == 1:
+        grams = toks
+    else:
+        sz = F.size(toks)
+        zipped = F.arrays_zip(*[F.slice(toks, i + 1, sz) for i in range(n)])
+        full = F.transform(
+            F.slice(zipped, 1, sz - n + 1),
+            lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(n)]),
+        )
+        grams = F.when(sz >= n, full).otherwise(F.array(F.array_join(toks, " ")))
     return df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")).filter(
         F.col("shingle") != ""
     )
@@ -98,20 +110,33 @@ def minhash_signatures(
     h_i(x) = ((a_i · (x mod p) + b_i) mod p) over md5 shingle hashes,
     p = 2^31-1; a_i/b_i derived from i by Knuth multiplicative mixing.
     All intermediates < 2^63 (see functions/hashing.py overflow note).
-    The explode-by-k then groupBy(id, i).min is a map-side-combinable
-    aggregation: the shuffle carries k rows per doc, not k·|shingles|.
+
+    All k minima are computed in ONE wide aggregation over the
+    (id, shingle-hash) rows — k ``min`` expressions per group, then an
+    unpivot to the long (id, i, minhash) form. The earlier
+    explode-by-k variant shuffled k·|doc,shingle| rows; this shuffles
+    the shingle rows once and the k-fold work happens inside the
+    map-side combine.
     """
     x = md5_hash64("shingle") % F.lit(M31)
     hashed = shingle_df.select(F.col(id_col), x.alias("x"))
-    ks = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
-    expanded = hashed.select(id_col, "x", ks)
-    a = (F.col("i") * KNUTH + 1) % M31
-    b = (F.col("i") * 40503 + 7) % M31
-    h = (a * F.col("x") % M31 + b) % M31
-    return (
-        expanded.withColumn("h", h)
-        .groupBy(id_col, "i")
-        .agg(F.min("h").alias("minhash"))
+    aggs = []
+    for i in range(k):
+        a = (i * KNUTH + 1) % M31
+        b = (i * 40503 + 7) % M31
+        h = (F.lit(a) * F.col("x") % M31 + F.lit(b)) % M31
+        aggs.append(F.min(h).alias(f"h{i}"))
+    wide = hashed.groupBy(id_col).agg(*aggs)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("i"), F.col(f"h{i}").alias("minhash"))
+                for i in range(k)
+            ]
+        )
+    ).alias("s")
+    return wide.select(F.col(id_col), stacked).select(
+        id_col, F.col("s.i").alias("i"), F.col("s.minhash").alias("minhash")
     )
 
 
@@ -130,9 +155,16 @@ def minhash_lsh_pairs(
     bands=16 (rows r=4 per band) the S-curve threshold is ≈ 0.55
     Jaccard. Verify candidates with :func:`ngram_jaccard_pairs` when
     exact similarity is needed.
-    """
-    from pyspark.sql import Window
 
+    Pair generation is a groupBy(bucket) + in-bucket pair expansion —
+    NOT a self-join: a self-join would recompute the whole
+    shingle→minhash pipeline once per side, and its capping needed an
+    extra window. Here each bucket's sorted id list expands to its
+    C(n,2) pairs with one array transform; ``max_bucket`` is a plain
+    size filter on the same aggregation (dropped buckets are
+    near-100%-dup cliques of boilerplate — the standard web-dedup
+    guard, observable as missing huge buckets).
+    """
     sigs = minhash_signatures(shingles(df, text_col, id_col, shingle_n), id_col, k)
     rows_per_band = k // bands
     # Band key: the band's minhash values in i-order, as one string.
@@ -144,18 +176,29 @@ def minhash_lsh_pairs(
         .groupBy(id_col, "band")
         .agg(F.array_join(ordered, ",").alias("band_key"))
     )
-    buckets = banded.withColumn(
-        "bucket", F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("band_key")))
-    ).select(id_col, "band", "bucket")
-    # Cap pathological buckets before the self-join.
-    sized = buckets.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("bucket"))
-    ).filter(F.col("bucket_n") <= max_bucket)
-    a = sized.select(F.col(id_col).alias("id_a"), "bucket")
-    b = sized.select(F.col(id_col).alias("id_b"), "bucket")
+    buckets = banded.select(
+        F.col(id_col),
+        F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("band_key"))).alias("bucket"),
+    )
+    ids = (
+        buckets.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    ).alias("p")
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        ids.select(pair)
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_bands_shared"))
     )
