@@ -427,6 +427,68 @@ def rel_min_cost_supplier(spark, sf_dir):
     )
 
 
+@register(
+    "rel_rollup",
+    """
+    SELECT coalesce(r.r_name, '<all>') AS region,
+           coalesce(n.n_name, '<all>') AS nation,
+           count(*) AS n_customers
+    FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rel_rollup(spark, sf_dir):
+    """ROLLUP over the region/nation hierarchy — grouping-sets surface.
+
+    One pass produces all three aggregation levels (region+nation,
+    region, grand total); nulls from the rollup are labeled '<all>'
+    for a deterministic cross-engine representation.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("<all>")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("<all>")).alias("nation"),
+            "n_customers",
+        )
+    )
+
+
+@register(
+    "rel_quantiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def rel_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per group.
+
+    Both engines define quantile_cont/percentile as linear
+    interpolation between the two adjacent order statistics, so the
+    doubles match bitwise. (At 100 TB swap in approx_percentile /
+    t-digest — approximate sketches are engine-specific and can't be
+    oracle-hashed, so the exact form is what the gate checks.)
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
 # Extended registrations (text/NLP, dedup, similarity, eval, prep) —
 # imported last so the registry above exists; see plans/queries_ext.py.
 from diagnosisextraction_ml_spark.plans import queries_ext  # noqa: E402,F401
