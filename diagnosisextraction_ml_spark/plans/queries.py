@@ -428,6 +428,29 @@ def rel_min_cost_supplier(spark, sf_dir):
 
 
 @register(
+    "rel_monthly_orders",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def rel_monthly_orders(spark, sf_dir):
+    """Temporal rollup with exact distinct — date_trunc bucketing,
+    count(distinct) (expand + two-phase agg in Spark), decimal-exact
+    sum. At 100 TB the distinct count is the expensive part; the
+    expansion is still map-side combined per (month, custkey)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@register(
     "rel_rollup",
     """
     SELECT coalesce(r.r_name, '<all>') AS region,
