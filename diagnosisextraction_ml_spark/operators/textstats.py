@@ -151,6 +151,50 @@ def top_k_words(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks.
+
+    The standard LLM-training-data op: whitespace tokens re-joined
+    into windows of ``chunk_tokens`` advancing by
+    ``chunk_tokens - overlap``. Pure expressions (sequence of window
+    starts → slice + join per window) so the fan-out is declared to
+    Catalyst before the explode — no UDF, no shuffle; output is
+    (id, chunk_idx, chunk, n_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    sz = F.size(toks)
+    # window starts: 0, step, 2·step, … while start < max(sz, 1)
+    n_chunks = F.greatest(F.ceil((sz - F.lit(overlap)) / F.lit(step)), F.lit(1)).cast("int")
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * step, F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / step).cast("int").alias("chunk_idx"),
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias("chunk"),
+            F.least(sz - s, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk").alias("chunk"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+        .filter(F.col("chunk") != "")
+    )
+
+
 def lexical_dispersion(
     df: DataFrame, terms: Sequence[str], text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -169,6 +169,32 @@ register(
 )
 
 
+_CHUNK, _OVERLAP = 32, 8
+_STEP = _CHUNK - _OVERLAP
+
+register(
+    "text_chunk_documents",
+    f"""
+    WITH t AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM documents),
+    p AS (SELECT doc_id, toks, len(toks) AS sz,
+                 CAST(greatest(ceil((len(toks) - {_OVERLAP}) / {_STEP}.0), 1) AS INT) AS n_chunks
+          FROM t),
+    c AS (SELECT doc_id,
+                 unnest([{{'chunk_idx': i,
+                           'chunk': array_to_string(toks[i*{_STEP}+1 : i*{_STEP}+{_CHUNK}], ' '),
+                           'n_tokens': least(sz - i*{_STEP}, {_CHUNK})}}
+                         for i in range(0, n_chunks)]) AS ch
+          FROM p)
+    SELECT doc_id, ch.chunk_idx AS chunk_idx, ch.chunk AS chunk, ch.n_tokens AS n_tokens
+    FROM c WHERE ch.chunk != ''
+    """,
+)(
+    lambda spark, sf_dir: textstats.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=_CHUNK, overlap=_OVERLAP
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # doc_stats — the full textstats projection (validates md5_hash64_sql)
 # ---------------------------------------------------------------------------

@@ -59,6 +59,32 @@ def streaming_quality_filter(docs: DataFrame, min_quality: float = 0.3) -> DataF
     )
 
 
+def streaming_dedup_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on the normalized-text fingerprint.
+
+    With ``ts_col``: ``dropDuplicatesWithinWatermark`` — state is
+    bounded by the watermark (the 100 TB-stream-safe mode; a duplicate
+    arriving later than the watermark is passed through, the standard
+    trade). Without: global ``dropDuplicates`` (unbounded state —
+    bounded corpora only).
+    """
+    fingerprinted = docs.withColumn(
+        "__fp", F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    )
+    if ts_col is not None:
+        out = fingerprinted.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["__fp"]
+        )
+    else:
+        out = fingerprinted.dropDuplicates(["__fp"])
+    return out.drop("__fp")
+
+
 # Output/state schemas for the custom stateful operator below.
 USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 _USER_STATE_SCHEMA = "n bigint, total double"

@@ -109,3 +109,28 @@ def test_stateful_user_totals(spark, sf_dir, tmp_path):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 1e-6
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    from diagnosisextraction_ml_spark.streaming.events import streaming_dedup_exact
+
+    docs = spark.createDataFrame(
+        [(1, "same  text"), (2, "same text"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "dedup_docs")
+    docs.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    out = streaming_dedup_exact(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id FROM dedup_stream").collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    # one of the whitespace-equal pair survives, plus the distinct doc
+    assert len(ids) == 2 and 3 in ids and (1 in ids or 2 in ids)

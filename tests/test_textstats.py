@@ -52,3 +52,25 @@ def test_lexical_dispersion(spark):
     df = spark.createDataFrame([(1, "a b a c")], "doc_id long, text string")
     rows = lexical_dispersion(df, ["a"], "text", "doc_id").collect()
     assert sorted(r["position"] for r in rows) == [0, 2]
+
+
+def test_chunk_documents(spark):
+    from diagnosisextraction_ml_spark.operators.textstats import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "one two"), (3, "")], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: ceil((10-1)/3) = 3 chunks at starts 0,3,6 — every token
+    # covered, adjacent chunks share 1 token
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk"] for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    assert [r["n_tokens"] for r in c1] == [4, 4, 4]
+    # short doc: one chunk, whole text
+    assert [r["chunk"] for r in by_doc[2]] == ["one two"]
+    # empty doc: no chunks
+    assert 3 not in by_doc
