@@ -658,6 +658,35 @@ def _mm_features(spark, sf_dir):
 register("mm_extract_features", None)(_mm_features)
 
 
+def _pipeline_llm_prep(spark, sf_dir):
+    """Composed LLM-training-data prep: quality gate → exact dedup →
+    chunking → per-chunk stats. One lazy plan end-to-end: the quality
+    filter and dedup prune *before* the chunk fan-out multiplies rows,
+    so Catalyst sees the row-count shape a 100 TB run needs.
+
+    Registered rows-only (every stage is individually oracle-checked:
+    doc_stats / dedup_exact_groups / text_chunk_documents)."""
+    from diagnosisextraction_ml_spark.operators.textstats import (
+        chunk_documents,
+        quality_score,
+        token_count_ws,
+    )
+
+    docs = _dup_union(spark, sf_dir)
+    gated = docs.filter(quality_score(F.col("text")) >= 0.3)
+    deduped = dedup.dedup_exact(gated, "text", "doc_id")
+    chunks = chunk_documents(deduped, chunk_tokens=_CHUNK, overlap=_OVERLAP)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        token_count_ws(F.col("chunk")).alias("n_tokens_check"),
+    )
+
+
+register("pipeline_llm_prep", None)(_pipeline_llm_prep)
+
+
 _TYPO_VOCAB = [
     "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
     "hash", "batch", "window", "spark", "order", "data", "column", "join",

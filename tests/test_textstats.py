@@ -74,3 +74,18 @@ def test_chunk_documents(spark):
     assert [r["chunk"] for r in by_doc[2]] == ["one two"]
     # empty doc: no chunks
     assert 3 not in by_doc
+
+
+def test_pipeline_llm_prep_composition(spark, sf_dir):
+    """The composed prep pipeline: dedup removes the injected copies,
+    chunk token counts are self-consistent."""
+    from diagnosisextraction_ml_spark.plans.queries import queries
+
+    out = queries()["pipeline_llm_prep"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    # chunk_documents' n_tokens equals an independent recount
+    assert all(r["n_tokens"] == r["n_tokens_check"] for r in rows)
+    # the injected duplicate ids (doc_id >= 1000000) never survive
+    # dedup_exact (originals have smaller ids)
+    assert all(r["doc_id"] < 1000000 for r in rows)
