@@ -1,0 +1,47 @@
+"""Bucketed-table co-located join: the equi-join on the bucket key
+must plan with zero Exchange operators."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from diagnosisextraction_ml_spark.sources.bucketed import read_table, write_bucketed_table
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed_table(orders, "orders_b", "o_orderkey", n_buckets=8)
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", "o_orderkey", 8
+    )
+
+    a = read_table(spark, "orders_b")
+    b = read_table(spark, "lineitem_b")
+    joined = a.join(b, "o_orderkey").groupBy("o_orderkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    # disable broadcast so the join strategy itself is what's tested
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert "SortMergeJoin" in plan
+        # result parity with the plain (shuffled) join
+        plain = (
+            orders.join(
+                li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+            )
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
