@@ -260,7 +260,7 @@ def win_running_total(spark, sf_dir):
 @register(
     "win_topn_per_group",
     """
-    SELECT * FROM (
+    SELECT event_type, event_id, value, CAST(rn AS INT) AS rn FROM (
       SELECT event_type, event_id, value,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY value DESC, event_id ASC) AS rn
@@ -294,8 +294,8 @@ def win_topn_per_group(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
     ), sessions AS (
       SELECT user_id, event_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id, count(*) AS n_events
     FROM sessions GROUP BY user_id, session_id

@@ -112,9 +112,9 @@ register(
     "text_token_stats",
     f"""
     SELECT doc_id,
-           len({_toks_sql('lower(text)')}) AS n_tokens,
-           len(list_filter({_toks_sql('lower(text)')},
-               t -> NOT list_contains({_sql_list(ENGLISH_STOPWORDS)}, t))) AS n_content_tokens
+           CAST(len({_toks_sql('lower(text)')}) AS INT) AS n_tokens,
+           CAST(len(list_filter({_toks_sql('lower(text)')},
+               t -> NOT list_contains({_sql_list(ENGLISH_STOPWORDS)}, t))) AS INT) AS n_content_tokens
     FROM documents
     """,
 )(_text_token_stats)
@@ -159,7 +159,7 @@ register(
     f"""
     WITH t AS (SELECT doc_id, {_toks_sql('lower(text)')} AS toks FROM documents),
     pos AS (SELECT doc_id, unnest(range(0, len(toks))) AS position, unnest(toks) AS term FROM t)
-    SELECT doc_id, position, term FROM pos
+    SELECT doc_id, CAST(position AS INT) AS position, term FROM pos
     WHERE list_contains({_sql_list(_DISPERSION_TERMS)}, term)
     """,
 )(
@@ -185,7 +185,8 @@ register(
                            'n_tokens': least(sz - i*{_STEP}, {_CHUNK})}}
                          for i in range(0, n_chunks)]) AS ch
           FROM p)
-    SELECT doc_id, ch.chunk_idx AS chunk_idx, ch.chunk AS chunk, ch.n_tokens AS n_tokens
+    SELECT doc_id, CAST(ch.chunk_idx AS INT) AS chunk_idx, ch.chunk AS chunk,
+           CAST(ch.n_tokens AS INT) AS n_tokens
     FROM c WHERE ch.chunk != ''
     """,
 )(
@@ -228,9 +229,9 @@ def _doc_stats_sql() -> str:
     bpe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
     return f"""
     SELECT doc_id,
-           length({c}) AS n_chars_computed,
-           {n_toks} AS n_tokens_ws,
-           len(regexp_extract_all({c}, '{bpe}')) AS n_tokens_bpe,
+           CAST(length({c}) AS INT) AS n_chars_computed,
+           CAST({n_toks} AS INT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all({c}, '{bpe}')) AS INT) AS n_tokens_bpe,
            round({sw_ratio}, 6) AS stopword_ratio_en,
            round({punct_ratio}, 6) AS punct_ratio,
            {quality} AS quality,
@@ -290,7 +291,7 @@ register(
     hx AS (SELECT doc_id, {md5_hash64_sql('shingle')} % {M31} AS x FROM sh),
     expanded AS (SELECT doc_id, x, i
                  FROM hx CROSS JOIN (SELECT unnest(range(0, {_MH_K})) AS i) t)
-    SELECT doc_id, i,
+    SELECT doc_id, CAST(i AS INT) AS i,
            min((((i * {KNUTH} + 1) % {M31}) * x % {M31} + (i * 40503 + 7) % {M31}) % {M31}) AS minhash
     FROM expanded GROUP BY doc_id, i
     """,
@@ -560,10 +561,10 @@ register(
     WITH base AS ({_SCORED_SQL}),
     preds AS (SELECT label, CAST(score >= 0.5 AS INT) AS pred FROM base),
     agg AS (SELECT
-      sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
-      sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
-      sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn,
-      sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn
+      CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      CAST(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      CAST(sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
       FROM preds)
     SELECT tp, fp, fn, tn,
            tp / (tp + fn) AS tpr, tn / (tn + fp) AS tnr,
