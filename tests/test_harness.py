@@ -132,3 +132,21 @@ def test_shuffle_rows_is_deterministic_for_seed(spark):
     b = [r["id"] for r in shuffle_rows(df, seed=42).collect()]
     assert a == b
     assert sorted(a) == list(range(100))
+
+
+@pytest.mark.slow
+def test_ep2_tree_models_parity(patient_df):
+    """EP2 (tree models) — 1x2cv ROC-AUC vs BASELINE.md rows
+    (GBT 0.902, RF 0.941, DT 0.721, Dummy 0.517). Trees diverge most
+    across implementations (different split heuristics/feature
+    hashing), so tolerances are wider than the linear/NB test."""
+    cfg = CVConfig(rounds=1, folds=2)
+    h = TextClassificationHarness(
+        patient_df, ["GradientBoosting", "RandomForest", "DecisionTree", "Dummy"], cfg
+    )
+    h.fit_models()
+    s = h.summary()
+    assert s["GradientBoosting"]["roc_auc_mean"] == pytest.approx(0.902, abs=0.06)
+    assert s["RandomForest"]["roc_auc_mean"] == pytest.approx(0.941, abs=0.05)
+    assert 0.65 < s["DecisionTree"]["roc_auc_mean"] < 0.92
+    assert s["Dummy"]["roc_auc_mean"] == pytest.approx(0.517, abs=0.09)
