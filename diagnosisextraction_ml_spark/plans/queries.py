@@ -281,6 +281,37 @@ def win_topn_per_group(spark, sf_dir):
 
 
 @register(
+    "win_range_1hour",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id
+                      ORDER BY epoch(CAST(ts AS TIMESTAMP))
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS hour_value
+    FROM events
+    """,
+)
+def win_range_1hour(spark, sf_dir):
+    """Sliding 1-hour range-frame sum per user — the RANGE window
+    surface (frame bounded by the *order value*, not row offsets).
+    Ordered on epoch seconds so both engines use identical numeric
+    range arithmetic; DECIMAL-exact sum for cross-engine bits."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("hour_value"),
+    )
+
+
+@register(
     "events_sessionize",
     """
     WITH base AS (
