@@ -482,6 +482,34 @@ def rel_monthly_orders(spark, sf_dir):
 
 
 @register(
+    "rel_cube",
+    """
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS VARCHAR), '<all>') AS weekday,
+           count(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, dayofweek(CAST(ts AS TIMESTAMP)))
+    """,
+)
+def rel_cube(spark, sf_dir):
+    """CUBE over (event_type, weekday) — all 4 grouping sets in one
+    pass; null grouping levels labeled '<all>' for a deterministic
+    cross-engine representation. DuckDB dayofweek is 0-6 Sunday-based;
+    Spark's matching form is dayofweek()-1."""
+    ev = _t(spark, sf_dir, "events")
+    wd = (F.dayofweek("ts") - 1).cast("string")
+    return (
+        ev.cube(F.col("event_type"), wd.alias("weekday"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("weekday"), F.lit("<all>")).alias("weekday"),
+            "n",
+        )
+    )
+
+
+@register(
     "rel_rollup",
     """
     SELECT coalesce(r.r_name, '<all>') AS region,
