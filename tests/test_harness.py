@@ -142,7 +142,10 @@ def test_ep2_tree_models_parity(patient_df):
     hashing), so tolerances are wider than the linear/NB test."""
     cfg = CVConfig(rounds=1, folds=2)
     h = TextClassificationHarness(
-        patient_df, ["GradientBoosting", "RandomForest", "DecisionTree", "Dummy"], cfg
+        patient_df,
+        ["GradientBoosting", "RandomForest", "DecisionTree", "Dummy",
+         "NeuralNetworks", "SGDClassifier"],
+        cfg,
     )
     h.fit_models()
     s = h.summary()
@@ -150,3 +153,5 @@ def test_ep2_tree_models_parity(patient_df):
     assert s["RandomForest"]["roc_auc_mean"] == pytest.approx(0.941, abs=0.05)
     assert 0.65 < s["DecisionTree"]["roc_auc_mean"] < 0.92
     assert s["Dummy"]["roc_auc_mean"] == pytest.approx(0.517, abs=0.09)
+    assert s["NeuralNetworks"]["roc_auc_mean"] == pytest.approx(0.948, abs=0.06)
+    assert s["SGDClassifier"]["roc_auc_mean"] > 0.9  # LR stand-in (M9)
