@@ -266,6 +266,7 @@ def swarm_points(
     label_col: str = "label",
     max_points: int = 2000,
     salt: str = "swarm",
+    key_col: str | None = None,
 ) -> DataFrame:
     """E14 — the (label, score) points behind plotSwarm/plotScatter.
 
@@ -275,16 +276,23 @@ def swarm_points(
     plot's data, hash-downsampled to a driver-safe point budget
     (deterministic md5 threshold per row — same points at any
     parallelism, no window, no sort).
+
+    Pass ``key_col`` (a row id) when scores can tie heavily — e.g. a
+    hard 0/1 classifier: hashing the score alone keeps or drops every
+    tied row together, so the sample would be all-or-nothing per
+    distinct score. Without a key the hash falls back to the score
+    (fine for continuous probabilities, where ties are rare).
     """
     n = df.count()
     if n <= max_points:
         return df.select(F.col(label_col).alias("label"), F.col(score_col).alias("score"))
     buckets = 1_000_000
     cut = int(max_points / n * buckets)
+    key = F.col(key_col) if key_col else F.col(score_col)
     h = (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws("§", F.col(score_col).cast("string"), F.lit(salt))), 1, 15
+                F.md5(F.concat_ws("§", key.cast("string"), F.lit(salt))), 1, 15
             ),
             16,
             10,

@@ -646,6 +646,31 @@ def _text_stemmed(spark, sf_dir):
 
 register("text_stemmed", None)(_text_stemmed)
 
+
+register(
+    "text_json_roundtrip",
+    """
+    WITH j AS (SELECT doc_id,
+                      to_json(struct_pack(lang := lang, n_chars := n_chars)) AS doc
+               FROM documents)
+    SELECT doc_id,
+           json_extract_string(doc, '$.lang') AS lang_out,
+           CAST(json_extract(doc, '$.n_chars') AS BIGINT) AS n_chars_out
+    FROM j
+    """,
+)(
+    lambda spark, sf_dir: _t(spark, sf_dir, "documents")
+    .select(
+        "doc_id",
+        F.to_json(F.struct(F.col("lang"), F.col("n_chars"))).alias("doc"),
+    )
+    .select(
+        "doc_id",
+        F.get_json_object("doc", "$.lang").alias("lang_out"),
+        F.get_json_object("doc", "$.n_chars").cast("bigint").alias("n_chars_out"),
+    )
+)
+
 # Multimodal plumbing: rows-only (payload decode is a pandas-UDF path
 # with the deterministic fake decoder — not SQL-expressible).
 def _mm_features(spark, sf_dir):
