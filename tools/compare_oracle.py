@@ -75,6 +75,19 @@ def main() -> int:
         status = []
         if sorted(scols) != sorted(dcols):
             status.append(f"schema {sorted(scols)} vs {sorted(dcols)}")
+        else:
+            # surface integer-width / type drift even when values match —
+            # a type-sensitive driver hash would trip on these.
+            stypes = dict(sdf.dtypes)
+            dtypes = {d[0]: str(d[1]) for d in res.description}
+            int_drift = [
+                (c, stypes.get(c), dtypes.get(c))
+                for c in scols
+                if (stypes.get(c) == "int" and "BIGINT" in str(dtypes.get(c, "")).upper())
+                or (stypes.get(c) == "bigint" and str(dtypes.get(c, "")).upper() in ("INTEGER", "HUGEINT"))
+            ]
+            if int_drift:
+                print(f"note  {name}: integer-width drift {int_drift}")
         if len(srows) != len(drows):
             status.append(f"rows {len(srows)} vs {len(drows)}")
         if not status:

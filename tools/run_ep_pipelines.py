@@ -1,0 +1,104 @@
+"""End-to-end demo: the reference notebook's three entry points on its
+own sample data, as one script.
+
+    python tools/run_ep_pipelines.py [output_dir]
+
+EP1 — preprocess: read ';' EHR entries → per-patient merge → artefact
+fix → cleaning → stemming → write the '|' patient cache.
+EP2 — train & evaluate: 5x2cv over the model zoo subset, fold
+aggregation, median-model predictions, 5x2cv t-test vs Word Matching.
+EP3 — gold set: score the independent validation set with the trained
+SVM, classification report at the notebook's 0.68 cut-off.
+
+Prints one JSON with every headline metric (compare with BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+REFERENCE = "/root/reference/sample_data"
+
+
+def main() -> int:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ep_pipelines"
+
+    import pyspark.sql.functions as F
+
+    from diagnosisextraction_ml_spark import get_spark
+    from diagnosisextraction_ml_spark.functions.stemmer import stem_text_udf
+    from diagnosisextraction_ml_spark.functions.text import (
+        fix_xml_artefacts,
+        simple_cleaning,
+    )
+    from diagnosisextraction_ml_spark.operators.evaluate import (
+        auc_rank,
+        classification_report,
+    )
+    from diagnosisextraction_ml_spark.operators.prep import (
+        binarize_label,
+        merge_on_column,
+        recode_label,
+    )
+    from diagnosisextraction_ml_spark.plans.harness import (
+        CVConfig,
+        TextClassificationHarness,
+    )
+    from diagnosisextraction_ml_spark.plans.models import build_model_pipeline
+    from diagnosisextraction_ml_spark.sources.readers import read_ehr_entries
+    from diagnosisextraction_ml_spark.sources.writers import write_pipe_csv
+
+    spark = get_spark("ep-pipelines")
+    spark.sparkContext.setLogLevel("ERROR")
+    report: dict = {}
+
+    # ---- EP1 ----------------------------------------------------------------
+    ehr = read_ehr_entries(spark, f"{REFERENCE}/dummydata.csv")
+    merged = recode_label(merge_on_column(ehr), src="Outcome", dst="Outcome")
+    prepped = merged.withColumn(
+        "Text", stem_text_udf(simple_cleaning(fix_xml_artefacts(F.col("Text"))))
+    ).select("Text", "PATNR", "Outcome")
+    write_pipe_csv(prepped, f"{out_dir}/patient_cache", single_file=True)
+    labeled = binarize_label(prepped, "Outcome", "label").persist()
+    report["ep1_patients"] = labeled.count()
+
+    # ---- EP2 ----------------------------------------------------------------
+    harness = TextClassificationHarness(
+        labeled, ["WordMatching", "NaiveBayes", "SVM"], CVConfig(rounds=5, folds=2)
+    )
+    harness.fit_models(persist_models=True)
+    report["ep2_summary"] = harness.summary()
+    med = harness.write_median_predictions("SVM", f"{out_dir}/predSVM")
+    report["ep2_median_svm"] = {"round": med.round, "fold": med.fold, "pr_auc": med.pr_auc}
+    t, p = harness.compare_5x2cv("NaiveBayes", "WordMatching")
+    report["ep2_ttest_nb_vs_wm"] = {"t": t, "p": p}
+
+    # ---- EP3 ----------------------------------------------------------------
+    svm = build_model_pipeline("SVM").fit(labeled)
+    gold_raw = read_ehr_entries(spark, f"{REFERENCE}/dummydata_gold.csv")
+    gold = merge_on_column(gold_raw)
+    gold = gold.withColumn(
+        "Text", stem_text_udf(simple_cleaning(fix_xml_artefacts(F.col("Text"))))
+    ).withColumn("label", F.col("Outcome").cast("int"))
+    scored = svm.transform(gold).select(
+        F.col("p1").alias("score"), F.col("label").alias("label")
+    )
+    report["ep3_gold_auc"] = float(auc_rank(scored).collect()[0]["auc"])
+    rep = classification_report(scored, threshold=0.68).collect()[0]
+    report["ep3_report_at_068"] = {
+        k: (float(rep[k]) if rep[k] is not None else None)
+        for k in ("tp", "fp", "fn", "tn", "tpr", "tnr", "ppv", "npv", "acc", "f1")
+    }
+
+    print(json.dumps(report, indent=2, default=float))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
