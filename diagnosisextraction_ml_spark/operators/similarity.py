@@ -182,9 +182,10 @@ def bucketed_topk_pruned(
     only the probed bucket directories are read (verify with
     ``.explain`` — the scan shows the pruned partition count).
     """
-    probes = {_bucket_of(query, n_planes)}
+    qbucket = _bucket_of(query, n_planes)
+    probes = {qbucket}
     if multiprobe_hamming >= 1:
-        probes |= {next(iter(probes)) ^ (1 << b) for b in range(n_planes)}
+        probes |= {qbucket ^ (1 << b) for b in range(n_planes)}
     q = query_vector_lit(query)
     corpus = spark.read.parquet(path)
     return (
