@@ -141,6 +141,130 @@ def lsh_bucketed_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic Lloyd iterations → k centroids (IVF training).
+
+    MLlib's KMeans carries RNG/model state; this variant follows the
+    repo's hashing doctrine so the same corpus always yields the same
+    centroids on any cluster:
+
+    - init: the k rows with the smallest md5(id) (hash-random, stable);
+    - assign: argmin cosine distance over broadcast centroid literals
+      (pure expressions — see :func:`nearest_centroid_expr`);
+    - update: per-(cluster, dim) mean via posexplode + DECIMAL-exact
+      sums (float summation order would otherwise make centroids
+      partition-dependent).
+
+    Driver holds only k·dim floats. Each iteration is one shuffle
+    (the groupBy(cluster, dim)).
+    """
+    init = (
+        df.select(id_col, vec_col)
+        .orderBy(md5_hash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(v) for v in r[vec_col]] for r in init]
+    for _ in range(iters):
+        assigned = df.select(
+            nearest_centroid_expr(F.col(vec_col), centroids).alias("cluster"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        means = (
+            assigned.groupBy("cluster", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(27,12)")) / F.count("*")
+                ).cast("double").alias("m")
+            )
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep position
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        for c_idx, dims in by_cluster.items():
+            for d_idx, m in dims.items():
+                new[c_idx][d_idx] = m
+        centroids = new
+    return centroids
+
+
+def nearest_centroid_expr(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the nearest centroid by cosine distance.
+
+    One distance expression per centroid (literal arrays broadcast in
+    the plan), argmin via array_position of the array minimum —
+    deterministic first-match on exact ties.
+    """
+    dists = F.array(
+        *[
+            (F.lit(1.0) - cosine_expr(vec_col, query_vector_lit(c)))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def write_ivf_corpus(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus partitioned by its nearest-centroid cluster.
+
+    The learned-partition sibling of :func:`write_bucketed_corpus`: a
+    probe computes its query's nearest clusters driver-side and reads
+    only those partitions (see :func:`ivf_topk_pruned`).
+    """
+    (
+        df.withColumn("cluster", nearest_centroid_expr(F.col(vec_col), centroids))
+        .write.mode(mode)
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+
+
+def ivf_topk_pruned(
+    spark,
+    path: str,
+    query: Sequence[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: rank clusters by query-centroid cosine driver-side,
+    scan only the ``n_probe`` nearest partitions, exact-rerank."""
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    order = sorted(range(len(centroids)), key=lambda i: (-cos(query, centroids[i]), i))
+    probes = order[:n_probe]
+    q = query_vector_lit(query)
+    corpus = spark.read.parquet(path)
+    return (
+        corpus.filter(F.col("cluster").isin(probes))
+        .select(F.col(id_col), F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def write_bucketed_corpus(
     df: DataFrame,
     path: str,

@@ -448,6 +448,22 @@ register("sim_pairwise_topk", None)(
 )
 
 
+def _sim_ivf_assign(spark, sf_dir):
+    """Deterministic k-means IVF training + cluster occupancy."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=8, iters=2)
+    return (
+        emb.select(
+            similarity.nearest_centroid_expr(F.col("embedding"), cents).alias("cluster")
+        )
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+register("sim_ivf_assign", None)(_sim_ivf_assign)
+
+
 # ===========================================================================
 # Evaluation (E2/E3/E8/E10 — the curve engine through the oracle)
 # ===========================================================================

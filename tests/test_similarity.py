@@ -99,3 +99,33 @@ def test_bucketed_corpus_partition_pruning(spark, sf_dir, tmp_path):
 
     mem = [r["vec_id"] for r in lsh_bucketed_topk(emb, q, k=5, n_planes=4).collect()]
     assert [r["vec_id"] for r in rows] == mem
+
+
+def test_kmeans_ivf_corpus(spark, sf_dir, tmp_path):
+    from diagnosisextraction_ml_spark.operators.similarity import (
+        ivf_topk_pruned,
+        kmeans_centroids,
+        nearest_centroid_expr,
+        write_ivf_corpus,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids(emb, k=8, iters=2)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    # deterministic under repartitioning (hash init + decimal means)
+    again = kmeans_centroids(emb.repartition(7), k=8, iters=2)
+    assert cents == again
+
+    # assignment covers all rows, 0-based cluster ids
+    assigned = emb.select(nearest_centroid_expr(F.col("embedding"), cents).alias("c"))
+    vals = {r["c"] for r in assigned.distinct().collect()}
+    assert vals <= set(range(8)) and len(vals) >= 2
+
+    path = str(tmp_path / "ivf")
+    write_ivf_corpus(emb, path, cents)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = ivf_topk_pruned(spark, path, q, cents, k=5, n_probe=2)
+    rows = out.collect()
+    assert rows[0]["vec_id"] == 0  # query's own cluster is probed first
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
