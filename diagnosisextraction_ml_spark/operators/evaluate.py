@@ -286,8 +286,11 @@ def swarm_points(
     n = df.count()
     if n <= max_points:
         return df.select(F.col(label_col).alias("label"), F.col(score_col).alias("score"))
-    buckets = 1_000_000
-    cut = int(max_points / n * buckets)
+    # Scale the bucket count with n so the keep-fraction never floors to
+    # zero: at n > max_points·1e6 a fixed 1e6-bucket grid would truncate
+    # cut to 0 and return nothing at exactly the scale sampling matters.
+    buckets = max(1_000_000, n)
+    cut = max(1, int(max_points / n * buckets))
     key = F.col(key_col) if key_col else F.col(score_col)
     h = (
         F.conv(

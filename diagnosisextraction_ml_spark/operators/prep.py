@@ -147,13 +147,22 @@ def merge_on_column_salted(
 # V1-V7 — shuffle / balance / resample / split / subset / set ops
 # --------------------------------------------------------------------------
 
-def shuffle_rows(df: DataFrame, seed: int) -> DataFrame:
+def shuffle_rows(df: DataFrame, seed: int, key: Column | str | None = None) -> DataFrame:
     """V1 — deterministic row shuffle. Ref: df.sample(frac=1, random_state).
 
     Spark DataFrames are unordered; this exists only for parity with
-    order-sensitive reference steps. Uses ``rand(seed)`` ordering.
+    order-sensitive reference steps. Ordering follows the repo's hashing
+    doctrine (functions/hashing.py): md5 of (key, seed) — ``rand(seed)``
+    is partition-dependent, so the same seed would yield a different
+    order after a repartition. Without an explicit ``key`` the hash
+    covers every column (content-addressed order).
     """
-    return df.orderBy(F.rand(seed))
+    if key is None:
+        keyc = F.concat_ws("␟", *[F.col(c).cast("string") for c in df.columns])
+    else:
+        keyc = (F.col(key) if isinstance(key, str) else key).cast("string")
+    h = F.md5(F.concat_ws("§", keyc, F.lit(str(seed))))
+    return df.orderBy(h, keyc)
 
 
 def downsample_to_balance(

@@ -364,6 +364,11 @@ def pairwise_topk_join(
 
     ``exact=True`` keeps the old broadcast-cartesian exact rerank for
     tiny query sets (≤10³) where full recall matters more than cost.
+    NOTE: the default changed to the bucketed path in round 2 — callers
+    needing full recall must opt in with ``exact=True``. The bucketed
+    default's neighbor set (hamming-≤1 candidate recall) is pinned
+    exactly by the ``sim_pairwise_topk`` driver oracle, so recall drift
+    in the approximate path is hash-detected, not trust-me.
 
     Output: (query_id, neighbor_id, cosine, rank ≤ k).
     """

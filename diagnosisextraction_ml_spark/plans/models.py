@@ -75,13 +75,20 @@ class WordMatchModel(Transformer, DefaultParamsReadable, DefaultParamsWritable):
     (src/TextClassification.py:57-75); targets from notebook cell 36.
     """
 
+    targets = Param(Params._dummy(), "targets", "match target phrases")
+    inputCol = Param(Params._dummy(), "inputCol", "text column name")
+
+    @keyword_only
     def __init__(self, targets: tuple[str, ...] = RA_TARGETS, input_col: str = "Text"):
         super().__init__()
-        self._targets = tuple(targets)
-        self._input_col = input_col
+        self._setDefault(targets=list(RA_TARGETS), inputCol="Text")
+        self._set(targets=list(targets), inputCol=input_col)
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        hit = word_match_expr(F.lower(F.col(self._input_col)), self._targets)
+        hit = word_match_expr(
+            F.lower(F.col(self.getOrDefault(self.inputCol))),
+            tuple(self.getOrDefault(self.targets)),
+        )
         return df.withColumn("p1", hit.cast("double")).withColumn(
             "prediction", hit.cast("double")
         )
@@ -91,42 +98,60 @@ class DummyStratified(Estimator, DefaultParamsReadable, DefaultParamsWritable):
     """M8 — sklearn DummyClassifier(strategy='stratified') equivalent.
 
     Fits the train prevalence; predicts positive with that probability
-    via a deterministic md5 coin on ``key_col`` (the engine's hashing
+    via a deterministic md5 coin on ``keyCol`` (the engine's hashing
     doctrine — ``F.rand(seed)`` is partition-dependent, so the same
     row would flip differently on different cluster layouts).
+
+    State lives in pyspark.ml Params (not plain attributes) so
+    DefaultParamsWritable round-trips it — a loaded instance predicts
+    identically to the saved one.
     """
 
+    labelCol = Param(Params._dummy(), "labelCol", "label column name")
+    keyCol = Param(Params._dummy(), "keyCol", "hash-coin key column name")
+    seed = Param(Params._dummy(), "seed", "deterministic-coin seed")
+
+    @keyword_only
     def __init__(self, label_col: str = "label", key_col: str = "Text", seed: int = SEED):
         super().__init__()
-        self._label_col = label_col
-        self._key_col = key_col
-        self._seed = seed
+        self._setDefault(labelCol="label", keyCol="Text", seed=SEED)
+        self._set(labelCol=label_col, keyCol=key_col, seed=seed)
 
     def _fit(self, df: DataFrame) -> "DummyStratifiedModel":
-        prevalence = df.agg(F.avg(F.col(self._label_col).cast("double"))).collect()[0][0]
+        label_col = self.getOrDefault(self.labelCol)
+        prevalence = df.agg(F.avg(F.col(label_col).cast("double"))).collect()[0][0]
         return DummyStratifiedModel(
-            prevalence=float(prevalence or 0.0), key_col=self._key_col, seed=self._seed
+            prevalence=float(prevalence or 0.0),
+            key_col=self.getOrDefault(self.keyCol),
+            seed=self.getOrDefault(self.seed),
         )
 
 
 class DummyStratifiedModel(Transformer, DefaultParamsReadable, DefaultParamsWritable):
+    prevalence = Param(Params._dummy(), "prevalence", "fitted positive prevalence")
+    keyCol = Param(Params._dummy(), "keyCol", "hash-coin key column name")
+    seed = Param(Params._dummy(), "seed", "deterministic-coin seed")
+
+    @keyword_only
     def __init__(self, prevalence: float = 0.5, key_col: str = "Text", seed: int = SEED):
         super().__init__()
-        self._prevalence = prevalence
-        self._key_col = key_col
-        self._seed = seed
+        self._setDefault(prevalence=0.5, keyCol="Text", seed=SEED)
+        self._set(prevalence=float(prevalence), keyCol=key_col, seed=seed)
 
     def _transform(self, df: DataFrame) -> DataFrame:
+        key_col = self.getOrDefault(self.keyCol)
+        seed = self.getOrDefault(self.seed)
+        prev = self.getOrDefault(self.prevalence)
         h = F.conv(
             F.substring(
-                F.md5(F.concat_ws("§", F.col(self._key_col).cast("string"), F.lit(str(self._seed)))),
+                F.md5(F.concat_ws("§", F.col(key_col).cast("string"), F.lit(str(seed)))),
                 1,
                 15,
             ),
             16,
             10,
         ).cast("long")
-        coin = ((h % 1_000_000) < F.lit(int(self._prevalence * 1_000_000))).cast("double")
+        coin = ((h % 1_000_000) < F.lit(int(prev * 1_000_000))).cast("double")
         return df.withColumn("p1", coin).withColumn("prediction", coin)
 
 

@@ -200,23 +200,39 @@ register(
 # doc_stats — the full textstats projection (validates md5_hash64_sql)
 # ---------------------------------------------------------------------------
 
-def _doc_stats_sql() -> str:
-    c = "text"
+def _sw_ratio_sql(c: str) -> str:
     toks = _toks_sql(f"lower({c})")
     sw = _sql_list(ENGLISH_STOPWORDS)
     n_sw = f"len(list_filter({toks}, t -> list_contains({sw}, t)))"
     n_toks = f"len({toks})"
-    sw_ratio = f"(CASE WHEN {n_toks} > 0 THEN {n_sw} / {n_toks} ELSE 0.0 END)"
+    return f"(CASE WHEN {n_toks} > 0 THEN {n_sw} / {n_toks} ELSE 0.0 END)"
+
+
+def _punct_ratio_sql(c: str) -> str:
     nonspace = f"length(regexp_replace({c}, '\\s', '', 'g'))"
     punct = f"length(regexp_replace({c}, '[a-zA-Z0-9\\s]', '', 'g'))"
-    punct_ratio = f"(CASE WHEN {nonspace} > 0 THEN {punct} / {nonspace} ELSE 0.0 END)"
+    return f"(CASE WHEN {nonspace} > 0 THEN {punct} / {nonspace} ELSE 0.0 END)"
+
+
+def _quality_sql(c: str) -> str:
+    """DuckDB twin of textstats.quality_score (shared by doc_stats and
+    pipeline_llm_prep so the two oracles cannot drift)."""
     len_score = f"least(length({c}) / 500.0, 1.0)"
-    punct_pen = f"(1.0 - least({punct_ratio} * 2.0, 1.0))"
-    sw_score = f"least({sw_ratio} * 4.0, 1.0)"
-    quality = (
+    punct_pen = f"(1.0 - least({_punct_ratio_sql(c)} * 2.0, 1.0))"
+    sw_score = f"least({_sw_ratio_sql(c)} * 4.0, 1.0)"
+    return (
         f"(CASE WHEN length({c}) = 0 THEN 0.0 "
         f"ELSE round(({len_score} + {punct_pen} + {sw_score}) / 3.0, 6) END)"
     )
+
+
+def _doc_stats_sql() -> str:
+    c = "text"
+    toks = _toks_sql(f"lower({c})")
+    n_toks = f"len({toks})"
+    sw_ratio = _sw_ratio_sql(c)
+    punct_ratio = _punct_ratio_sql(c)
+    quality = _quality_sql(c)
     en40 = _sql_list(ENGLISH_STOPWORDS[:40])
     nl40 = _sql_list(DUTCH_STOPWORDS[:40])
     n_en = f"len(list_filter({toks}, t -> list_contains({en40}, t)))"
@@ -372,10 +388,46 @@ register("dedup_jaccard_pairs", _jaccard_sql())(
 )
 
 
-# LSH banding: registered rows-only (the band-key string-agg SQL would
-# only restate the Spark plan; correctness of the parts is pinned by
-# dedup_minhash_sigs + tests/test_dedup.py).
-register("dedup_lsh_band_pairs", None)(
+def _lsh_band_pairs_sql(k: int, bands: int, max_bucket: int = 1000) -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs (3-gram shingles).
+
+    Same pipeline: distinct 3-gram shingles → md5-arithmetic minhash
+    (reusing the dedup_minhash_sigs recipe) → band keys (minhash values
+    in i-order) → in-bucket C(n,2) pair expansion with the max_bucket
+    cap. Grouping by (band, band_key) is the md5 bucket modulo
+    collisions.
+    """
+    toks = _toks_sql("lower(text)")
+    grams = (
+        "list_distinct([array_to_string(t[i+1:i+3], ' ') "
+        "for i in range(0, greatest(len(t)-3, 0)+1)])"
+    )
+    rpb = k // bands
+    return f"""
+    WITH corpus AS ({_DUP_UNION_SQL}),
+    tt AS (SELECT doc_id, {toks} AS t FROM corpus),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id, unnest({grams}) AS shingle FROM tt) WHERE shingle != ''),
+    hx AS (SELECT doc_id, {md5_hash64_sql('shingle')} % {M31} AS x FROM sh),
+    expanded AS (SELECT doc_id, x, i
+                 FROM hx CROSS JOIN (SELECT unnest(range(0, {k})) AS i) ids),
+    sigs AS (SELECT doc_id, i,
+                    min((((i * {KNUTH} + 1) % {M31}) * x % {M31} + (i * 40503 + 7) % {M31}) % {M31}) AS minhash
+             FROM expanded GROUP BY doc_id, i),
+    banded AS (SELECT doc_id, CAST(i // {rpb} AS INT) AS band,
+                      string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i) AS band_key
+               FROM sigs GROUP BY doc_id, CAST(i // {rpb} AS INT)),
+    bu AS (SELECT band, band_key, list_sort(list(doc_id)) AS ids
+           FROM banded GROUP BY band, band_key
+           HAVING count(*) >= 2 AND count(*) <= {max_bucket}),
+    pa AS (SELECT ids, unnest(ids) AS id_a FROM bu),
+    pb AS (SELECT id_a, unnest(ids) AS id_b FROM pa)
+    SELECT id_a, id_b, count(*) AS n_bands_shared
+    FROM pb WHERE id_a < id_b GROUP BY id_a, id_b
+    """
+
+
+register("dedup_lsh_band_pairs", _lsh_band_pairs_sql(k=16, bands=4))(
     lambda spark, sf_dir: dedup.minhash_lsh_pairs(
         _dup_union(spark, sf_dir), "text", "doc_id", shingle_n=3, k=16, bands=4
     )
@@ -392,10 +444,49 @@ def _emb_with_dups(spark, sf_dir):
     return emb.unionByName(dups)
 
 
-# Embedding near-dup: rows-only (the LSH-blocked candidate join; exact
-# cosine arithmetic is oracle-pinned by sim_bruteforce_topk, recall by
-# tests/test_dedup.py).
-register("dedup_embedding_near", None)(
+def _lsh_bucket_sql(ev: str, n_planes: int = 8) -> str:
+    """DuckDB twin of similarity.lsh_bucket_expr / _bucket_of.
+
+    Same Knuth-hash hyperplanes: component j of plane p is
+    ((p·KNUTH + j·40503 + 12345) mod M31) - M31/2, dotted against the
+    vector with list_dot_product (sequential summation — matches
+    Spark's zip_with+aggregate fold order bit-for-bit, as already
+    validated by the green sim_bruteforce_topk oracle).
+    """
+    terms = []
+    for p in range(n_planes):
+        w = (
+            f"[CAST((({p} * {KNUTH} + j * 40503 + 12345) % {M31}) AS DOUBLE)"
+            f" - {M31} / 2.0 for j in range(0, len({ev}))]"
+        )
+        terms.append(
+            f"(CASE WHEN list_dot_product({ev}, {w}) > 0 THEN {2**p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_EMB_DUP_UNION_SQL = """
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+register(
+    "dedup_embedding_near",
+    f"""
+    WITH corpus AS ({_EMB_DUP_UNION_SQL}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM corpus),
+    b AS (SELECT vec_id, ev, CAST({_lsh_bucket_sql('ev')} AS BIGINT) AS bucket FROM e),
+    pairs AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(list_dot_product(a.ev, c.ev)
+                   / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(c.ev, c.ev))),
+                   6) AS cosine
+      FROM b a JOIN b c
+        ON bit_count(xor(a.bucket, c.bucket)) <= 1 AND a.vec_id < c.vec_id)
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.98
+    """,
+)(
     lambda spark, sf_dir: dedup.embedding_near_dup_pairs(
         _emb_with_dups(spark, sf_dir), threshold=0.98
     )
@@ -431,15 +522,56 @@ register(
     )
 )
 
-# Approximate paths: rows-only (recall/plan-shape is pinned by
-# tests/test_similarity.py against the exact path).
-register("sim_lsh_topk", None)(
+# Approximate paths — fully oracle-checked: the Knuth-hyperplane bucket
+# arithmetic is deterministic integer/float math both engines reproduce
+# bit-for-bit, so even the *approximate* neighbor sets are hash-pinned
+# (recall drift in the LSH path would break the oracle, not slip by).
+
+def _probe_list_sql(qb: str, n_planes: int = 8) -> str:
+    """[qb] ∪ its hamming-1 neighbors — the multiprobe set."""
+    probes = [qb] + [f"xor({qb}, {1 << p})" for p in range(n_planes)]
+    return "[" + ", ".join(probes) + "]"
+
+
+register(
+    "sim_lsh_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    b AS (SELECT vec_id, ev, CAST({_lsh_bucket_sql('ev')} AS BIGINT) AS bucket FROM e),
+    q AS (SELECT ev AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+    pr AS (SELECT DISTINCT unnest({_probe_list_sql('qb')}) AS pb FROM q)
+    SELECT b.vec_id,
+           round(list_dot_product(ev, qv)
+                 / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+    FROM b, q WHERE b.bucket IN (SELECT pb FROM pr)
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)(
     lambda spark, sf_dir: similarity.lsh_bucketed_topk(
         _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10
     )
 )
 
-register("sim_pairwise_topk", None)(
+register(
+    "sim_pairwise_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    b AS (SELECT vec_id, ev, CAST({_lsh_bucket_sql('ev')} AS BIGINT) AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, ev AS qv, bucket AS qb FROM b WHERE vec_id < 20),
+    pairs AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, c.ev)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.ev, c.ev))),
+                   6) AS cosine
+      FROM q JOIN b c ON bit_count(xor(q.qb, c.bucket)) <= 1
+      WHERE q.query_id != c.vec_id),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS "rank"
+               FROM pairs)
+    SELECT query_id, neighbor_id, cosine, "rank" FROM ranked WHERE "rank" <= 5
+    """,
+)(
     lambda spark, sf_dir: similarity.pairwise_topk_join(
         _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20),
         _t(spark, sf_dir, "embeddings"),
@@ -706,8 +838,8 @@ def _pipeline_llm_prep(spark, sf_dir):
     filter and dedup prune *before* the chunk fan-out multiplies rows,
     so Catalyst sees the row-count shape a 100 TB run needs.
 
-    Registered rows-only (every stage is individually oracle-checked:
-    doc_stats / dedup_exact_groups / text_chunk_documents)."""
+    Oracle-checked end-to-end: the SQL twin chains the (already green)
+    quality / exact-dedup / chunking recipes as CTEs."""
     from diagnosisextraction_ml_spark.operators.textstats import (
         chunk_documents,
         quality_score,
@@ -726,7 +858,32 @@ def _pipeline_llm_prep(spark, sf_dir):
     )
 
 
-register("pipeline_llm_prep", None)(_pipeline_llm_prep)
+def _pipeline_llm_prep_sql() -> str:
+    toks = _toks_sql("text")
+    fp = "md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH corpus AS ({_DUP_UNION_SQL}),
+    gated AS (SELECT doc_id, text FROM corpus WHERE {_quality_sql('text')} >= 0.3),
+    sole AS (SELECT doc_id, text FROM gated
+             QUALIFY row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) = 1),
+    t AS (SELECT doc_id, {toks} AS toks FROM sole),
+    p AS (SELECT doc_id, toks, len(toks) AS sz,
+                 CAST(greatest(ceil((len(toks) - {_OVERLAP}) / {_STEP}.0), 1) AS INT) AS n_chunks
+          FROM t),
+    c AS (SELECT doc_id,
+                 unnest([{{'chunk_idx': i,
+                           'chunk': array_to_string(toks[i*{_STEP}+1 : i*{_STEP}+{_CHUNK}], ' '),
+                           'n_tokens': least(sz - i*{_STEP}, {_CHUNK})}}
+                         for i in range(0, n_chunks)]) AS ch
+          FROM p)
+    SELECT doc_id, CAST(ch.chunk_idx AS INT) AS chunk_idx,
+           CAST(ch.n_tokens AS INT) AS n_tokens,
+           CAST(len({_toks_sql('ch.chunk')}) AS INT) AS n_tokens_check
+    FROM c WHERE ch.chunk != ''
+    """
+
+
+register("pipeline_llm_prep", _pipeline_llm_prep_sql())(_pipeline_llm_prep)
 
 
 _TYPO_VOCAB = [

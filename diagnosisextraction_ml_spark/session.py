@@ -49,6 +49,11 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
+        # Pin the session timezone: timestamp parsing (unix_timestamp) and
+        # window boundaries must not depend on the host's local zone — the
+        # DuckDB oracle computes epoch() on naive timestamps (UTC), so a
+        # non-UTC host would silently diverge on every ts-derived value.
+        .config("spark.sql.session.timeZone", "UTC")
         # Arrow transfer for pandas UDFs / mapInPandas (the only Python
         # hot paths we allow are Arrow-batched).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

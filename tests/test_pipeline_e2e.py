@@ -73,3 +73,37 @@ def test_model_save_load_round_trip(spark, reference_dir, tmp_path):
         (r["PATNR"], round(r["p1"], 9)) for r in loaded.transform(train).select("PATNR", "p1").collect()
     )
     assert a == b
+
+
+def test_param_models_save_load_round_trip(spark, reference_dir, tmp_path):
+    """S4 — Dummy/WordMatching state (prevalence, key, targets) must
+    survive save/load: their state lives in ml Params, not plain
+    attributes, so DefaultParamsWritable actually serializes it."""
+    from pyspark.ml import PipelineModel
+
+    train = binarize_label(
+        read_patient_cache(spark, f"{reference_dir}/sample_data/autocorrect_dummydata.csv"),
+        "Outcome",
+        "label",
+    ).limit(200)
+    for name in ("Dummy", "WordMatching"):
+        model = build_model_pipeline(name).fit(train)
+        path = str(tmp_path / f"{name}_model")
+        model.write().overwrite().save(path)
+        loaded = PipelineModel.load(path)
+        a = sorted(
+            (r["PATNR"], r["p1"]) for r in model.transform(train).select("PATNR", "p1").collect()
+        )
+        b = sorted(
+            (r["PATNR"], r["p1"]) for r in loaded.transform(train).select("PATNR", "p1").collect()
+        )
+        assert a == b
+    # the fitted prevalence itself must round-trip (not reset to the default)
+    dummy = build_model_pipeline("Dummy").fit(train).stages[0]
+    path = str(tmp_path / "dummy_stage")
+    dummy.write().overwrite().save(path)
+    from diagnosisextraction_ml_spark.plans.models import DummyStratifiedModel
+
+    reloaded = DummyStratifiedModel.load(path)
+    assert reloaded.getOrDefault(reloaded.prevalence) == dummy.getOrDefault(dummy.prevalence)
+    assert reloaded.getOrDefault(reloaded.keyCol) == dummy.getOrDefault(dummy.keyCol)
