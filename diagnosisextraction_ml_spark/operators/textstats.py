@@ -29,11 +29,21 @@ def _txt(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def ws_tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens (argless-split semantics: empty → []).
+
+    The shared tokenization every per-document stat derives from —
+    :func:`document_stats` projects it once and feeds all consumers, so
+    the hot map stage splits each text a single time instead of once
+    per statistic.
+    """
+    c = F.lower(_txt(col))
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
 def token_count_ws(col: Column | str) -> Column:
     """Whitespace token count (argless-split semantics: empty → 0)."""
-    c = _txt(col)
-    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
-    return F.size(toks)
+    return F.size(ws_tokens(col))
 
 
 def token_count_bpe_ish(col: Column | str) -> Column:
@@ -42,13 +52,16 @@ def token_count_bpe_ish(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
 
 
-def stopword_ratio(col: Column | str, stopwords: Sequence[str]) -> Column:
-    """Fraction of lowercase whitespace tokens that are stopwords."""
-    c = F.lower(_txt(col))
-    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+def stopword_ratio_of(toks: Column, stopwords: Sequence[str]) -> Column:
+    """Fraction of (pre-tokenized, lowercase) tokens that are stopwords."""
     sw = F.array(*[F.lit(w) for w in stopwords])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: Sequence[str]) -> Column:
+    """Fraction of lowercase whitespace tokens that are stopwords."""
+    return stopword_ratio_of(ws_tokens(col), stopwords)
 
 
 def punct_ratio(col: Column | str) -> Column:
@@ -59,6 +72,15 @@ def punct_ratio(col: Column | str) -> Column:
     return F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0))
 
 
+def quality_from_parts(n_chars: Column, punct: Column, sw: Column) -> Column:
+    """Quality score from pre-computed parts (length, punct-, stopword-ratio)."""
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.lit(1.0) - F.least(punct * 2.0, F.lit(1.0))
+    sw_score = F.least(sw * 4.0, F.lit(1.0))
+    score = F.round((len_score + punct_penalty + sw_score) / 3.0, 6)
+    return F.when(n_chars == 0, F.lit(0.0)).otherwise(score)
+
+
 def quality_score(col: Column | str, stopwords: Sequence[str] = ENGLISH_STOPWORDS) -> Column:
     """Composite [0,1] quality heuristic (length, punct, stopwords).
 
@@ -66,12 +88,9 @@ def quality_score(col: Column | str, stopwords: Sequence[str] = ENGLISH_STOPWORD
     docs, and docs with no function words score low.
     """
     c = _txt(col)
-    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
-    punct_penalty = F.lit(1.0) - F.least(punct_ratio(c) * 2.0, F.lit(1.0))
-    sw = stopword_ratio(c, stopwords)
-    sw_score = F.least(sw * 4.0, F.lit(1.0))
-    score = F.round((len_score + punct_penalty + sw_score) / 3.0, 6)
-    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(score)
+    return quality_from_parts(
+        F.length(c), punct_ratio(c), stopword_ratio(c, stopwords)
+    )
 
 
 def lang_id_expr(col: Column | str) -> Column:
@@ -81,8 +100,11 @@ def lang_id_expr(col: Column | str) -> Column:
     distinct high-frequency function words per language in the text;
     highest count wins, ties → 'other'. Pure expressions → codegen.
     """
-    c = F.lower(_txt(col))
-    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    return lang_id_of(ws_tokens(col))
+
+
+def lang_id_of(toks: Column) -> Column:
+    """Language ID from pre-tokenized lowercase tokens."""
     en = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS[:40]])
     nl = F.array(*[F.lit(w) for w in DUTCH_STOPWORDS[:40]])
     n_en = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
@@ -107,18 +129,43 @@ def fingerprint_expr(col: Column | str) -> Column:
 
 
 def document_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """All per-document text stats in one projection (single map stage)."""
+    """All per-document text stats in one map stage, tokenizing once.
+
+    Structured as three stacked projections sharing the token array and
+    the raw ratios. Catalyst's CollapseProject keeps a non-cheap alias
+    that is referenced more than once (``__toks`` feeds four stats,
+    ``__sw``/``__punct`` feed two each) instead of inlining it, so the
+    physical plan evaluates each shared expression a single time while
+    the three Projects still fuse into one WholeStageCodegen span with
+    zero Exchanges (asserted in tests/test_plans.py).
+    """
     c = F.col(text_col)
-    return df.select(
+    with_toks = df.select(
+        F.col(id_col), c.alias("__text"), ws_tokens(c).alias("__toks")
+    )
+    t, toks = F.col("__text"), F.col("__toks")
+    mid = with_toks.select(
         F.col(id_col),
-        F.length(c).alias("n_chars_computed"),
-        token_count_ws(c).alias("n_tokens_ws"),
-        token_count_bpe_ish(c).alias("n_tokens_bpe"),
-        F.round(stopword_ratio(c, ENGLISH_STOPWORDS), 6).alias("stopword_ratio_en"),
-        F.round(punct_ratio(c), 6).alias("punct_ratio"),
-        quality_score(c).alias("quality"),
-        lang_id_expr(c).alias("lang_pred"),
-        fingerprint_expr(c).alias("fingerprint"),
+        F.length(t).alias("n_chars_computed"),
+        F.size(toks).alias("n_tokens_ws"),
+        token_count_bpe_ish(t).alias("n_tokens_bpe"),
+        stopword_ratio_of(toks, ENGLISH_STOPWORDS).alias("__sw"),
+        punct_ratio(t).alias("__punct"),
+        lang_id_of(toks).alias("lang_pred"),
+        fingerprint_expr(t).alias("fingerprint"),
+    )
+    return mid.select(
+        F.col(id_col),
+        F.col("n_chars_computed"),
+        F.col("n_tokens_ws"),
+        F.col("n_tokens_bpe"),
+        F.round(F.col("__sw"), 6).alias("stopword_ratio_en"),
+        F.round(F.col("__punct"), 6).alias("punct_ratio"),
+        quality_from_parts(
+            F.col("n_chars_computed"), F.col("__punct"), F.col("__sw")
+        ).alias("quality"),
+        F.col("lang_pred"),
+        F.col("fingerprint"),
     )
 
 
