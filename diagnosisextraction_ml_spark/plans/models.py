@@ -14,10 +14,12 @@ of notebook cells 38/40. Semantic mappings (documented differences):
 - NeuralNetworks (M4) → MultilayerPerceptronClassifier on hashed
   features (layer sizes must be static).
 - DecisionTree (M5) → DecisionTreeClassifier (hashed dims, as M3).
-- SVM (M6): LinearSVC + sigmoid on the raw margin. sklearn's
-  probability=True runs internal Platt CV; the sigmoid preserves the
-  margin *ordering*, so ROC/PR-AUC are comparable and 0.5 maps to the
-  margin-0 decision boundary (SURVEY §7 hard part #2).
+- SVM (M6): LinearSVC + fitted Platt calibration on the raw margin
+  (1-D weighted LR with Platt target smoothing — see
+  :class:`PlattCalibrator`). Margin ordering is preserved, so
+  ROC/PR-AUC match the uncalibrated path; probability values now track
+  the train distribution like sklearn's probability=True
+  (SURVEY §7 hard part #2).
 - RandomForest (M7) → RandomForestClassifier (hashed dims).
 - Dummy (M8): stratified coin flip at train prevalence — an Estimator
   that fits the prevalence, then a deterministic-hash coin.
@@ -60,12 +62,93 @@ class ExtractScore(Transformer, DefaultParamsReadable, DefaultParamsWritable):
 class MarginSigmoid(Transformer, DefaultParamsReadable, DefaultParamsWritable):
     """``p1`` = sigmoid(margin) from LinearSVC's rawPrediction.
 
-    Order-preserving stand-in for Platt scaling (see module docstring).
+    Order-preserving *uncalibrated* sigmoid — superseded by
+    :class:`PlattCalibrator` in the SVM pipeline; kept for callers that
+    want the fixed mapping.
     """
 
     def _transform(self, df: DataFrame) -> DataFrame:
         margin = vector_to_array(F.col("rawPrediction")).getItem(1)
         return df.withColumn("p1", F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)))
+
+
+class PlattCalibrator(Estimator, DefaultParamsReadable, DefaultParamsWritable):
+    """M6 — fitted Platt scaling on the LinearSVC margin.
+
+    sklearn's ``SVC(probability=True)`` fits ``P(y=1|m) = σ(A·m + B)``
+    on (margin, label) pairs (Platt 1999); ref
+    src/TextClassification.py:603-606 relies on those probabilities and
+    notebook cell 86 thresholds them at 0.68. This stage fits the same
+    sigmoid as a 1-D logistic regression on the train-fold margins,
+    with Platt's target smoothing — each point contributes a positive
+    copy weighted ``t`` and a negative copy weighted ``1-t``, where
+    ``t₊ = (N₊+1)/(N₊+2)`` and ``t₋ = 1/(N₋+2)`` — so the calibration
+    problem is never separable and the unregularized fit cannot
+    diverge even when the SVC separates its own train set.
+
+    Documented difference from sklearn: Platt's targets come from
+    internal 3-fold CV margins there; here they come from the train
+    margins directly (one fit, no CV). The margin *ordering* is
+    preserved either way, so ROC/PR-AUC are identical to the
+    uncalibrated path — only probability values (and thus fixed
+    thresholds like 0.68) move.
+    """
+
+    labelCol = Param(Params._dummy(), "labelCol", "label column name")
+
+    @keyword_only
+    def __init__(self, label_col: str = "label"):
+        super().__init__()
+        self._setDefault(labelCol="label")
+        self._set(labelCol=label_col)
+
+    def _fit(self, df: DataFrame) -> "PlattSigmoidModel":
+        from pyspark.ml.functions import array_to_vector
+
+        label_col = self.getOrDefault(self.labelCol)
+        y = F.col(label_col).cast("double")
+        margin = vector_to_array(F.col("rawPrediction")).getItem(1)
+        counts = df.agg(
+            F.sum(y).alias("n_pos"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        n_pos = float(counts["n_pos"] or 0.0)
+        n_neg = float(counts["n"]) - n_pos
+        t_pos = (n_pos + 1.0) / (n_pos + 2.0)
+        t_neg = 1.0 / (n_neg + 2.0)
+        t = F.when(y == 1.0, F.lit(t_pos)).otherwise(F.lit(t_neg))
+        base = df.select(
+            array_to_vector(F.array(margin)).alias("__m"), t.alias("__t")
+        )
+        cal = base.select(
+            "__m", F.lit(1.0).alias("__y"), F.col("__t").alias("__w")
+        ).unionByName(
+            base.select("__m", F.lit(0.0).alias("__y"), (1.0 - F.col("__t")).alias("__w"))
+        )
+        lr = LogisticRegression(
+            featuresCol="__m", labelCol="__y", weightCol="__w", maxIter=100, regParam=0.0
+        )
+        m = lr.fit(cal)
+        return PlattSigmoidModel(a=float(m.coefficients[0]), b=float(m.intercept))
+
+
+class PlattSigmoidModel(Transformer, DefaultParamsReadable, DefaultParamsWritable):
+    """``p1`` = σ(a·margin + b) with fitted Platt coefficients."""
+
+    a = Param(Params._dummy(), "a", "fitted sigmoid slope")
+    b = Param(Params._dummy(), "b", "fitted sigmoid intercept")
+
+    @keyword_only
+    def __init__(self, a: float = 1.0, b: float = 0.0):
+        super().__init__()
+        self._setDefault(a=1.0, b=0.0)
+        self._set(a=float(a), b=float(b))
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        a = self.getOrDefault(self.a)
+        b = self.getOrDefault(self.b)
+        margin = vector_to_array(F.col("rawPrediction")).getItem(1)
+        z = F.lit(a) * margin + F.lit(b)
+        return df.withColumn("p1", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
 
 
 class WordMatchModel(Transformer, DefaultParamsReadable, DefaultParamsWritable):
@@ -202,7 +285,7 @@ def build_model_pipeline(
         return Pipeline(stages=[*tfidf(**_hashed_features(4096)), clf, ExtractScore()])
     if name == "SVM":
         clf = LinearSVC(featuresCol="features", labelCol=label_col, maxIter=100, regParam=0.01)
-        return Pipeline(stages=[*tfidf(), clf, MarginSigmoid()])
+        return Pipeline(stages=[*tfidf(), clf, PlattCalibrator(label_col=label_col)])
     if name == "RandomForest":
         clf = RandomForestClassifier(
             featuresCol="features", labelCol=label_col, seed=SEED, numTrees=100

@@ -107,3 +107,40 @@ def test_param_models_save_load_round_trip(spark, reference_dir, tmp_path):
     reloaded = DummyStratifiedModel.load(path)
     assert reloaded.getOrDefault(reloaded.prevalence) == dummy.getOrDefault(dummy.prevalence)
     assert reloaded.getOrDefault(reloaded.keyCol) == dummy.getOrDefault(dummy.keyCol)
+
+
+@pytest.mark.slow
+def test_platt_calibration_fits_and_round_trips(spark, reference_dir, tmp_path):
+    """M6 — PlattCalibrator: fitted sigmoid moves probabilities off the
+    fixed sigmoid(margin) mapping without changing the margin ordering
+    (so AUC is invariant), and the fitted (a, b) survive save/load."""
+    from pyspark.ml import PipelineModel
+
+    from diagnosisextraction_ml_spark.plans.models import PlattSigmoidModel
+
+    train = binarize_label(
+        read_patient_cache(spark, f"{reference_dir}/sample_data/autocorrect_dummydata.csv"),
+        "Outcome",
+        "label",
+    )
+    model = build_model_pipeline("SVM").fit(train)
+    platt = model.stages[-1]
+    assert isinstance(platt, PlattSigmoidModel)
+    a = platt.getOrDefault(platt.a)
+    # positive slope: calibration preserves the margin ordering
+    assert a > 0
+    # a fitted slope, not the fixed stand-in's implicit a=1, b=0
+    assert (a, platt.getOrDefault(platt.b)) != (1.0, 0.0)
+
+    scored = model.transform(train).select(
+        F.col("p1").alias("score"), F.col("label").alias("label")
+    )
+    auc = auc_rank(scored).collect()[0]["auc"]
+    assert auc > 0.9
+
+    path = str(tmp_path / "svm_platt")
+    model.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+    reloaded = loaded.stages[-1]
+    assert reloaded.getOrDefault(reloaded.a) == pytest.approx(a)
+    assert reloaded.getOrDefault(reloaded.b) == pytest.approx(platt.getOrDefault(platt.b))
