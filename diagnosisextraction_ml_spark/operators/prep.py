@@ -10,6 +10,7 @@ across partitionings and cluster sizes.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 import pandas as pd
@@ -257,6 +258,63 @@ def assign_folds(
         ).cast("long")
         out = out.withColumn(f"{prefix}_{r}", (h % n_folds).cast("int"))
     return out
+
+
+def assign_folds_exact(
+    df: DataFrame,
+    key: str,
+    n_splits: int = 10,
+    test_size: float = 0.5,
+    seed: int = 26062019,
+    order_col: str | None = None,
+    prefix: str = "split",
+) -> DataFrame:
+    """V4 — *exact* sklearn-ShuffleSplit replay (SURVEY §7 hard part 3).
+
+    The scale path is :func:`assign_folds` (hash folds, no driver
+    materialization). This compat knob reproduces the reference's
+    ShuffleSplit indices bit-for-bit (preset_CV10Folds,
+    src/NLP_functions.py:198-212 / splitData,
+    src/TextClassification.py:219-230): sklearn's ShuffleSplit draws
+    ``permutation = RandomState(seed).permutation(n)`` per split and
+    takes ``test = permutation[:ceil(test_size*n)]``,
+    ``train = permutation[n_test : n_test + floor((1-test_size)*n)]``
+    — plain published numpy arithmetic, no sklearn import needed.
+
+    Row order matters to sklearn (indices address the X array): rows
+    are numbered by ``order_col`` ascending (default: ``key``), which
+    must mirror the order the reference loaded its rows in.
+
+    The key column is collected to the driver (fold assignment is
+    metadata-sized — fine to ~10⁶ keys, documented non-goal beyond);
+    membership joins back via a broadcast map, adding one
+    ``{prefix}_{i}`` column per split with values 'train'/'test'
+    ('none' for rows unused when test_size+train_size < 1).
+    """
+    import numpy as np
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    order = order_col or key
+    keys = [r[0] for r in df.select(key).orderBy(F.col(order).asc()).collect()]
+    n = len(keys)
+    n_test = int(math.ceil(test_size * n))
+    n_train = int(math.floor((1.0 - test_size) * n))
+    rng = np.random.RandomState(seed)
+    membership: list[list[str]] = [["none"] * n_splits for _ in range(n)]
+    for s in range(n_splits):
+        perm = rng.permutation(n)
+        for idx in perm[:n_test]:
+            membership[idx][s] = "test"
+        for idx in perm[n_test : n_test + n_train]:
+            membership[idx][s] = "train"
+    key_field = df.schema[key]
+    schema = StructType(
+        [StructField(key, key_field.dataType)]
+        + [StructField(f"{prefix}_{s}", StringType()) for s in range(n_splits)]
+    )
+    rows = [(keys[i], *membership[i]) for i in range(n)]
+    mapping = df.sparkSession.createDataFrame(rows, schema)
+    return df.join(F.broadcast(mapping), on=key, how="left")
 
 
 def split_train_test(

@@ -90,3 +90,53 @@ def test_subset_union_intersect(spark):
     assert union_all([a, b]).count() == 4
     assert [r["x"] for r in intersect_rows(a, b).collect()] == [2]
     assert class_partition(a, "x", 1).count() == 1
+
+
+def test_assign_folds_exact_shufflesplit_parity(spark, reference_dir):
+    """V4 compat knob — assign_folds_exact replays sklearn ShuffleSplit
+    (RandomState(seed).permutation sliced at ceil/floor boundaries)
+    bit-for-bit on the 668-patient reference corpus, SEED=26062019.
+    The expectation here is an independent driver-side replay of the
+    published algorithm; the Spark path must broadcast-join the same
+    membership back onto the rows."""
+    import math
+
+    import numpy as np
+
+    from diagnosisextraction_ml_spark.operators.prep import assign_folds_exact
+    from diagnosisextraction_ml_spark.sources.readers import read_patient_cache
+
+    df = read_patient_cache(spark, f"{reference_dir}/sample_data/autocorrect_dummydata.csv")
+    seed, n_splits = 26062019, 10
+    out = assign_folds_exact(df, "PATNR", n_splits=n_splits, test_size=0.5, seed=seed)
+
+    keys = [r[0] for r in df.select("PATNR").orderBy(F.col("PATNR").asc()).collect()]
+    n = len(keys)
+    assert n == 668
+    n_test = int(math.ceil(0.5 * n))
+    n_train = int(math.floor(0.5 * n))
+    rng = np.random.RandomState(seed)
+    expected = {k: ["none"] * n_splits for k in keys}
+    for s in range(n_splits):
+        perm = rng.permutation(n)
+        for idx in perm[:n_test]:
+            expected[keys[idx]][s] = "test"
+        for idx in perm[n_test : n_test + n_train]:
+            expected[keys[idx]][s] = "train"
+
+    got = {
+        r["PATNR"]: [r[f"split_{s}"] for s in range(n_splits)]
+        for r in out.select("PATNR", *[f"split_{s}" for s in range(n_splits)]).collect()
+    }
+    assert got == expected
+    # every split is a clean 334/334 partition of the corpus
+    for s in range(n_splits):
+        marks = [got[k][s] for k in keys]
+        assert marks.count("test") == 334 and marks.count("train") == 334
+    # deterministic under repartitioning (the broadcast map is order-free)
+    again = assign_folds_exact(df.repartition(7), "PATNR", n_splits=n_splits, seed=seed)
+    got2 = {
+        r["PATNR"]: [r[f"split_{s}"] for s in range(n_splits)]
+        for r in again.select("PATNR", *[f"split_{s}" for s in range(n_splits)]).collect()
+    }
+    assert got2 == expected
