@@ -72,6 +72,50 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_first_seen_within_horizon(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Batch twin of ``streaming_dedup_exact``'s watermark mode.
+
+    Keeps the earliest row (ts asc, id asc) per (normalized-text
+    fingerprint, tumbling ``horizon`` window of ``ts``). This is the
+    oracle-adjacent batch statement of
+    ``dropDuplicatesWithinWatermark`` (streaming/events.py): both
+    guarantee duplicates closer than the horizon collapse to one
+    survivor while occurrences far enough apart each survive. Exact
+    boundary behavior differs — streaming expires state at
+    first-seen + delay as the watermark advances, the batch twin cuts
+    at fixed epoch-aligned window edges — the documented
+    approximation, hash-checked where it *can* be (this query), with
+    the true streaming semantics pinned by
+    tests/test_streaming.py::test_streaming_dedup_watermark_straddle.
+
+    Output: (id, fingerprint, window_start).
+    """
+    from pyspark.sql import Window
+
+    normalized = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    win = F.window(F.col(ts_col), horizon)
+    base = df.select(
+        F.col(id_col),
+        F.md5(normalized).alias("fingerprint"),
+        F.col(ts_col).alias("__ts"),
+        win["start"].alias("window_start"),
+    )
+    w = Window.partitionBy("fingerprint", "window_start").orderBy(
+        F.col("__ts").asc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "fingerprint", "window_start")
+    )
+
+
 # --------------------------------------------------------------------------
 # shingling + MinHash
 # --------------------------------------------------------------------------

@@ -295,6 +295,39 @@ register(
 )(lambda spark, sf_dir: dedup.exact_duplicates(_dup_union(spark, sf_dir)))
 
 
+def _docs_with_ts(spark, sf_dir):
+    """Dup-union corpus with a deterministic synthetic event time —
+    doc and its +1000000 twin land 6400 s (mod 7200) apart, so dup
+    pairs cover both same-window (collapsed) and cross-window
+    (both survive) cases of the horizon dedup."""
+    return _dup_union(spark, sf_dir).withColumn(
+        "ts",
+        F.to_timestamp(F.from_unixtime(F.lit(1600000000) + F.col("doc_id") % 7200)),
+    )
+
+
+register(
+    "dedup_first_seen_1h",
+    f"""
+    WITH corpus AS ({_DUP_UNION_SQL}),
+    w AS (SELECT doc_id, text,
+                 make_timestamp(CAST((1600000000 + doc_id % 7200) AS BIGINT) * 1000000) AS ts
+          FROM corpus),
+    fp AS (SELECT doc_id,
+                  md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fingerprint,
+                  ts, date_trunc('hour', ts) AS window_start
+           FROM w)
+    SELECT doc_id, fingerprint, window_start FROM fp
+    QUALIFY row_number() OVER (PARTITION BY fingerprint, window_start
+                               ORDER BY ts, doc_id) = 1
+    """,
+)(
+    lambda spark, sf_dir: dedup.dedup_first_seen_within_horizon(
+        _docs_with_ts(spark, sf_dir)
+    )
+)
+
+
 _MH_K = 8
 
 register(

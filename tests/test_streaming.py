@@ -134,3 +134,62 @@ def test_streaming_dedup_exact(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in rows)
     # one of the whitespace-equal pair survives, plus the distinct doc
     assert len(ids) == 2 and 3 in ids and (1 in ids or 2 in ids)
+
+
+def test_streaming_dedup_watermark_straddle(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics: a duplicate arriving
+    within the watermark horizon of the first occurrence is dropped;
+    once the watermark has advanced past the first occurrence's expiry,
+    the same text is treated as new and emitted again."""
+    import os
+    import time
+    from datetime import datetime, timezone
+
+    from diagnosisextraction_ml_spark.streaming.events import streaming_dedup_exact
+
+    def t(h, m=0):
+        return datetime(2021, 1, 1, h, m, tzinfo=timezone.utc).replace(tzinfo=None)
+
+    path = str(tmp_path / "late_docs")
+    os.makedirs(path)
+    schema = "doc_id long, text string, ts timestamp"
+    batches = [
+        # batch 1: first occurrence of A at 00:00
+        [(1, "dup text A", t(0))],
+        # batch 2: duplicate 30 min later (within the 1 h horizon ->
+        # dropped) + an unrelated doc at 04:00 that advances the
+        # watermark to 03:00, past A's expiry (01:00)
+        [(2, "dup text A", t(0, 30)), (10, "other doc", t(4))],
+        # batch 3: expired state is evicted at the END of the
+        # micro-batch that runs under the advanced watermark, so an
+        # intervening batch must complete before A's slot frees up
+        [(11, "yet another", t(4, 10))],
+        # batch 4: A again at 05:00, state evicted -> emitted as new
+        [(3, "dup text A", t(5))],
+    ]
+    # one file per micro-batch; file-source order follows modification
+    # time, pinned explicitly so the batches replay in sequence
+    for i, rows in enumerate(batches):
+        f = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(f)
+        part = [p for p in os.listdir(f) if p.endswith(".parquet")][0]
+        dst = f"{path}/batch_{i}.parquet"
+        os.rename(f"{f}/{part}", dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    out = streaming_dedup_exact(stream, ts_col="ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_straddle")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_straddle").collect())
+    # 1 survives, 2 is deduped within the horizon, 3 re-emits after
+    # state expiry, 10/11 pass through
+    assert ids == [1, 3, 10, 11]
