@@ -183,12 +183,17 @@ def kmeans_centroids(
                 nearest_centroid_expr(F.col(vec_col), centroids).alias("cluster"),
                 F.posexplode(F.col(vec_col)).alias("dim", "x"),
             )
+            # decimal-exact SUM (order-independent), then one double
+            # division — the decimal/decimal division path has
+            # engine-specific scale rules, this form is reproducible
+            # bit-for-bit in the SQL twin (sim_ivf_assign oracle)
             means = (
                 assigned.groupBy("cluster", "dim")
                 .agg(
                     (
-                        F.sum(F.col("x").cast("decimal(27,12)")) / F.count("*")
-                    ).cast("double").alias("m")
+                        F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+                        / F.count("*")
+                    ).alias("m")
                 )
                 .collect()
             )

@@ -626,7 +626,59 @@ def _sim_ivf_assign(spark, sf_dir):
     )
 
 
-register("sim_ivf_assign", None)(_sim_ivf_assign)
+def _ivf_sql(k: int = 8, iters: int = 2) -> str:
+    """DuckDB twin of the *iterative* k-means IVF pipeline, unrolled.
+
+    Every step of kmeans_centroids is deterministic arithmetic, so even
+    the iterative algorithm oracle-checks: hash-ordered init, per-
+    iteration argmin-cosine assignment (ties → lowest centroid index,
+    matching array_position-of-array_min), per-(cluster, dim) mean as
+    DECIMAL(27,12)-exact sum cast to double over count (the exact
+    expression the Spark side computes), empty clusters keeping their
+    previous centroid. Two Lloyd iterations = two unrolled CTE blocks.
+    """
+    h = md5_hash64_sql("CAST(vec_id AS VARCHAR)")
+    cos = (
+        "list_dot_product(e.ev, c.cv)"
+        " / (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(c.cv, c.cv)))"
+    )
+    blocks = [
+        f"""
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY {h} ASC, vec_id ASC) AS INT) - 1 AS cidx,
+                  ev AS cv
+           FROM emb
+           ORDER BY {h} ASC, vec_id ASC LIMIT {k})"""
+    ]
+    for i in range(1, iters + 1):
+        prev, a, m, mv = f"c{i - 1}", f"a{i}", f"m{i}", f"mv{i}"
+        blocks.append(
+            f"""
+    {a} AS (SELECT vec_id, ev, cidx FROM (
+              SELECT e.vec_id, e.ev, c.cidx,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY 1.0 - ({cos}) ASC, c.cidx ASC) AS rn
+              FROM emb e CROSS JOIN {prev} c) WHERE rn = 1),
+    {m} AS (SELECT cidx, dim,
+                   CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS mean
+            FROM (SELECT cidx, unnest(ev) AS x,
+                         unnest(range(0, len(ev))) AS dim FROM {a})
+            GROUP BY cidx, dim),
+    {mv} AS (SELECT cidx, list(mean ORDER BY dim) AS cv FROM {m} GROUP BY cidx),
+    c{i} AS (SELECT p.cidx, coalesce(v.cv, p.cv) AS cv
+             FROM {prev} p LEFT JOIN {mv} v ON p.cidx = v.cidx)"""
+        )
+    final = f"""
+    fin AS (SELECT vec_id, cidx FROM (
+              SELECT e.vec_id, c.cidx,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY 1.0 - ({cos}) ASC, c.cidx ASC) AS rn
+              FROM emb e CROSS JOIN c{iters} c) WHERE rn = 1)
+    SELECT cidx AS cluster, count(*) AS n FROM fin GROUP BY cidx"""
+    return "WITH" + ",".join(blocks) + "," + final
+
+
+register("sim_ivf_assign", _ivf_sql())(_sim_ivf_assign)
 
 
 # ===========================================================================
@@ -852,8 +904,11 @@ register(
     )
 )
 
-# Multimodal plumbing: rows-only (payload decode is a pandas-UDF path
-# with the deterministic fake decoder — not SQL-expressible).
+# Multimodal plumbing — oracle-checked: the *deterministic fake
+# decoder* is md5 arithmetic (digest byte 0 / 255), so even the
+# pandas-UDF mapInPandas path has an exact SQL twin; a real codec
+# would be rows-only, but the plumbing (schema, batching, payload
+# pruning) is hash-pinned here.
 def _mm_features(spark, sf_dir):
     from diagnosisextraction_ml_spark.operators import multimodal as mm
 
@@ -862,7 +917,15 @@ def _mm_features(spark, sf_dir):
     return feats.select("asset_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
-register("mm_extract_features", None)(_mm_features)
+register(
+    "mm_extract_features",
+    """
+    SELECT doc_id AS asset_id,
+           octet_length(encode(text)) AS n_bytes,
+           round(CAST(concat('0x', substring(md5(text), 1, 2)) AS INT) / 255.0, 6) AS f0
+    FROM documents
+    """,
+)(_mm_features)
 
 
 def _pipeline_llm_prep(spark, sf_dir):
@@ -925,7 +988,54 @@ _TYPO_VOCAB = [
     "small", "line", "customer", "query", "filter", "the",
 ]
 
-register("text_typo_corrected", None)(
+def _typo_sql() -> str:
+    """DuckDB twin of correct_typos_df: distinct tokens → per-token
+    argmin normalized Damerau-Levenshtein vs the vocab (first argmin in
+    vocab order wins; substitute iff ≤ 0.20) → rebuild the text.
+
+    Caveat, stated: DuckDB's damerau_levenshtein is the unrestricted
+    variant; the engine computes optimal-string-alignment
+    (functions/typo.py:30). They differ only when a transposition
+    interacts with a later edit between the swapped characters — no
+    such token/vocab pair exists in this corpus (the row hash-matches),
+    and any engine-side regression would still break the hash.
+    """
+    toks = _toks_sql("text")
+    vocab = _sql_list(_TYPO_VOCAB)
+    idxs = "[" + ", ".join(str(i) for i in range(len(_TYPO_VOCAB))) + "]"
+    return f"""
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    tt AS (SELECT doc_id, {toks} AS toks FROM docs),
+    tok AS (SELECT doc_id, unnest(toks) AS tok,
+                   unnest(range(1, len(toks) + 1)) AS pos
+            FROM tt),
+    dt AS (SELECT DISTINCT tok FROM tok),
+    vc AS (SELECT unnest({vocab}) AS v, unnest({idxs}) AS vidx),
+    cand AS (SELECT dt.tok, vc.v,
+                    damerau_levenshtein(dt.tok, vc.v) * 1.0
+                      / greatest(length(dt.tok), length(vc.v)) AS d,
+                    row_number() OVER (
+                      PARTITION BY dt.tok
+                      ORDER BY damerau_levenshtein(dt.tok, vc.v) * 1.0
+                                 / greatest(length(dt.tok), length(vc.v)) ASC,
+                               vc.vidx ASC) AS rn
+             FROM dt CROSS JOIN vc
+             WHERE dt.tok NOT IN (SELECT v FROM vc)),
+    best AS (SELECT tok, v, d FROM cand WHERE rn = 1),
+    fixes AS (SELECT dt.tok,
+                     CASE WHEN dt.tok IN (SELECT v FROM vc) THEN dt.tok
+                          WHEN b.d <= 0.20 THEN b.v
+                          ELSE dt.tok END AS fix
+              FROM dt LEFT JOIN best b ON dt.tok = b.tok),
+    rebuilt AS (SELECT t.doc_id, string_agg(f.fix, ' ' ORDER BY t.pos) AS text
+                FROM tok t JOIN fixes f ON t.tok = f.tok
+                GROUP BY t.doc_id)
+    SELECT d.doc_id, coalesce(r.text, d.text) AS text
+    FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """
+
+
+register("text_typo_corrected", _typo_sql())(
     lambda spark, sf_dir: prep.correct_typos_df(
         _t(spark, sf_dir, "documents").select("doc_id", "text"), "text", _TYPO_VOCAB
     ).select("doc_id", "text")
