@@ -1,0 +1,74 @@
+"""Scale-up generator: replicate a testdata sf directory N× with key remaps.
+
+Usage: python tools/gen_sf.py [src_dir] [dst_dir] [factor]
+Defaults: /root/testdata/sf0.1 /tmp/sf1 10
+
+Each copy i shifts every entity key by i·STRIDE (consistently across
+fact/dim tables, so joins stay referentially intact: copy i's lineitem
+rows join copy i's orders/part/supplier rows). region/nation stay fixed
+(TPC-H semantics). Timestamps keep their range — scale-up means more
+events per hour, not a longer history. Document texts are unchanged, so
+dedup operators see factor× duplicate multiplicity — deliberately a
+*harder* input for the sketching paths than organic scale.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+STRIDE = 10_000_000
+
+# table -> columns that carry entity keys to shift per copy
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+FIXED = ["region", "nation"]
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import functions as F
+
+    from diagnosisextraction_ml_spark import get_spark
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+
+    spark = get_spark("gen-sf")
+    os.makedirs(dst, exist_ok=True)
+    for t in FIXED:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+        print(f"{t}: copied")
+    for t, keys in KEY_COLS.items():
+        # load_table normalizes events' TIMESTAMP(NANOS) to micros —
+        # the generated copy is then plainly readable
+        base = load_table(spark, src, t)
+        copies = []
+        for i in range(factor):
+            c = base
+            for k in keys:
+                c = c.withColumn(k, (F.col(k) + F.lit(i * STRIDE)).cast(base.schema[k].dataType))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        n_part = max(4, out.rdd.getNumPartitions() // 2)
+        out.repartition(n_part).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        print(f"{t}: x{factor}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
