@@ -1,0 +1,131 @@
+"""Temporal joins (north-star extension — no reference counterpart).
+
+Training-data pipelines constantly need "attach the latest X as of
+this row's timestamp" (feature snapshots, model versions, account
+state). Spark has no native as-of join; the scale-correct composition
+is the union-and-carry pattern below — NOT a range cross-join:
+
+    tag sides → unionByName → one window partitioned by key ordered by
+    (ts, side) → last(value, ignorenulls) carries the right side's
+    attributes forward → keep left rows.
+
+Cost: exactly one shuffle (the window partitioning), state O(1) per
+row during the sort — the same shape as sessionization. A range
+condition expressed as a join predicate would instead make Catalyst
+fall back to a broadcast-nested-loop/cartesian product over each key's
+rows; this stays a single Exchange at any key cardinality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    value_cols: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    out_prefix: str = "asof_",
+) -> DataFrame:
+    """Backward (inclusive) as-of join.
+
+    For every ``left`` row, attach ``value_cols`` from the *latest*
+    ``right`` row of the same ``on`` key with
+    ``right_ts <= left_ts`` — i.e. DuckDB's
+    ``l ASOF LEFT JOIN r ON l.key = r.key AND l.ts >= r.ts``
+    (the ``asof_events_value`` driver oracle states exactly that).
+    Left rows with no prior right row get nulls.
+
+    Determinism: at equal (key, ts) the right row sorts before the
+    left row (inclusive match), and duplicate right rows at the same
+    (key, ts) are tie-broken by their value columns so the carried
+    value never depends on partition layout. Callers who care which
+    duplicate wins should pre-dedup the right side.
+
+    Output: every left column plus ``{out_prefix}{v}`` per value col.
+    """
+    on = list(on)
+    value_cols = list(value_cols)
+    carried = [f"__r_{v}" for v in value_cols]
+
+    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__side", F.lit(1)
+    )
+    for v, c in zip(value_cols, carried):
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[v].dataType))
+
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(c) for v, c in zip(value_cols, carried)],
+    )
+    for col_name in l_tagged.columns:
+        if col_name not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(
+                col_name, F.lit(None).cast(dict(l_tagged.dtypes)[col_name])
+            )
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), *[F.col(c).asc() for c in carried])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned
+    for v, c in zip(value_cols, carried):
+        out = out.withColumn(f"{out_prefix}{v}", F.last(F.col(c), ignorenulls=True).over(w))
+    return (
+        out.filter(F.col("__side") == 1)
+        .drop("__ts", "__side", *carried)
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Range join: point rows matched to [start, end) interval rows.
+
+    Naively this is a non-equi predicate, which Catalyst can only run
+    as a broadcast-nested-loop / cartesian per key. The scale shape is
+    *bucketization*: every interval explodes to the time buckets it
+    covers (⌈len/width⌉+1 rows — bounded fan-out when
+    ``bucket_width`` is chosen near the typical interval length), each
+    point maps to exactly one bucket, and the match becomes a hash
+    equi-join on (key..., bucket) + a residual predicate. Same trick
+    production range-join optimizers apply under the hood.
+
+    ``point_ts``/``start_col``/``end_col`` must be numeric (epoch
+    seconds); intervals require ``end >= start``. Output: all columns
+    of both inputs (point columns first), one row per matching pair.
+    """
+    on = list(on)
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width),
+                F.floor(F.col(end_col) / bucket_width),
+            )
+        ),
+    )
+    pt = points.withColumn("__b", F.floor(F.col(point_ts) / bucket_width))
+    return (
+        pt.join(iv, on=[*on, "__b"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("__b")
+    )

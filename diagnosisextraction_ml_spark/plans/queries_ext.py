@@ -36,7 +36,7 @@ from diagnosisextraction_ml_spark.functions.text import (
     tokenize_expr,
     word_match_expr,
 )
-from diagnosisextraction_ml_spark.operators import dedup, evaluate, prep, similarity, textstats
+from diagnosisextraction_ml_spark.operators import dedup, evaluate, joins, prep, similarity, textstats
 from diagnosisextraction_ml_spark.plans.queries import _t, register
 
 KNUTH = 2654435761
@@ -293,6 +293,76 @@ register(
     FROM corpus GROUP BY 1 HAVING count(*) > 1
     """,
 )(lambda spark, sf_dir: dedup.exact_duplicates(_dup_union(spark, sf_dir)))
+
+
+def _asof_events(spark, sf_dir):
+    """As-of join: every non-purchase event gets the user's latest
+    purchase value as of that event's timestamp (backward inclusive)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").asc())
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "event_id")
+    )
+    return joins.asof_join(
+        left, right, on=["user_id"], value_cols=["value"]
+    ).select("event_id", "user_id", F.col("asof_value"))
+
+
+register(
+    "asof_events_value",
+    """
+    WITH r AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase'
+               QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id) = 1),
+    l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase')
+    SELECT l.event_id, l.user_id, r.value AS asof_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)(_asof_events)
+
+
+def _interval_events(spark, sf_dir):
+    """Range join: every event inside a [purchase, purchase+30 min)
+    window of the same user, via the bucketized equi-join."""
+    ev = _t(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("es")
+    )
+    intervals = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + 1800).alias("e"),
+    )
+    return joins.interval_join(
+        points, intervals, on=["user_id"], point_ts="es",
+        start_col="s", end_col="e", bucket_width=1800,
+    ).select("event_id", "interval_id", "user_id")
+
+
+register(
+    "interval_events_30min",
+    """
+    WITH p AS (SELECT event_id, user_id, epoch(CAST(ts AS TIMESTAMP)) AS es
+               FROM events WHERE event_type <> 'purchase'),
+    iv AS (SELECT event_id AS interval_id, user_id,
+                  epoch(CAST(ts AS TIMESTAMP)) AS s,
+                  epoch(CAST(ts AS TIMESTAMP)) + 1800 AS e
+           FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, iv.interval_id, p.user_id
+    FROM p JOIN iv ON p.user_id = iv.user_id AND p.es >= iv.s AND p.es < iv.e
+    """,
+)(_interval_events)
 
 
 def _docs_with_ts(spark, sf_dir):

@@ -1,0 +1,125 @@
+"""Temporal joins — as-of semantics on hand-built data + plan shape."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from diagnosisextraction_ml_spark.operators.joins import asof_join
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", 10),   # before any right row -> null
+            (2, "u1", 20),   # exactly at right ts 20 -> inclusive match
+            (3, "u1", 25),   # between 20 and 30 -> carries 20's value
+            (4, "u1", 35),   # after 30 -> carries 30's value
+            (5, "u2", 50),   # other key: only u2's rights visible
+            (6, "u3", 50),   # key with no right rows at all -> null
+        ],
+        "event_id long, user_id string, ts long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 20, 200.0),
+            ("u1", 30, 300.0),
+            ("u2", 40, 400.0),
+        ],
+        "user_id string, ts long, value double",
+    )
+    out = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(left, right, on=["user_id"], value_cols=["value"]).collect()
+    }
+    assert out == {1: None, 2: 200.0, 3: 200.0, 4: 300.0, 5: 400.0, 6: None}
+
+
+def test_asof_join_single_exchange_no_join(spark):
+    """The union-and-carry plan has no join operator at all and exactly
+    one Exchange (the window partitioning) — the property that makes it
+    scale where a range-predicate join would go nested-loop."""
+    left = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("user_id"),
+        F.col("id").alias("ts"),
+    )
+    right = spark.range(10).select(
+        (F.col("id") % 7).alias("user_id"),
+        (F.col("id") * 9).alias("ts"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    plan = asof_join(left, right, on=["user_id"], value_cols=["value"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_asof_join_deterministic_under_repartition(spark):
+    left = spark.range(500).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 11).alias("user_id"),
+        (F.col("id") * 3).alias("ts"),
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 11).alias("user_id"),
+        (F.col("id") * 17).alias("ts"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    a = sorted(
+        map(tuple, asof_join(left, right, ["user_id"], ["value"]).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            asof_join(left.repartition(13), right.repartition(3), ["user_id"], ["value"]).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_interval_join_matches_bruteforce(spark):
+    from diagnosisextraction_ml_spark.operators.joins import interval_join
+
+    points = spark.range(200).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") * 7 % 400).alias("es"),
+    )
+    intervals = spark.range(30).select(
+        (F.col("id")).alias("iid"),
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") * 13 % 300).alias("s"),
+        (F.col("id") * 13 % 300 + 45).alias("e"),
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, intervals, ["k"], "es", "s", "e", bucket_width=32
+        ).collect()
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in points.join(intervals, "k")
+        .filter((F.col("es") >= F.col("s")) & (F.col("es") < F.col("e")))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_interval_join_is_equi_join(spark):
+    """Bucketization turns the range predicate into a hash equi-join —
+    no nested-loop/cartesian in the plan."""
+    from diagnosisextraction_ml_spark.operators.joins import interval_join
+
+    points = spark.range(10).select(
+        F.col("id").alias("pid"), (F.col("id") % 2).alias("k"), F.col("id").alias("es")
+    )
+    intervals = spark.range(4).select(
+        F.col("id").alias("iid"),
+        (F.col("id") % 2).alias("k"),
+        F.col("id").alias("s"),
+        (F.col("id") + 3).alias("e"),
+    )
+    plan = interval_join(points, intervals, ["k"], "es", "s", "e", 4)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
