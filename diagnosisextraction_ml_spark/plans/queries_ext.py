@@ -295,6 +295,38 @@ register(
 )(lambda spark, sf_dir: dedup.exact_duplicates(_dup_union(spark, sf_dir)))
 
 
+def _sessionized_counts(spark, sf_dir):
+    """Batch twin of streaming.sessionized_event_counts (session_window)."""
+    from diagnosisextraction_ml_spark.streaming.events import sessionized_event_counts
+
+    return sessionized_event_counts(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+register(
+    "stream_sessionized_counts",
+    """
+    WITH base AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events
+    ), flagged AS (
+      SELECT user_id, tsu,
+             CASE WHEN lag(tsu) OVER w IS NULL THEN 0
+                  WHEN epoch_us(tsu) - epoch_us(lag(tsu) OVER w) >= 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+    ), sessions AS (
+      SELECT user_id, tsu,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, min(tsu) AS session_start,
+           max(tsu) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)(_sessionized_counts)
+
+
 def _asof_events(spark, sf_dir):
     """As-of join: every non-purchase event gets the user's latest
     purchase value as of that event's timestamp (backward inclusive)."""

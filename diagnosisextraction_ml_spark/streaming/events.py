@@ -51,6 +51,36 @@ def windowed_event_counts(
     )
 
 
+def sessionized_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization via ``session_window`` — one function
+    for both modes: under ``readStream`` the watermark bounds session
+    state (sessions close once the watermark passes their gap), on a
+    batch frame ``withWatermark`` is a no-op and the same expression
+    computes identical sessions (the ``stream_sessionized_counts``
+    batch twin is driver-oracle-checked against a lag+cumsum replay).
+
+    Semantics pinned by the oracle: a new session starts iff the gap
+    to the previous event is ≥ the threshold (session windows are
+    half-open ``[first_ts, last_ts + gap)``); ``session_end`` is
+    ``last_ts + gap``.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_quality_filter(docs: DataFrame, min_quality: float = 0.3) -> DataFrame:
     """Streaming text-quality gate — same expression as the batch op,
     applied to a stream (stateless map/filter: no watermark needed)."""

@@ -193,3 +193,30 @@ def test_streaming_dedup_watermark_straddle(spark, tmp_path):
     # 1 survives, 2 is deduped within the horizon, 3 re-emits after
     # state expiry, 10/11 pass through
     assert ids == [1, 3, 10, 11]
+
+
+def test_streaming_sessionized_counts_match_batch(spark, sf_dir, tmp_path):
+    """session_window under readStream (complete mode) reproduces the
+    batch sessionization exactly — same function, same sessions."""
+    from diagnosisextraction_ml_spark.streaming.events import sessionized_event_counts
+
+    path, schema = _events_dir(spark, sf_dir, tmp_path)
+    stream = read_events_stream(spark, path, schema, max_files_per_trigger=2)
+    out = sessionized_event_counts(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(tuple, spark.sql(
+            "SELECT user_id, session_start, session_end, n_events FROM session_counts"
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, sessionized_event_counts(spark.read.parquet(path)).collect())
+    )
+    assert got == want and len(got) > 0
