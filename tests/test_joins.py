@@ -123,3 +123,38 @@ def test_interval_join_is_equi_join(spark):
     plan = interval_join(points, intervals, ["k"], "es", "s", "e", 4)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_matches_bruteforce_randomized(spark):
+    """Seeded pseudo-random data with engineered collisions (left ts
+    equal to right ts, sparse keys): asof_join must equal the brute
+    force 'max right.ts <= left.ts per key' join."""
+    left = spark.range(400).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 7 % 13).alias("k"),
+        (F.col("id") * 31 % 97).alias("es"),
+    )
+    right = spark.range(60).select(
+        (F.col("id") * 5 % 13).alias("k"),
+        (F.col("id") * 11 % 97).alias("rs"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    # unique (k, rs) with deterministic winner, as the operator requires
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k", "rs").orderBy(F.col("value").asc())
+    right = right.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(
+            left, right.withColumnRenamed("rs", "ts"), ["k"], ["value"], left_ts="es"
+        ).collect()
+    }
+    brute = (
+        left.join(right, on=[left["k"] == right["k"], F.col("rs") <= F.col("es")], how="left")
+        .groupBy("event_id")
+        .agg(F.max_by("value", F.col("rs")).alias("v"))
+    )
+    want = {r["event_id"]: r["v"] for r in brute.collect()}
+    assert got == want and any(v is not None for v in want.values())
