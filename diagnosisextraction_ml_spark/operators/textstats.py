@@ -169,6 +169,75 @@ def document_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 200,
+) -> DataFrame:
+    """Gopher-style per-document repetition signals (LLM quality gate).
+
+    - ``distinct_token_ratio`` — |distinct tokens| / |tokens|: low
+      values flag keyword-stuffed / looping generations.
+    - ``top_bigram`` + ``top_bigram_frac`` — the most frequent token
+      bigram and its share of all bigrams (Rae et al.'s "top n-gram
+      fraction" filter). Ties resolve to the lexicographically
+      smallest maximal bigram — order-free, so both engines agree
+      without relying on distinct-preservation order.
+
+    Pure per-row expressions — zero shuffles, stays in the same
+    codegen map stage as ``document_stats``. The distinct-gram count
+    is O(|grams|·|distinct|) per row, so tokens are capped at
+    ``max_tokens`` (the standard practice: repetition filters read a
+    document prefix, not 100 MB outliers — the cap also bounds the
+    worst-case row cost at scale).
+    """
+    toks_all = ws_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), F.slice(toks_all, 1, max_tokens).alias("__toks")
+    )
+    toks = F.col("__toks")
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    mid = base.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens_capped"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                F.size(F.array_distinct(toks)) / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("distinct_token_ratio"),
+        grams.alias("__grams"),
+    )
+    g = F.col("__grams")
+    # stacked projections share __dg/__counts (computed once each —
+    # CollapseProject keeps multiply-referenced non-cheap aliases)
+    mid2 = mid.withColumn("__dg", F.array_distinct(g))
+    mid3 = mid2.withColumn(
+        "__counts",
+        F.transform(F.col("__dg"), lambda x: F.size(F.filter(g, lambda y: y == x))),
+    )
+    counts = F.col("__counts")
+    mx = F.array_max(counts)
+    top = F.array_min(
+        F.filter(F.col("__dg"), lambda x, i: F.element_at(counts, i + 1) == mx)
+    )
+    return mid3.select(
+        F.col(id_col),
+        "n_tokens_capped",
+        "distinct_token_ratio",
+        F.when(F.size(g) > 0, top).otherwise(F.lit("")).alias("top_bigram"),
+        F.round(
+            F.when(F.size(g) > 0, mx / F.size(g)).otherwise(F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
 def top_k_words(
     df: DataFrame,
     text_col: str = "text",

@@ -295,6 +295,43 @@ register(
 )(lambda spark, sf_dir: dedup.exact_duplicates(_dup_union(spark, sf_dir)))
 
 
+def _repetition_sql(max_tokens: int = 200) -> str:
+    """DuckDB twin of textstats.repetition_stats — same capped tokens,
+    same O(g·d) count arithmetic, same order-free tie-break
+    (lexicographic min among maximal-count bigrams)."""
+    toks = f"({_toks_sql('text')})[1:{max_tokens}]"
+    return f"""
+    WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
+    g AS (SELECT doc_id, t,
+                 [t[i] || ' ' || t[i+1] for i in range(1, greatest(len(t), 1))] AS grams
+          FROM base),
+    c AS (SELECT doc_id, t, grams, list_distinct(grams) AS dg,
+                 list_transform(list_distinct(grams),
+                                x -> len(list_filter(grams, y -> y = x))) AS cnts
+          FROM g)
+    SELECT doc_id,
+           CAST(len(t) AS INT) AS n_tokens_capped,
+           round(CASE WHEN len(t) > 0
+                      THEN len(list_distinct(t)) * 1.0 / len(t) ELSE 0.0 END, 6)
+             AS distinct_token_ratio,
+           CASE WHEN len(grams) > 0
+                THEN list_min([dg[i] for i in range(1, len(dg) + 1)
+                               if cnts[i] = list_max(cnts)])
+                ELSE '' END AS top_bigram,
+           round(CASE WHEN len(grams) > 0
+                      THEN list_max(cnts) * 1.0 / len(grams) ELSE 0.0 END, 6)
+             AS top_bigram_frac
+    FROM c
+    """
+
+
+register("doc_repetition_stats", _repetition_sql())(
+    lambda spark, sf_dir: textstats.repetition_stats(
+        _t(spark, sf_dir, "documents")
+    )
+)
+
+
 def _sessionized_counts(spark, sf_dir):
     """Batch twin of streaming.sessionized_event_counts (session_window)."""
     from diagnosisextraction_ml_spark.streaming.events import sessionized_event_counts

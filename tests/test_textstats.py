@@ -89,3 +89,35 @@ def test_pipeline_llm_prep_composition(spark, sf_dir):
     # the injected duplicate ids (doc_id >= 1000000) never survive
     # dedup_exact (originals have smaller ids)
     assert all(r["doc_id"] < 1000000 for r in rows)
+
+
+def test_repetition_stats_hand_cases(spark):
+    from diagnosisextraction_ml_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),        # bigrams: ab ba ab ba -> tie, lex min "a b"
+            (2, "x x x x"),          # bigrams: xx xx xx -> frac 1.0
+            (3, "one"),              # no bigrams
+            (4, ""),                 # no tokens
+            (5, "p q r s"),          # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert got[1]["top_bigram"] == "a b" and got[1]["top_bigram_frac"] == 0.5
+    assert got[1]["distinct_token_ratio"] == 0.4  # {a, b} / 5
+    assert got[2]["top_bigram"] == "x x" and got[2]["top_bigram_frac"] == 1.0
+    assert got[3]["top_bigram"] == "" and got[3]["top_bigram_frac"] == 0.0
+    assert got[4]["n_tokens_capped"] == 0 and got[4]["distinct_token_ratio"] == 0.0
+    # 4 distinct tokens -> 3 distinct bigrams, each 1/3 of the total
+    assert got[5]["distinct_token_ratio"] == 1.0 and got[5]["top_bigram_frac"] == 0.333333
+
+
+def test_repetition_stats_zero_exchange(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators.textstats import repetition_stats
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+
+    plan = repetition_stats(load_table(spark, sf_dir, "documents"))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
