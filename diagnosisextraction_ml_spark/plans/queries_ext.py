@@ -1043,6 +1043,48 @@ register(
     )
 )
 
+register(
+    "rel_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)(
+    lambda spark, sf_dir: _t(spark, sf_dir, "lineitem")
+    .groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    )
+    .agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+)
+
+
+register(
+    "events_props_json",
+    """
+    SELECT event_type,
+           CAST(avg(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)(
+    lambda spark, sf_dir: _t(spark, sf_dir, "events")
+    .select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    .groupBy("event_type")
+    .agg(F.avg("k").cast("double").alias("avg_k"), F.count("*").alias("n"))
+)
+
+
 # Multimodal plumbing — oracle-checked: the *deterministic fake
 # decoder* is md5 arithmetic (digest byte 0 / 255), so even the
 # pandas-UDF mapInPandas path has an exact SQL twin; a real codec
