@@ -1066,6 +1066,49 @@ register(
 )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+register(
+    "rel_pivot_event_counts",
+    f"""
+    SELECT user_id % 10 AS user_bucket,
+           {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id % 10
+    """,
+)(
+    lambda spark, sf_dir: _t(spark, sf_dir, "events")
+    .select((F.col("user_id") % 10).alias("user_bucket"), "event_type")
+    .groupBy("user_bucket")
+    .pivot("event_type", _EVENT_TYPES)
+    .agg(F.count(F.lit(1)))
+    .select(
+        "user_bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+)
+
+
+register(
+    "rel_unpivot_part_attrs",
+    """
+    SELECT p_partkey, attr, val FROM (
+      SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val FROM part)
+    WHERE p_partkey % 100 = 0
+    """,
+)(
+    lambda spark, sf_dir: _t(spark, sf_dir, "part")
+    .filter(F.col("p_partkey") % 100 == 0)
+    .select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    )
+    .unpivot("p_partkey", ["size", "retailprice"], "attr", "val")
+)
+
+
 register(
     "events_props_json",
     """
