@@ -159,7 +159,21 @@ def shuffle_rows(df: DataFrame, seed: int, key: Column | str | None = None) -> D
     covers every column (content-addressed order).
     """
     if key is None:
-        keyc = F.concat_ws("␟", *[F.col(c).cast("string") for c in df.columns])
+        # Injective content key: per-column md5 of (null-flag, value) so
+        # ('a', NULL) vs ('a',) or values containing a separator char
+        # cannot collide (concat_ws silently drops NULLs and its
+        # separator may legally occur inside values).
+        keyc = F.concat(
+            *[
+                F.md5(
+                    F.concat(
+                        F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1")),
+                        F.coalesce(F.col(c).cast("string"), F.lit("")),
+                    )
+                )
+                for c in df.columns
+            ]
+        )
     else:
         keyc = (F.col(key) if isinstance(key, str) else key).cast("string")
     h = F.md5(F.concat_ws("§", keyc, F.lit(str(seed))))
@@ -284,6 +298,10 @@ def assign_folds_exact(
     Row order matters to sklearn (indices address the X array): rows
     are numbered by ``order_col`` ascending (default: ``key``), which
     must mirror the order the reference loaded its rows in.
+    ``order_col`` must be a *total* order (no ties) — ties would make
+    the sklearn index mapping run-dependent; key uniqueness is
+    asserted below for the same reason (duplicate keys would also fan
+    out the membership join).
 
     The key column is collected to the driver (fold assignment is
     metadata-sized — fine to ~10⁶ keys, documented non-goal beyond);
@@ -297,8 +315,17 @@ def assign_folds_exact(
     order = order_col or key
     keys = [r[0] for r in df.select(key).orderBy(F.col(order).asc()).collect()]
     n = len(keys)
+    if len(set(keys)) != n:
+        raise ValueError(
+            f"assign_folds_exact requires unique '{key}' values: "
+            f"{n - len(set(keys))} duplicate(s) found — duplicates fan out the "
+            "membership join and make the sklearn index mapping ambiguous"
+        )
     n_test = int(math.ceil(test_size * n))
-    n_train = int(math.floor((1.0 - test_size) * n))
+    # sklearn ShuffleSplit with train_size=None: n_train = n - n_test
+    # (NOT floor((1-test_size)*n) — IEEE float makes those diverge,
+    # e.g. test_size=0.3, n=10: floor(6.9999999999999996)=6 vs 7).
+    n_train = n - n_test
     rng = np.random.RandomState(seed)
     membership: list[list[str]] = [["none"] * n_splits for _ in range(n)]
     for s in range(n_splits):

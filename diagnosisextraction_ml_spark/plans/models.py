@@ -106,6 +106,10 @@ class PlattCalibrator(Estimator, DefaultParamsReadable, DefaultParamsWritable):
         from pyspark.ml.functions import array_to_vector
 
         label_col = self.getOrDefault(self.labelCol)
+        # sklearn never sees NULL targets — rows without a label must not
+        # enter the calibration set (counting them via count(*) would
+        # inflate n_neg and fit them as weighted negatives).
+        df = df.filter(F.col(label_col).isNotNull())
         y = F.col(label_col).cast("double")
         margin = vector_to_array(F.col("rawPrediction")).getItem(1)
         counts = df.agg(

@@ -144,3 +144,28 @@ def test_platt_calibration_fits_and_round_trips(spark, reference_dir, tmp_path):
     reloaded = loaded.stages[-1]
     assert reloaded.getOrDefault(reloaded.a) == pytest.approx(a)
     assert reloaded.getOrDefault(reloaded.b) == pytest.approx(platt.getOrDefault(platt.b))
+
+
+def test_platt_calibrator_excludes_null_labels(spark):
+    """M6 — rows with NULL labels must not enter the calibration set
+    (sklearn never sees NULL targets): fitting with extra NULL-label
+    rows yields the same (a, b) as fitting without them."""
+    from pyspark.ml.functions import array_to_vector
+
+    from diagnosisextraction_ml_spark.plans.models import PlattCalibrator
+
+    rows = [(-2.0, 0), (-1.0, 0), (-0.5, 0), (0.5, 1), (1.0, 1), (2.0, 1)]
+    base = spark.createDataFrame(rows, "m double, label int").select(
+        array_to_vector(F.array(F.lit(0.0), F.col("m"))).alias("rawPrediction"),
+        "label",
+    )
+    nulls = spark.createDataFrame(
+        [(3.0, None), (-3.0, None)], "m double, label int"
+    ).select(
+        array_to_vector(F.array(F.lit(0.0), F.col("m"))).alias("rawPrediction"),
+        "label",
+    )
+    clean = PlattCalibrator(label_col="label").fit(base)
+    noisy = PlattCalibrator(label_col="label").fit(base.unionByName(nulls))
+    assert noisy.getOrDefault(noisy.a) == pytest.approx(clean.getOrDefault(clean.a))
+    assert noisy.getOrDefault(noisy.b) == pytest.approx(clean.getOrDefault(clean.b))

@@ -140,3 +140,59 @@ def test_assign_folds_exact_shufflesplit_parity(spark, reference_dir):
         for r in again.select("PATNR", *[f"split_{s}" for s in range(n_splits)]).collect()
     }
     assert got2 == expected
+
+
+def test_assign_folds_exact_train_rule_matches_sklearn(spark):
+    """sklearn ShuffleSplit (train_size=None): n_train = n - n_test, NOT
+    floor((1-test_size)*n) — IEEE float makes those diverge, e.g.
+    test_size=0.3, n=10: floor(0.7*10)=floor(6.999...)=6 vs sklearn's 7.
+    Every row must be train or test here (no 'none')."""
+    import numpy as np
+
+    from diagnosisextraction_ml_spark.operators.prep import assign_folds_exact
+
+    n, seed, test_size = 10, 7, 0.3
+    df = spark.createDataFrame([(i,) for i in range(n)], "k int")
+    out = assign_folds_exact(df, "k", n_splits=3, test_size=test_size, seed=seed)
+    rows = {r["k"]: [r[f"split_{s}"] for s in range(3)] for r in out.collect()}
+
+    n_test = int(np.ceil(test_size * n))
+    n_train = n - n_test  # sklearn's rule; the old floor() gave 6
+    assert (n_test, n_train) == (3, 7)
+    rng = np.random.RandomState(seed)
+    for s in range(3):
+        perm = rng.permutation(n)
+        expected = {int(i): "test" for i in perm[:n_test]}
+        expected.update({int(i): "train" for i in perm[n_test : n_test + n_train]})
+        got = {k: v[s] for k, v in rows.items()}
+        assert got == expected
+        assert "none" not in got.values()
+
+
+def test_assign_folds_exact_rejects_duplicate_keys(spark):
+    """Duplicate key values fan out the membership join and make the
+    sklearn index mapping ambiguous — must fail loudly."""
+    import pytest
+
+    from diagnosisextraction_ml_spark.operators.prep import assign_folds_exact
+
+    df = spark.createDataFrame([(1,), (2,), (2,)], "k int")
+    with pytest.raises(ValueError, match="unique"):
+        assign_folds_exact(df, "k", n_splits=2)
+
+
+def test_shuffle_rows_content_key_is_injective(spark):
+    """The content-addressed order key must distinguish ('a', NULL) from
+    ('a␟x',)-style collisions: rows that differ only in NULL placement
+    or contain the old separator char get distinct sort keys, so the
+    order is stable across partitionings."""
+    from diagnosisextraction_ml_spark.operators.prep import shuffle_rows
+
+    rows = [("a", None), ("a", ""), ("a␟b", None), ("a", "␟b"), ("x", "y")]
+    df = spark.createDataFrame(rows, "c1 string, c2 string")
+    a = [tuple(r) for r in shuffle_rows(df, seed=1).collect()]
+    b = [tuple(r) for r in shuffle_rows(df.repartition(5), seed=1).collect()]
+    assert a == b
+    assert sorted(a, key=lambda t: (t[0], t[1] or "")) == sorted(
+        rows, key=lambda t: (t[0], t[1] or "")
+    )

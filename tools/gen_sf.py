@@ -51,10 +51,24 @@ def main() -> int:
             f"{dst}/{t}.parquet"
         )
         print(f"{t}: copied")
+    int_max = {"integer": 2**31 - 1, "long": 2**63 - 1, "short": 2**15 - 1}
     for t, keys in KEY_COLS.items():
         # load_table normalizes events' TIMESTAMP(NANOS) to micros —
         # the generated copy is then plainly readable
         base = load_table(spark, src, t)
+        # Guard the shifted keys against silent non-ANSI cast wraparound:
+        # an int32 key column overflows past factor ~214 and collides
+        # across copies with no error. Fail loudly instead.
+        maxes = base.agg(*[F.max(F.col(k)).alias(k) for k in keys]).collect()[0]
+        for k in keys:
+            dtype = base.schema[k].dataType.typeName()
+            cap = int_max.get(dtype)
+            if cap is not None and (factor - 1) * STRIDE + (maxes[k] or 0) > cap:
+                raise SystemExit(
+                    f"{t}.{k} ({dtype}): shifted key (factor-1)*STRIDE + max "
+                    f"= {(factor - 1) * STRIDE + (maxes[k] or 0)} overflows {dtype} "
+                    f"(max {cap}) — reduce factor or promote the key to bigint"
+                )
         copies = []
         for i in range(factor):
             c = base
