@@ -29,8 +29,90 @@ one aggregation, fully distributed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# Two-level distributed cumulative sum (the curve engine's scale core)
+# --------------------------------------------------------------------------
+
+def _range_bucket(
+    c: Column, n_buckets: int, lo: float, hi: float, descending: bool
+) -> Column:
+    """Monotone range-bucket id in [0, n_buckets) for ``c``.
+
+    Bucket 0 is *first* in the requested order (highest scores when
+    ``descending``). Values outside [lo, hi] clamp into the end
+    buckets — the split stays order-correct (the cumsum is exact for
+    any monotone bucketing), only the balance suffers, so ``lo``/``hi``
+    need only be approximate. NaN sorts greatest in Spark, so it maps
+    to the greatest-value bucket explicitly.
+    """
+    span = float(hi) - float(lo)
+    u = (F.least(F.greatest(c, F.lit(float(lo))), F.lit(float(hi))) - F.lit(float(lo))) / F.lit(span)
+    pos = F.least(F.floor(u * n_buckets), F.lit(n_buckets - 1)).cast("int")
+    pos = F.when(F.isnan(c), F.lit(n_buckets - 1)).otherwise(pos)
+    return (F.lit(n_buckets - 1) - pos) if descending else pos
+
+
+def _bucketed_cumsum(
+    per_key: DataFrame,
+    key_col: str,
+    sum_cols: dict[str, str],
+    descending: bool,
+    n_buckets: int,
+    score_range: tuple[float, float],
+) -> DataFrame:
+    """Cumulative sums of ``sum_cols`` over ``per_key`` ordered by
+    ``key_col``, with no global window.
+
+    The classic two-level split: range-bucket the keys (bucket order =
+    key order), cumsum *within* each bucket (``Window.partitionBy(
+    bucket)`` — distributed), and add each bucket's offset = the sum of
+    all earlier buckets' totals. Offsets come from a conditioned
+    broadcast self-join of the ≤``n_buckets``-row totals table
+    (O(B²) comparisons of driver-free metadata — no collect, no
+    single-partition Exchange anywhere in the plan).
+
+    Exactness: the inputs here are counts (integer-valued doubles), so
+    regrouping the additions cannot round — the two-level sums equal
+    the sequential ones bit-for-bit below 2^53 rows.
+
+    ``sum_cols`` maps input column → output cumulative column. Global
+    totals ride along as ``__tot_<col>`` columns (from the same totals
+    table — no extra pass).
+    """
+    key = F.col(key_col)
+    bucketed = per_key.withColumn(
+        "__b", _range_bucket(key, n_buckets, *score_range, descending=descending)
+    )
+    totals = bucketed.groupBy("__b").agg(
+        *[F.sum(src).alias(f"__t_{src}") for src in sum_cols]
+    )
+    earlier = totals.select(
+        F.col("__b").alias("__eb"),
+        *[F.col(f"__t_{src}").alias(f"__e_{src}") for src in sum_cols],
+    )
+    offsets = (
+        totals.join(F.broadcast(earlier), F.col("__eb") < F.col("__b"), "left")
+        .groupBy("__b")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__e_{src}"), F.lit(0.0)).alias(f"__off_{src}")
+                for src in sum_cols
+            ]
+        )
+    )
+    grand = totals.agg(
+        *[F.sum(f"__t_{src}").alias(f"__tot_{src}") for src in sum_cols]
+    )
+    order = key.desc() if descending else key.asc()
+    w = Window.partitionBy("__b").orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    out = bucketed.join(F.broadcast(offsets), "__b").crossJoin(F.broadcast(grand))
+    for src, dst in sum_cols.items():
+        out = out.withColumn(dst, F.sum(src).over(w) + F.col(f"__off_{src}"))
+    return out.drop("__b", *[f"__off_{src}" for src in sum_cols])
 
 
 # --------------------------------------------------------------------------
@@ -82,26 +164,43 @@ def curve_per_rank(
 
 
 def curve_by_threshold(
-    df: DataFrame, score_col: str = "score", label_col: str = "label"
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_buckets: int = 1024,
+    score_range: tuple[float, float] = (0.0, 2.0),
 ) -> DataFrame:
     """E2 (scalable) — tie-collapsed curve, one row per distinct score.
 
     groupBy(score) first (full map-side combine), then the cumulative
-    window runs over the distinct-score table only. Semantics match
-    sklearn's ``roc_curve`` points (thresholds descending).
+    TP/FP sums run as a *two-level* cumsum (:func:`_bucketed_cumsum`):
+    range-bucketed partition-local windows plus broadcast per-bucket
+    offsets. No global window — at 10⁹ distinct raw-double scores the
+    old ``Window.orderBy(score)`` funneled the whole curve through one
+    task; this plan keeps every stage partitioned. Semantics match
+    sklearn's ``roc_curve`` points (thresholds descending), and the
+    values are bit-identical to the sequential cumsum (counts sum
+    exactly in any order).
+
+    ``score_range`` bounds only the bucket *balance* (defaults cover
+    probabilities and the shifted scores used in tests); out-of-range
+    scores clamp into the end buckets, still correct.
     """
     lbl = F.col(label_col).cast("double")
     per_score = df.groupBy(F.col(score_col).cast("double").alias("score")).agg(
         F.sum(lbl).alias("pos"),
         F.sum(1 - lbl).alias("neg"),
     )
-    w = Window.orderBy(F.col("score").desc()).rowsBetween(Window.unboundedPreceding, 0)
-    out = (
-        per_score.withColumn("tp", F.sum("pos").over(w))
-        .withColumn("fp", F.sum("neg").over(w))
+    out = _bucketed_cumsum(
+        per_score,
+        "score",
+        {"pos": "tp", "neg": "fp"},
+        descending=True,
+        n_buckets=n_buckets,
+        score_range=score_range,
     )
-    n_pos = F.sum("pos").over(Window.partitionBy())
-    n_neg = F.sum("neg").over(Window.partitionBy())
+    n_pos = F.col("__tot_pos")
+    n_neg = F.col("__tot_neg")
     return (
         out.withColumn("tpr", F.col("tp") / n_pos)
         .withColumn("fpr", F.col("fp") / n_neg)
@@ -142,22 +241,35 @@ def auc_trapezoid(
     return curve.select(seg.alias("seg")).agg(F.sum("seg").alias("auc"))
 
 
-def auc_rank(df: DataFrame, score_col: str = "score", label_col: str = "label") -> DataFrame:
+def auc_rank(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_buckets: int = 1024,
+    score_range: tuple[float, float] = (0.0, 2.0),
+) -> DataFrame:
     """E3 (scalable) — ROC-AUC as the Mann-Whitney rank statistic.
 
     AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with average
     ranks for ties — identical to trapezoid ROC-AUC on the
-    tie-collapsed curve, but computed with one groupBy + one window
-    over distinct scores + one aggregate (no per-row window).
+    tie-collapsed curve, but computed with one groupBy + a two-level
+    distributed cumsum over distinct scores (:func:`_bucketed_cumsum`
+    — no global window, no single-partition funnel) + one aggregate.
+    ``cnt`` is integral, so the regrouped rank sums are bit-identical
+    to a sequential cumsum.
     """
     lbl = F.col(label_col).cast("double")
     per_score = df.groupBy(F.col(score_col).cast("double").alias("s")).agg(
-        F.sum(lbl).alias("pos"), F.count("*").alias("cnt")
+        F.sum(lbl).alias("pos"), F.count("*").cast("double").alias("cnt")
     )
-    w = Window.orderBy(F.col("s").asc()).rowsBetween(Window.unboundedPreceding, 0)
-    ranked = per_score.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-        "avg_rank", F.col("cum") - (F.col("cnt") - 1) / 2.0
-    )
+    ranked = _bucketed_cumsum(
+        per_score,
+        "s",
+        {"cnt": "cum"},
+        descending=False,
+        n_buckets=n_buckets,
+        score_range=score_range,
+    ).withColumn("avg_rank", F.col("cum") - (F.col("cnt") - 1) / 2.0)
     agg = ranked.agg(
         F.sum(F.col("avg_rank") * F.col("pos")).alias("r_pos"),
         F.sum("pos").alias("n_pos"),

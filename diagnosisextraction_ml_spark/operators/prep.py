@@ -48,14 +48,18 @@ def class_prevalence(df: DataFrame, label_col: str) -> DataFrame:
     """A5 — per-class counts and fractions in one aggregation.
 
     Ref: src/TextClassification.py:1384-1390 (len(df_class)/total on
-    the driver). The total comes from a window over the tiny grouped
-    result — no second scan, no driver arithmetic.
+    the driver). The total comes from a 1-row broadcast re-aggregation
+    of the tiny grouped result — no second scan of the input, no
+    driver arithmetic, and no global (empty-partition-spec) window
+    anywhere in the plan (the repo-wide plan guard forbids those).
     """
-    from pyspark.sql import Window
-
     counts = df.groupBy(label_col).agg(F.count("*").alias("n"))
-    total = F.sum("n").over(Window.partitionBy())
-    return counts.withColumn("fraction", F.col("n") / total)
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("fraction", F.col("n") / F.col("__total"))
+        .drop("__total")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -57,6 +57,44 @@ def test_windows_are_partitioned(spark, sf_dir, qs):
         assert "windowspecdefinition(user_id" in plan.replace(" ", "") or "user_id" in plan
 
 
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """windowspecdefinition(...) whose first argument is already an
+    ordering expression (ASC/DESC) — i.e. an empty partition spec, which
+    Spark executes as a single-partition sort+window over the whole
+    input."""
+    import re
+
+    hits = []
+    for m in re.finditer(r"windowspecdefinition\(([^()]*(?:\([^()]*\))?[^()]*)\)", plan):
+        first_arg = m.group(1).split(",")[0].strip()
+        if first_arg.endswith("ASC NULLS FIRST") or first_arg.endswith(
+            "ASC NULLS LAST"
+        ) or first_arg.endswith("DESC NULLS FIRST") or first_arg.endswith("DESC NULLS LAST"):
+            hits.append(m.group(0)[:120])
+    return hits
+
+
+def test_no_unpartitioned_window_in_any_registered_query(spark, sf_dir, qs):
+    """Repo-wide guard (the single-task funnel class of bug): no
+    registered query's physical plan may contain a Window with an empty
+    partition spec. The curve engine (curve_by_threshold / auc_rank)
+    uses the two-level bucketed cumsum precisely to stay out of this
+    list; new eval queries must too."""
+    for name, fn in qs.items():
+        plan = _plan(fn(spark, sf_dir))
+        bad = _unpartitioned_windows(plan)
+        assert not bad, f"{name}: unpartitioned window(s): {bad}"
+
+
+def test_curve_engine_plan_shape(spark, sf_dir, qs):
+    """The curve cumsum must run as bucket-partitioned windows plus
+    broadcast offset joins — never a global sort-window."""
+    for name in ["eval_curve_by_threshold", "eval_auc_rank"]:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "windowspecdefinition(__b" in plan.replace(" ", ""), name
+        assert not _unpartitioned_windows(plan), name
+
+
 def test_group_concat_single_shuffle(spark, sf_dir, qs):
     plan = _plan(qs["rel_group_concat"](spark, sf_dir))
     # one exchange for the groupBy, none after
