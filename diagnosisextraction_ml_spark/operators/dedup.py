@@ -192,6 +192,7 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 16,
     max_bucket: int = 1000,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -208,8 +209,33 @@ def minhash_lsh_pairs(
     size filter on the same aggregation (dropped buckets are
     near-100%-dup cliques of boilerplate — the standard web-dedup
     guard, observable as missing huge buckets).
+
+    ``collapse_exact`` (default on) first groups byte-identical texts
+    and runs the shingle→minhash→banding pipeline on ONE representative
+    per distinct text, expanding the member id lists back at the bucket
+    stage. Exact duplicates have identical signatures and land in
+    identical buckets, so the output — including within-duplicate-group
+    pairs, ``n_bands_shared`` counts, and the ``max_bucket`` cap, which
+    still applies to *expanded* id counts — is identical row-for-row;
+    only the sketching cost drops from O(all docs) to O(distinct
+    texts). Duplicate-heavy corpora (the common case at 100 TB crawl
+    scale) are exactly where LSH cost would otherwise grow
+    superlinearly.
     """
-    sigs = minhash_signatures(shingles(df, text_col, id_col, shingle_n), id_col, k)
+    if collapse_exact:
+        groups = (
+            df.groupBy(F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__fp"))
+            .agg(
+                F.array_sort(F.collect_list(id_col)).alias("__members"),
+                F.min(text_col).alias(text_col),
+            )
+        )
+        reps = groups.select(
+            F.col("__members")[0].alias(id_col), F.col(text_col), F.col("__members")
+        )
+    else:
+        reps = df.select(F.col(id_col), F.col(text_col))
+    sigs = minhash_signatures(shingles(reps, text_col, id_col, shingle_n), id_col, k)
     rows_per_band = k // bands
     # Band key: the band's minhash values in i-order, as one string.
     ordered = F.transform(
@@ -224,11 +250,18 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("band_key"))).alias("bucket"),
     )
-    ids = (
-        buckets.groupBy("bucket")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    )
+    if collapse_exact:
+        member_lists = reps.select(F.col(id_col), F.col("__members"))
+        ids = (
+            buckets.join(member_lists, id_col)
+            .groupBy("bucket")
+            .agg(F.array_sort(F.flatten(F.collect_list("__members"))).alias("ids"))
+        )
+    else:
+        ids = buckets.groupBy("bucket").agg(
+            F.array_sort(F.collect_list(id_col)).alias("ids")
+        )
+    ids = ids.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     pair = F.explode(
         F.flatten(
             F.transform(

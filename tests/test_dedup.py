@@ -102,3 +102,29 @@ def test_embedding_near_dup(spark):
     cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
     got2 = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, candidates=cands, threshold=0.95).collect()}
     assert got2 == {(1, 2)}
+
+
+def test_lsh_collapse_exact_is_output_identical(spark):
+    """The exact-duplicate pre-collapse (collapse_exact=True, the
+    default) must be row-for-row identical to the direct pipeline —
+    including within-duplicate-group pairs, n_bands_shared counts, the
+    max_bucket cap applied to *expanded* id counts, and empty/NULL
+    texts (which produce no signatures, hence no pairs, either way)."""
+    import random
+
+    random.seed(3)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows, i = [], 0
+    for _ in range(25):
+        t = " ".join(random.choices(words, k=10))
+        for _ in range(6):  # 6x duplicate multiplicity
+            rows.append((i, t))
+            i += 1
+    rows += [(i, ""), (i + 1, ""), (i + 2, None), (i + 3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for cap in (50, 9):  # 9 < group size 6*2: cap drops multi-group buckets
+        on = sorted(map(tuple, minhash_lsh_pairs(df, max_bucket=cap).collect()))
+        off = sorted(
+            map(tuple, minhash_lsh_pairs(df, max_bucket=cap, collapse_exact=False).collect())
+        )
+        assert on == off and len(on) > 0
