@@ -68,27 +68,57 @@ class TextClassificationHarness:
         self.fitted: dict[tuple[str, int, int], object] = {}
 
     # -- O1 ----------------------------------------------------------------
-    def fit_models(self, persist_models: bool = False) -> dict[str, list[FoldResult]]:
+    def fit_models(
+        self, persist_models: bool = False, parallelism: int = 4
+    ) -> dict[str, list[FoldResult]]:
+        """Fit the zoo over every (model, round, fold) split.
+
+        Splits are independent, so they run under a bounded thread pool
+        (``parallelism`` concurrent Spark job chains — SURVEY §2.8 O1
+        notes folds can run concurrently; on a big cluster sequential
+        tiny fits leave the scheduler idle between jobs). Results are
+        appended in the canonical nested-loop order regardless of
+        completion order, and each task's lineage is identical to the
+        sequential path — FoldResults are bit-identical for any
+        ``parallelism`` (asserted in tests). ``parallelism=1`` recovers
+        the plain loop.
+        """
         cfg = self.config
         base = self.df.persist()
+        tasks = [
+            (name, r, f_idx)
+            for name in self.models
+            for r in range(cfg.rounds)
+            for f_idx in range(cfg.folds)
+        ]
+
+        def run(task: tuple[str, int, int]):
+            name, r, f_idx = task
+            fold_col = f"fold_{r}"
+            train = base.filter(F.col(fold_col) != f_idx)
+            test = base.filter(F.col(fold_col) == f_idx)
+            pipeline = build_model_pipeline(
+                name, text_col=cfg.text_col, label_col=cfg.label_col
+            )
+            model = pipeline.fit(train)
+            scored = model.transform(test).select(
+                F.col("p1").alias("score"), F.col(cfg.label_col).alias("label")
+            )
+            return self._assess(name, r, f_idx, scored), model
+
         try:
-            for name in self.models:
-                for r in range(cfg.rounds):
-                    fold_col = f"fold_{r}"
-                    for f_idx in range(cfg.folds):
-                        train = base.filter(F.col(fold_col) != f_idx)
-                        test = base.filter(F.col(fold_col) == f_idx)
-                        pipeline = build_model_pipeline(
-                            name, text_col=cfg.text_col, label_col=cfg.label_col
-                        )
-                        model = pipeline.fit(train)
-                        scored = model.transform(test).select(
-                            F.col("p1").alias("score"), F.col(cfg.label_col).alias("label")
-                        )
-                        res = self._assess(name, r, f_idx, scored)
-                        self.results[name].append(res)
-                        if persist_models:
-                            self.fitted[(name, r, f_idx)] = model
+            if parallelism <= 1:
+                done = {t: run(t) for t in tasks}
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(parallelism, len(tasks))) as ex:
+                    done = dict(zip(tasks, ex.map(run, tasks)))
+            for task in tasks:
+                res, model = done[task]
+                self.results[task[0]].append(res)
+                if persist_models:
+                    self.fitted[task] = model
         finally:
             base.unpersist()
         return self.results

@@ -53,6 +53,30 @@ def test_harness_wordmatching_fast(patient_df):
     assert med.model == "WordMatching"
 
 
+def test_fit_models_parallel_identical_to_sequential(patient_df):
+    """O1 — the bounded thread pool must change wall-time only: same
+    FoldResults (AUCs bit-identical), same result-list order."""
+    import time
+
+    cfg = CVConfig(rounds=2, folds=2)
+    t0 = time.time()
+    seq = TextClassificationHarness(patient_df, ["WordMatching", "NaiveBayes"], cfg)
+    seq.fit_models(parallelism=1)
+    t_seq = time.time() - t0
+    t0 = time.time()
+    par = TextClassificationHarness(patient_df, ["WordMatching", "NaiveBayes"], cfg)
+    par.fit_models(parallelism=4)
+    t_par = time.time() - t0
+    for name in ["WordMatching", "NaiveBayes"]:
+        a, b = seq.results[name], par.results[name]
+        assert [(x.round, x.fold) for x in a] == [(y.round, y.fold) for y in b]
+        assert [x.roc_auc for x in a] == [y.roc_auc for y in b]  # bit-exact
+        assert [x.pr_auc for x in a] == [y.pr_auc for y in b]
+        assert [x.max_f1 for x in a] == [y.max_f1 for y in b]
+    # not asserted (timing flakes), but visible in -s runs:
+    print(f"sequential {t_seq:.1f}s vs parallel {t_par:.1f}s")
+
+
 @pytest.mark.slow
 def test_ep2_baseline_parity(patient_df):
     """EP2 — NaiveBayes + SVM + WordMatching 5x2cv on the reference
