@@ -291,7 +291,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
@@ -301,19 +301,30 @@ def ngram_jaccard_pairs(
     the verify stage after :func:`minhash_lsh_pairs` prunes candidates;
     on its own it is quadratic only within shingle-share groups —
     ``max_doc_freq`` prunes shingles shared by more than that many
-    docs from the *join* (boilerplate n-grams generate O(df²) pairs
-    and carry no discriminative signal; per-doc sizes still count
-    them, so Jaccard becomes a slight underestimate for affected
-    pairs — the standard inverted-index guard).
+    docs from the *join*. It is ON BY DEFAULT (1000): one boilerplate
+    shingle shared by 10⁶ docs would otherwise expand to ~5·10¹¹ join
+    pairs — the defining scale-killer of inverted-index similarity.
+    Affected pairs' Jaccard becomes a slight *underestimate* (the
+    pruned shingles still count toward the per-doc sizes in the union,
+    but not toward the intersection — boilerplate n-grams carry no
+    discriminative signal anyway; the standard inverted-index guard).
+    Pass ``max_doc_freq=None`` for the exact all-shingles computation
+    on bounded corpora.
+
+    The doc-freq counts come from a groupBy (map-side partial
+    aggregation — a hot shingle never funnels its raw rows through one
+    task, unlike a per-shingle window) joined back as a semi-filter.
     """
     sh = shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     if max_doc_freq is not None:
-        from pyspark.sql import Window
-
-        sh = sh.withColumn(
-            "__df", F.count("*").over(Window.partitionBy("shingle"))
-        ).filter(F.col("__df") <= max_doc_freq).drop("__df")
+        allowed = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(allowed, "shingle", "left_semi")
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (

@@ -141,3 +141,30 @@ def test_jaccard_doc_freq_cap(spark):
     }
     assert (1, 2) in pairs
     assert (3, 4) not in pairs
+
+
+def test_jaccard_doc_freq_cap_is_default_on(spark):
+    """The O(df²) guard must be opt-OUT: with >1000 docs sharing a
+    boilerplate shingle, the default config prunes it from the join
+    (no blow-up; Jaccard underestimates for affected pairs), while
+    max_doc_freq=None computes the exact all-shingles value."""
+    from diagnosisextraction_ml_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "click here now"
+    docs = [(i, f"{boiler} filler{i} text{i} word{i}") for i in range(1005)]
+    docs += [(2001, f"{boiler} same same same"), (2002, f"{boiler} same same same")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # default: boilerplate trigram (df=1007 > 1000) pruned from the join —
+    # the only surviving intersection evidence is the dup pair's own grams
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    }
+    assert set(got) == {(2001, 2002)}
+    # exact mode counts the boilerplate gram in the intersection too
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.3, max_doc_freq=None).collect()
+        if r["jaccard"] >= 0.99
+    }
+    assert exact[(2001, 2002)] > got[(2001, 2002)]  # capped value underestimates
