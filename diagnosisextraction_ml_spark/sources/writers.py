@@ -41,9 +41,102 @@ def write_predictions(
 def export_tree_debug(model, path: str) -> None:
     """S6 — export a fitted decision-tree structure as text.
 
-    Ref: exportTreeGraphViz (src/NLP_functions.py:637-661) — the
-    reference writes graphviz; Spark's native equivalent is the
-    model's ``toDebugString``.
+    Plain-text stand-in (Spark's ``toDebugString``); see
+    :func:`export_tree_graphviz` for the reference-format .dot export.
     """
     with open(path, "w") as fh:
         fh.write(model.toDebugString)
+
+
+def export_tree_graphviz(
+    model,
+    path: str,
+    feature_names: list[str] | None = None,
+    class_names: tuple[str, str] = ("POSITIVE", "NEGATIVE"),
+    tree_index: int = 0,
+) -> str:
+    """S6 — write a fitted tree as a graphviz ``digraph`` .dot file.
+
+    Ref: exportTreeGraphViz (src/NLP_functions.py:637-661) — sklearn's
+    ``tree.export_graphviz(model, feature_names=lbls,
+    class_names=['POSITIVE','NEGATIVE'], filled, rounded,
+    proportion=True)``, viewable at viz-js.com. This walks the fitted
+    Spark tree's public node structure (rootNode / split / children via
+    the JVM model) and emits the same shape: one box node per tree
+    node labeled with the split (``name <= threshold`` for continuous,
+    ``name in {...}`` for categorical), impurity, and predicted class;
+    ``True``/``False`` edge head-labels on the root's outgoing edges.
+
+    ``model`` may be a DecisionTreeClassificationModel or an ensemble
+    (RandomForest / GBT) — ``tree_index`` picks the subtree, matching
+    the reference's "Decision Tree or subtree from Random Forest or
+    Gradient Boosting". ``class_names[i]`` names class ``i`` (the
+    reference maps class 0 → POSITIVE). Returns the dot source.
+    """
+    if hasattr(model, "trees"):
+        model = model.trees[tree_index]
+    root = model._java_obj.rootNode()
+
+    def fname(idx: int) -> str:
+        if feature_names is not None and 0 <= idx < len(feature_names):
+            return feature_names[idx]
+        return f"feature_{idx}"
+
+    def esc(s: str) -> str:
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    lines = [
+        "digraph Tree {",
+        'node [shape=box, style="filled, rounded", color="black", '
+        'fontname="helvetica"] ;',
+        'edge [fontname="helvetica"] ;',
+    ]
+    counter = [0]
+
+    def walk(node) -> int:
+        my_id = counter[0]
+        counter[0] += 1
+        pred = int(node.prediction())
+        cls = class_names[pred] if pred < len(class_names) else str(pred)
+        impurity = node.impurity()
+        is_internal = "InternalNode" in node.getClass().getName()
+        if is_internal:
+            split = node.split()
+            idx = split.featureIndex()
+            if "ContinuousSplit" in split.getClass().getName():
+                cond = f"{esc(fname(idx))} &le; {split.threshold():.4g}"
+            else:
+                cats = sorted(split.leftCategories())
+                shown = ", ".join(f"{c:g}" for c in cats[:5])
+                if len(cats) > 5:
+                    shown += ", …"
+                cond = f"{esc(fname(idx))} in {{{shown}}}"
+            label = f"<{cond}<br/>impurity = {impurity:.4g}<br/>class = {esc(cls)}>"
+            fill = "#ffffff"
+        else:
+            label = f"<impurity = {impurity:.4g}<br/>class = {esc(cls)}>"
+            fill = "#e58139" if pred == 0 else "#399de5"
+        lines.append(f'{my_id} [label={label}, fillcolor="{fill}"] ;')
+        if is_internal:
+            left_id = walk(node.leftChild())
+            right_id = walk(node.rightChild())
+            if my_id == 0:
+                lines.append(
+                    f'{my_id} -> {left_id} [labeldistance=2.5, labelangle=45, '
+                    'headlabel="True"] ;'
+                )
+                lines.append(
+                    f'{my_id} -> {right_id} [labeldistance=2.5, labelangle=-45, '
+                    'headlabel="False"] ;'
+                )
+            else:
+                lines.append(f"{my_id} -> {left_id} ;")
+                lines.append(f"{my_id} -> {right_id} ;")
+        return my_id
+
+    walk(root)
+    lines.append("}")
+    dot = "\n".join(lines)
+    with open(path, "w") as fh:
+        fh.write(dot)
+    return dot
