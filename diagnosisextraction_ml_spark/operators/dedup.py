@@ -481,3 +481,98 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate clusters — connected components over candidate pairs
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate clusters from a near-dup pair list → (doc_id,
+    component_id), component_id = min doc id in the component.
+
+    The missing last step of every dedup pipeline: pair lists
+    (:func:`minhash_lsh_pairs`, :func:`simhash_near_pairs`,
+    :func:`ngram_jaccard_pairs`, :func:`embedding_near_dup_pairs`)
+    relate documents two at a time; keep-one-per-cluster needs the
+    transitive closure. Implemented as distributed min-label
+    propagation: every node starts labeled with itself; each round
+    every node takes the min of its own and its neighbors' labels (one
+    shuffle join + one aggregation per round); converged when no label
+    changes (counted with the same aggregation — no extra action).
+
+    Determinism: min() is order-free, so the result is exact and
+    partition-independent — hash-pinnable against a recursive-CTE
+    oracle. Rounds needed = the max component *diameter*. Dedup graphs
+    are near-cliques (LSH buckets emit all pairs), so 2-3 rounds is
+    typical; ``max_iter`` bounds pathological chains, and the loop
+    raises if it hits the bound without converging rather than return
+    a half-merged clustering. Each round's frontier is
+    ``localCheckpoint``-ed (eager): lineage stays one checkpoint deep
+    instead of accreting a join per round, and the convergence count
+    scans the just-materialized blocks. (localCheckpoint trades
+    executor-loss fault tolerance for speed — the standard choice for
+    iterative frontiers; use a checkpoint dir for long-lived jobs.)
+    At 1000-executor scale every round is a self-equi-join on node
+    id — AQE-skew-safe, no cartesian, no driver materialization.
+
+    Only nodes that appear in ``pairs`` get a row (singletons need no
+    cluster assignment — left-anti join survivors against this).
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+    labels = (
+        sym.select("u").distinct().withColumn("label", F.col("u")).localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.select(F.col("u").alias("v"), "label"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                F.coalesce(F.col("nbr_label") < F.col("label"), F.lit(False)).alias(
+                    "__changed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.select("u", "label")
+        if changed == 0:
+            return labels.select(
+                F.col("u").alias("doc_id"), F.col("label").alias("component_id")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "component diameter exceeds max_iter; raise max_iter"
+    )
+
+
+def keep_canonical(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every clustered document except its component's canonical
+    (min-id) representative; singletons (no component row) survive.
+
+    ``components`` is :func:`connected_components` output. One
+    broadcast-or-shuffle left join + filter — no window.
+    """
+    non_canonical = components.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(non_canonical, id_col, "left_anti")

@@ -606,6 +606,39 @@ register("dedup_lsh_band_pairs", _lsh_band_pairs_sql(k=16, bands=4))(
 )
 
 
+def _components_sql() -> str:
+    """DuckDB twin of dedup.connected_components over the LSH pairs.
+
+    The iterative min-label propagation fixpoint IS the transitive
+    closure's per-node min — stated in SQL as a recursive CTE:
+    reach = sym ∪ (reach ⋈ sym), component = min over {u} ∪ reach(u).
+    Exponential-ish in SQL but exact at oracle scale; the Spark side is
+    the O(diameter)-round distributed loop.
+    """
+    return f"""
+    WITH RECURSIVE edges AS ({_lsh_band_pairs_sql(k=16, bands=4)}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION ALL
+            SELECT id_b AS u, id_a AS v FROM edges),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS component_id
+    FROM reach GROUP BY u
+    """
+
+
+register("dedup_components", _components_sql())(
+    lambda spark, sf_dir: dedup.connected_components(
+        dedup.minhash_lsh_pairs(
+            _dup_union(spark, sf_dir), "text", "doc_id", shingle_n=3, k=16, bands=4
+        )
+    )
+)
+
+
 def _emb_with_dups(spark, sf_dir):
     """Embeddings plus exact copies of every 10th vector (id+100000) so
     the near-dup query has guaranteed pairs."""

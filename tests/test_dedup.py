@@ -128,3 +128,36 @@ def test_lsh_collapse_exact_is_output_identical(spark):
             map(tuple, minhash_lsh_pairs(df, max_bucket=cap, collapse_exact=False).collect())
         )
         assert on == off and len(on) > 0
+
+
+def test_connected_components_chain_clique_and_convergence(spark):
+    """Chain + clique resolve to min-id components; singletons absent;
+    keep_canonical keeps one survivor per cluster plus singletons; a
+    max_iter below the component diameter raises instead of returning
+    a half-merged clustering."""
+    from diagnosisextraction_ml_spark.operators.dedup import (
+        connected_components,
+        keep_canonical,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)],
+        "id_a long, id_b long",
+    )
+    cc = connected_components(pairs)
+    got = sorted(map(tuple, cc.collect()))
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (12, 10)]
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 4, 10, 11, 12, 99]], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in keep_canonical(docs, cc).collect())
+    assert kept == [1, 10, 99]
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    assert {r["component_id"] for r in connected_components(chain, max_iter=15).collect()} == {0}
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=2)
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
