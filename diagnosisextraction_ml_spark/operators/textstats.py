@@ -24,6 +24,19 @@ from diagnosisextraction_ml_spark.functions.stopwords import (
 # single non-space symbol — the shape GPT-style pre-tokenizers use.
 BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
+# PII/boilerplate redaction patterns, applied IN ORDER (URLs first —
+# they may contain '@' and digit runs that the later rules would
+# otherwise mangle). Each regex stays inside the Java-regex ∩ RE2
+# common subset (char classes, alternation, bounded repetition — no
+# backrefs/lookaround), so the Spark expression and the DuckDB oracle
+# twin are generated from these same strings.
+REDACT_RULES: list[tuple[str, str]] = [
+    (r"https?://[^\s]+", "<url>"),
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<email>"),
+    (r"[0-9]{7,}", "<number>"),  # before <phone>, which would subsume pure runs
+    (r"[0-9][0-9 ()\-]{5,}[0-9]", "<phone>"),
+]
+
 
 def _txt(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -309,6 +322,34 @@ def chunk_documents(
         )
         .filter(F.col("chunk") != "")
     )
+
+
+def redact_expr(col: Column | str) -> Column:
+    """Scalar redaction expression — the :data:`REDACT_RULES` chain."""
+    out = _txt(col)
+    for pattern, token in REDACT_RULES:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Scrub URLs / emails / phone-ish digit runs / long numbers.
+
+    The standard pre-training privacy pass: each rule rewrites matches
+    to a typed placeholder (``<url>``, ``<email>``, ``<phone>``,
+    ``<number>``) so downstream tokenization sees a stable vocabulary
+    item instead of quasi-unique strings (which would poison dedup
+    shingles and inflate the token vocabulary). Pure codegen'd
+    ``regexp_replace`` chain — zero shuffles, no UDF; the patterns are
+    deliberately conservative (RE2-compatible, no lookaround) and
+    shared verbatim with the DuckDB oracle twin.
+    """
+    return df.select(F.col(id_col), redact_expr(text_col).alias(out_col))
 
 
 def lexical_dispersion(

@@ -97,6 +97,35 @@ register(
 )
 
 
+# Suffix with every PII shape so the redaction rules all fire even
+# though the synthetic documents are plain lowercase words.
+_PII_SUFFIX = (
+    " see https://example.com/a?b=1 or mail First.Last+tag@sub.example.org"
+    " call +31 (0)6-12 34 56 78 id 12345678901 done"
+)
+
+register(
+    "text_redacted",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             concat(text, {_sq(_PII_SUFFIX)}),
+             {_sq(textstats.REDACT_RULES[0][0])}, {_sq(textstats.REDACT_RULES[0][1])}, 'g'),
+             {_sq(textstats.REDACT_RULES[1][0])}, {_sq(textstats.REDACT_RULES[1][1])}, 'g'),
+             {_sq(textstats.REDACT_RULES[2][0])}, {_sq(textstats.REDACT_RULES[2][1])}, 'g'),
+             {_sq(textstats.REDACT_RULES[3][0])}, {_sq(textstats.REDACT_RULES[3][1])}, 'g')
+           AS redacted
+    FROM documents
+    """,
+)(
+    lambda spark, sf_dir: textstats.redact_pii(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.concat(F.col("text"), F.lit(_PII_SUFFIX)).alias("text")
+        )
+    )
+)
+
+
 def _text_token_stats(spark, sf_dir):
     """T6/T7 — token counts before/after stopword removal."""
     docs = _t(spark, sf_dir, "documents")

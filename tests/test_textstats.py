@@ -121,3 +121,27 @@ def test_repetition_stats_zero_exchange(spark, sf_dir):
     plan = repetition_stats(load_table(spark, sf_dir, "documents"))._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_redact_pii_rules_and_order(spark):
+    """URLs (which may contain '@' and digit runs) redact before
+    emails/numbers; each rule emits its typed placeholder; clean text
+    passes through unchanged."""
+    from diagnosisextraction_ml_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "visit https://u:p@x.org/a/1234567890?q=1 today"),
+        (2, "mail me at First.Last+tag@sub.example.org please"),
+        (3, "call +31 (0)6-12 34 56 78 now"),
+        (4, "account 12345678901 overdrawn"),
+        (5, "plain text stays put"),
+        (6, "short 123 and 12-34 survive"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["redacted"] for r in redact_pii(df).collect()}
+    assert got[1] == "visit <url> today"
+    assert got[2] == "mail me at <email> please"
+    assert got[3] == "call +<phone> now"
+    assert got[4] == "account <number> overdrawn"
+    assert got[5] == "plain text stays put"
+    assert got[6] == "short 123 and 12-34 survive"
