@@ -115,6 +115,50 @@ def streaming_dedup_exact(
     return out.drop("__fp")
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with the
+    right-side events of the same key within ``(left_ts, left_ts +
+    within]``.
+
+    The canonical Structured Streaming two-stream join: watermarks on
+    BOTH sides plus the time-range condition are what let the engine
+    size and expire join state — without the range bound, stream-stream
+    join state grows forever. State per key ≈ events inside the
+    watermark horizon; the equi-key keeps it a hash join (same shape as
+    the batch :func:`~.operators.joins.interval_join` bucket join —
+    that op is this one's batch twin, and the test pins stream ≡ batch
+    on the same data).
+
+    Columns are prefixed (``l_``/``r_``) because both sides are
+    events-shaped. Works identically on batch frames (``withWatermark``
+    is a no-op there) — one function, both modes.
+    """
+    l = left.select(
+        *[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns]
+    ).withWatermark(f"{left_prefix}{left_ts}", watermark)
+    r = right.select(
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    ).withWatermark(f"{right_prefix}{right_ts}", watermark)
+    lt = F.col(f"{left_prefix}{left_ts}")
+    rt = F.col(f"{right_prefix}{right_ts}")
+    cond = (
+        (F.col(f"{left_prefix}{on}") == F.col(f"{right_prefix}{on}"))
+        & (rt > lt)
+        & (rt <= lt + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond)
+
+
 # Output/state schemas for the custom stateful operator below.
 USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 _USER_STATE_SCHEMA = "n bigint, total double"

@@ -220,3 +220,36 @@ def test_streaming_sessionized_counts_match_batch(spark, sf_dir, tmp_path):
         map(tuple, sessionized_event_counts(spark.read.parquet(path)).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (watermarks both sides + time-range
+    condition) produces exactly the batch interval join's pairs on the
+    same data."""
+    from diagnosisextraction_ml_spark.streaming.events import stream_interval_join
+
+    path, schema = _events_dir(spark, sf_dir, tmp_path)
+    left = read_events_stream(spark, path, schema, max_files_per_trigger=2)
+    right = read_events_stream(spark, path, schema, max_files_per_trigger=2)
+    joined = stream_interval_join(
+        left, right, on="user_id", within="10 minutes", watermark="2 hours"
+    ).select("l_event_id", "r_event_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    ev = spark.read.parquet(path)
+    batch = stream_interval_join(
+        ev, ev, on="user_id", within="10 minutes", watermark="2 hours"
+    ).select("l_event_id", "r_event_id")
+    want = {(r["l_event_id"], r["r_event_id"]) for r in batch.collect()}
+    assert len(want) > 0
+    assert got == want
