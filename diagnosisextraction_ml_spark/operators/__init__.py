@@ -1,6 +1,7 @@
 from diagnosisextraction_ml_spark.operators import (  # noqa: F401
     dedup,
     evaluate,
+    joins,
     multimodal,
     prep,
     similarity,
