@@ -229,6 +229,15 @@ def auc_trapezoid(
     src/TextClassification.py:385-400) — manual trapezoid sum. Here:
     lag window + sum. ``anchor_origin`` prepends the implicit (0,0)
     point (the reference's curves start from the first ranked row).
+
+    Scale contract (like :func:`curve_per_rank`): expects a
+    *driver-sized* curve (the tie-collapsed output of model
+    probabilities — thousands of points), so the single lag window is
+    one small task, and the sequential sum keeps the float result
+    run-stable. For billion-distinct-score ROC integration use
+    :func:`auc_rank` (exact rank arithmetic, fully distributed);
+    trapezoid segments are not exactly representable, so a distributed
+    float sum would trade bit-stability for nothing this op needs.
     """
     w = Window.orderBy(F.col(x_col).asc(), F.col(y_col).asc())
     x, y = F.col(x_col), F.col(y_col)

@@ -668,6 +668,36 @@ register("dedup_components", _components_sql())(
 )
 
 
+def _pipeline_dedup_canonical(spark, sf_dir):
+    """End-to-end near-dup removal: LSH pairs → connected components →
+    keep one canonical doc per cluster (singletons survive)."""
+    docs = _dup_union(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", shingle_n=3, k=16, bands=4)
+    comp = dedup.connected_components(pairs)
+    return dedup.keep_canonical(docs, comp).select("doc_id")
+
+
+register(
+    "pipeline_dedup_canonical",
+    f"""
+    WITH RECURSIVE edges AS ({_lsh_band_pairs_sql(k=16, bands=4)}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION ALL
+            SELECT id_b AS u, id_a AS v FROM edges),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    comp AS (SELECT u AS doc_id, least(u, min(v)) AS component_id
+             FROM reach GROUP BY u),
+    base AS ({_DUP_UNION_SQL})
+    SELECT b.doc_id FROM base b
+    WHERE b.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component_id)
+    """,
+)(_pipeline_dedup_canonical)
+
+
 def _emb_with_dups(spark, sf_dir):
     """Embeddings plus exact copies of every 10th vector (id+100000) so
     the near-dup query has guaranteed pairs."""
