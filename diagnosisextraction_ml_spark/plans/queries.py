@@ -286,7 +286,7 @@ def win_topn_per_group(spark, sf_dir):
     SELECT event_id, user_id,
            CAST(sum(CAST(value AS DECIMAL(18,6)))
                 OVER (PARTITION BY user_id
-                      ORDER BY epoch(CAST(ts AS TIMESTAMP))
+                      ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS hour_value
     FROM events
@@ -295,8 +295,12 @@ def win_topn_per_group(spark, sf_dir):
 def win_range_1hour(spark, sf_dir):
     """Sliding 1-hour range-frame sum per user — the RANGE window
     surface (frame bounded by the *order value*, not row offsets).
-    Ordered on epoch seconds so both engines use identical numeric
-    range arithmetic; DECIMAL-exact sum for cross-engine bits."""
+    Ordered on *whole* epoch seconds so both engines use identical
+    integer range arithmetic — Spark's ``unix_timestamp`` truncates
+    sub-second parts while DuckDB's ``epoch`` keeps them, so the SQL
+    twin floors explicitly (the events table has microsecond
+    timestamps; at sf0.1 the fractional mismatch shifts real frame
+    boundaries). DECIMAL-exact sum for cross-engine bits."""
     from pyspark.sql import Window
 
     w = (

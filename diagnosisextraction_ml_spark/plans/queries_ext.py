@@ -431,7 +431,10 @@ register(
 
 def _interval_events(spark, sf_dir):
     """Range join: every event inside a [purchase, purchase+30 min)
-    window of the same user, via the bucketized equi-join."""
+    window of the same user, via the bucketized equi-join. Times are
+    whole epoch seconds on both sides (``unix_timestamp`` truncates;
+    the SQL twin floors ``epoch()`` to match — the events table has
+    microsecond timestamps)."""
     ev = _t(spark, sf_dir, "events")
     points = ev.filter(F.col("event_type") != "purchase").select(
         "event_id", "user_id", F.unix_timestamp("ts").alias("es")
@@ -451,11 +454,12 @@ def _interval_events(spark, sf_dir):
 register(
     "interval_events_30min",
     """
-    WITH p AS (SELECT event_id, user_id, epoch(CAST(ts AS TIMESTAMP)) AS es
+    WITH p AS (SELECT event_id, user_id,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
                FROM events WHERE event_type <> 'purchase'),
     iv AS (SELECT event_id AS interval_id, user_id,
-                  epoch(CAST(ts AS TIMESTAMP)) AS s,
-                  epoch(CAST(ts AS TIMESTAMP)) + 1800 AS e
+                  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+                  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 1800 AS e
            FROM events WHERE event_type = 'purchase')
     SELECT p.event_id, iv.interval_id, p.user_id
     FROM p JOIN iv ON p.user_id = iv.user_id AND p.es >= iv.s AND p.es < iv.e
