@@ -3,11 +3,14 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata alongside. The Spark-side plumbing here — schemas, Arrow
 batch shape, ``mapInPandas`` signatures, partition sizing — is real
-and tested; the actual codec work is STUBBED (the decode libraries are
-not in this container) behind ``decoder=`` hooks: pass a real decoder
-(e.g. PIL/ffmpeg-based) in production, use the deterministic fake
-(md5-derived features) in tests, or get ``NotImplementedError`` from
-the default.
+and tested; codec work goes through ``decoder=`` hooks. Three decoders
+ship: the stdlib from-spec PNG path
+(``functions.png.png_feature_decoder`` — a REAL image decode, tested
+end-to-end through mapInPandas), the deterministic md5 fake
+(``fake_decoder``, used by the hash-pinned oracle query), and the
+raising ``default_decoder`` placeholder for formats that need external
+libraries (JPEG/audio/video — not in this container; pass a
+PIL/ffmpeg-backed callable in production).
 
 Scale notes:
 - Binary payloads never pass through Python row-at-a-time: mapInPandas

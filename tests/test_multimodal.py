@@ -69,3 +69,41 @@ def test_resize_plan(spark):
     r = resize_plan(media, 100, 100).collect()[0]
     assert r["resized_w"] == 100 and r["resized_h"] == 50
     assert r["resize_scale"] == pytest.approx(0.1)
+
+
+def test_real_png_decode_through_mapinpandas(spark):
+    """End-to-end REAL image decode: tiny PNGs (encoded by the stdlib
+    from-spec codec) flow through MEDIA_SCHEMA binary payloads and
+    mapInPandas Arrow batches; the emitted features match a local
+    numpy computation on the source pixels exactly."""
+    import numpy as np
+
+    from diagnosisextraction_ml_spark.functions.png import (
+        decode_png,
+        encode_png,
+        png_feature_decoder,
+    )
+
+    rng = np.random.RandomState(42)
+    imgs = {
+        1: rng.randint(0, 256, size=(4, 6, 3), dtype=np.uint8),   # RGB
+        2: rng.randint(0, 256, size=(3, 3, 4), dtype=np.uint8),   # RGBA
+        3: rng.randint(0, 256, size=(5, 2), dtype=np.uint8),      # gray
+    }
+    rows = [
+        (aid, "image", "image/png", bytearray(encode_png(a)),
+         a.shape[1], a.shape[0], None)
+        for aid, a in imgs.items()
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r["asset_id"]: (r["n_bytes"], tuple(r["feature"]))
+        for r in extract_features(media, decoder=png_feature_decoder).collect()
+    }
+    for aid, a in imgs.items():
+        png = encode_png(a)
+        assert np.array_equal(decode_png(png), a if a.ndim == 3 else a[:, :, None])
+        want = tuple(png_feature_decoder(png))
+        assert out[aid] == (len(png), want)
+        # width/height land in the first two feature slots
+        assert out[aid][1][0] == float(a.shape[1]) and out[aid][1][1] == float(a.shape[0])
