@@ -42,10 +42,16 @@ def main() -> int:
 
     spark = get_spark("oracle-compare")
     con = duckdb.connect()
+    import os
+
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single-file parquet; Spark writers (e.g.
+        # tools/gen_sf.py output) produce <table>.parquet/ directories
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, oracles = queries(), oracle_sql()
     failures = []
