@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -114,3 +115,32 @@ def word_match_expr(col: Column | str, targets: Sequence[str]) -> Column:
 
 # Default matching targets for the RA use case (ref: notebook cell 36).
 RA_TARGETS = ("rheumatoid arthritis", "reumatoide artritis", "ra")
+
+
+def nfc_normalize_udf() -> Column:
+    """Factory for an Arrow-batched Unicode NFC normalizer.
+
+    Unicode normalization is the canonical first step of a multilingual
+    pre-training pipeline (decomposed "e" + U+0301 and precomposed "é"
+    must dedup/tokenize identically). Spark has no built-in NFC
+    expression, so this is one of the few places the repo drops to
+    Python — as a vectorized ``pandas_udf`` (Arrow batches, not
+    row-at-a-time), per the UDF doctrine. ``unicodedata.normalize`` and
+    DuckDB's ``nfc_normalize`` both implement the Unicode standard
+    algorithm, so the oracle twin matches exactly.
+
+    Returned as a factory (not a module-level UDF) so importing this
+    module never touches the UDF machinery.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _nfc(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+        )
+
+    return _nfc

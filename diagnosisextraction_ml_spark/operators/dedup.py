@@ -576,3 +576,53 @@ def keep_canonical(
         F.col("doc_id").alias(id_col)
     )
     return df.join(non_canonical, id_col, "left_anti")
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination — flag corpus documents that share any
+    word ``n``-gram with an eval/benchmark set.
+
+    The standard pre-training hygiene pass (n=13 follows the GPT-3
+    appendix-C convention): a training document containing a verbatim
+    benchmark n-gram would let the model memorize test items, so it is
+    flagged (and typically dropped) before training.
+
+    Scale design: both sides reduce to DISTINCT 60-bit md5 n-gram
+    hashes (:func:`shingles` + ``md5_hash64``) before any join. The
+    benchmark side — eval suites are 10^3-10^5 docs — is broadcast, so
+    the overlap check is a map-side hash-join probe of 8-byte keys over
+    the corpus grams: the 100 TB side is never shuffled on text and no
+    document content crosses the wire. The only wide op is the per-doc
+    hit count, a groupBy on the (already heavily filtered) hit rows.
+
+    Output: (id, n_hit_ngrams, contaminated) for EVERY corpus doc
+    (zero hits included) so it composes directly as a filter gate.
+    """
+    doc_grams = shingles(df, text_col, id_col, n=n).select(
+        F.col(id_col), md5_hash64(F.col("shingle")).alias("gram_hash")
+    )
+    bench_grams = (
+        shingles(benchmark, text_col, id_col, n=n)
+        .select(md5_hash64(F.col("shingle")).alias("gram_hash"))
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram_hash")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram_hash").alias("n_hit_ngrams"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hit_ngrams"), F.lit(0)).cast("long").alias("n_hit_ngrams"),
+            (F.coalesce(F.col("n_hit_ngrams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from diagnosisextraction_ml_spark.functions.hashing import M31, knuth_bucket
+from diagnosisextraction_ml_spark.functions.hashing import M31, knuth_bucket, md5_hash64
 from diagnosisextraction_ml_spark.functions.typo import correct_tokens_batch
 
 
@@ -476,3 +476,69 @@ def correct_typos_df(
         .drop("__tkey", "__corrected")
     )
     return joined
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    num: int,
+    den: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact-count deterministic stratified sample (V-extension).
+
+    Keeps, within every stratum, exactly ``ceil(num/den * n_s)`` rows:
+    the ones with the smallest md5 hash of the key. Hash order is a
+    deterministic uniform permutation, so this is sampling without
+    replacement that reproduces on any cluster and any partitioning
+    (``df.sample``/``rand()`` do not — their draws are
+    partition-dependent), and the cutoff is pure integer arithmetic
+    (global_rank <= (n_s*num + den - 1) div den), exact in any engine.
+
+    Scale design: a naive ``row_number() OVER (PARTITION BY stratum)``
+    serializes each stratum through ONE task — with few strata
+    (languages, sources: the common case) that is exactly the
+    single-partition funnel this repo bans. The rank here is two-level,
+    same doctrine as ``evaluate._bucketed_cumsum``: rows rank within
+    (stratum, hash-range bucket) — strata x n_buckets-way parallel —
+    and each bucket adds an offset (count of earlier buckets in its
+    stratum) computed by a broadcast self-join of the tiny
+    per-(stratum, bucket) totals table. No collect, no
+    single-partition Exchange.
+    """
+    from pyspark.sql import Window
+
+    bits = n_buckets.bit_length() - 1
+    if (1 << bits) != n_buckets:
+        raise ValueError("n_buckets must be a power of two")
+    h = md5_hash64(F.col(key_col).cast("string"))
+    # top bits of the 60-bit hash -> bucket order == hash order
+    with_b = df.withColumn("__h", h).withColumn(
+        "__sb", F.shiftrightunsigned(F.col("__h"), 60 - bits).cast("int")
+    )
+    totals = with_b.groupBy(strata_col, "__sb").agg(F.count("*").alias("__c"))
+    earlier = totals.select(
+        F.col(strata_col).alias("__es"),
+        F.col("__sb").alias("__eb"),
+        F.col("__c").alias("__ec"),
+    )
+    offsets = (
+        totals.join(
+            F.broadcast(earlier),
+            (F.col(strata_col) == F.col("__es")) & (F.col("__eb") < F.col("__sb")),
+            "left",
+        )
+        .groupBy(strata_col, "__sb")
+        .agg(F.coalesce(F.sum("__ec"), F.lit(0)).alias("__off"))
+    )
+    n_per_stratum = totals.groupBy(strata_col).agg(F.sum("__c").alias("__n"))
+    w = Window.partitionBy(strata_col, "__sb").orderBy(F.col("__h").asc(), F.col(key_col).asc())
+    keep_expr = F.expr(f"(__n * {num} + {den - 1}) div {den}")
+    return (
+        with_b.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), [strata_col, "__sb"])
+        .join(F.broadcast(n_per_stratum), strata_col)
+        .filter((F.col("__rn") + F.col("__off")) <= keep_expr)
+        .drop("__h", "__sb", "__rn", "__off", "__n")
+    )

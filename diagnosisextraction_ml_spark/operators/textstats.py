@@ -364,3 +364,60 @@ def lexical_dispersion(
     toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
     exploded = df.select(F.col(id_col), F.posexplode(toks).alias("position", "term"))
     return exploded.filter(F.col("term").isin(list(terms)))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Greedy next-fit sequence packing for training batches.
+
+    The standard pre-tokenization step that turns variable-length
+    documents into fixed-budget training sequences: documents are
+    packed, in deterministic id order, into bins of at most ``budget``
+    whitespace tokens — a document that would overflow the current bin
+    closes it and starts the next (an oversized document gets a bin of
+    its own).
+
+    Scale design: packing is inherently sequential, so it runs *per
+    shard* — documents are Knuth-bucketed into ``n_shards`` independent
+    streams, each packed inside one Arrow-batched ``applyInPandas``
+    group. Shard count = parallelism (set it near the cluster's core
+    count at 100 TB); per-group state is two integers; and only the
+    (id, shard, token-count) triple ever shuffles — text never crosses
+    the wire. The shard assignment is part of the contract: the same
+    document lands in the same shard, and therefore the same bin, on
+    any cluster and any partitioning.
+
+    Output: (id, shard, n_tokens, bin_id) with ``bin_id`` local to the
+    shard — (shard, bin_id) is the global sequence key.
+    """
+    from diagnosisextraction_ml_spark.functions.hashing import knuth_bucket
+
+    base = df.select(
+        F.col(id_col),
+        knuth_bucket(F.col(id_col), n_shards).cast("int").alias("shard"),
+        token_count_ws(text_col).cast("long").alias("n_tokens"),
+    )
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins = []
+        bin_id, fill = 0, 0
+        for i, nt in enumerate(pdf["n_tokens"]):
+            nt = int(nt)
+            if i == 0:
+                fill = nt
+            elif fill + nt <= budget:
+                fill += nt
+            else:
+                bin_id += 1
+                fill = nt
+            bins.append(bin_id)
+        return pdf.assign(bin_id=bins)
+
+    schema = f"{id_col} long, shard int, n_tokens long, bin_id long"
+    return base.groupBy("shard").applyInPandas(_pack, schema)

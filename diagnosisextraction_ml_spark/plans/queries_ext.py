@@ -19,7 +19,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from diagnosisextraction_ml_spark.functions.hashing import M31, md5_hash64, md5_hash64_sql
+from diagnosisextraction_ml_spark.functions.hashing import (
+    M31,
+    knuth_bucket_sql,
+    md5_hash64,
+    md5_hash64_sql,
+)
 from diagnosisextraction_ml_spark.functions.stopwords import (
     DUTCH_STOPWORDS,
     ENGLISH_STOPWORDS,
@@ -1360,3 +1365,132 @@ register("text_typo_corrected", _typo_sql())(
         _t(spark, sf_dir, "documents").select("doc_id", "text"), "text", _TYPO_VOCAB
     ).select("doc_id", "text")
 )
+
+
+# ===========================================================================
+# Round-4 training-pipeline additions: decontamination, exact stratified
+# sampling, sequence packing, Unicode NFC normalization
+# ===========================================================================
+
+def _ngrams_sql(n: int) -> str:
+    """DuckDB list comprehension twin of dedup.shingles for token list
+    ``t``: n-grams with the short-doc whole-text clamp."""
+    return (
+        f"list_distinct([array_to_string(t[i+1:i+{n}], ' ') "
+        f"for i in range(0, greatest(len(t)-{n}, 0)+1)])"
+    )
+
+
+def _decontam_sql(n: int = 13) -> str:
+    toks = _toks_sql("lower(text)")
+    grams = _ngrams_sql(n)
+    return f"""
+    WITH corpus AS ({_DUP_UNION_SQL}),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    ct AS (SELECT doc_id, {toks} AS t FROM corpus),
+    cg AS (SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id, unnest({grams}) AS shingle FROM ct) WHERE shingle != ''),
+    bt AS (SELECT doc_id, {toks} AS t FROM bench),
+    bg AS (SELECT DISTINCT shingle FROM (
+      SELECT unnest({grams}) AS shingle FROM bt) WHERE shingle != ''),
+    hits AS (SELECT doc_id, count(*) AS nh
+             FROM cg JOIN bg USING (shingle) GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(coalesce(nh, 0) AS BIGINT) AS n_hit_ngrams,
+           coalesce(nh, 0) > 0 AS contaminated
+    FROM corpus c LEFT JOIN hits ON hits.doc_id = c.doc_id
+    """
+
+
+def _decontam(spark, sf_dir):
+    """Eval-set decontamination over the dup-injected corpus: benchmark
+    = every 97th base doc, so its exact copies (and itself) flag."""
+    bench = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id", "text")
+    )
+    return dedup.decontaminate(_dup_union(spark, sf_dir), bench, n=13)
+
+
+register("decontam_ngram_overlap", _decontam_sql())(_decontam)
+
+
+register(
+    "prep_stratified_sample",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {md5_hash64_sql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+             ) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents)
+    SELECT doc_id, source FROM ranked WHERE rn <= (n * 1 + 3) // 4
+    """,
+)(
+    lambda spark, sf_dir: prep.stratified_sample_exact(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        "source",
+        "doc_id",
+        num=1,
+        den=4,
+    ).select("doc_id", "source")
+)
+
+
+def _pack_sql(budget: int = 200, n_shards: int = 8) -> str:
+    toks = _toks_sql("text")
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             CAST({knuth_bucket_sql("doc_id", n_shards)} AS INT) AS shard,
+             CAST(len({toks}) AS BIGINT) AS n_tokens
+      FROM documents),
+    ordered AS (
+      SELECT doc_id, shard, n_tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM base),
+    pack(shard, rn, doc_id, n_tokens, bin_id, fill) AS (
+      SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN p.fill + o.n_tokens <= {budget}
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + o.n_tokens <= {budget}
+                  THEN p.fill + o.n_tokens ELSE o.n_tokens END
+      FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, n_tokens, bin_id FROM pack
+    """
+
+
+register("pack_greedy_sequences", _pack_sql())(
+    lambda spark, sf_dir: textstats.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=200, n_shards=8
+    )
+)
+
+
+# Decomposed/precomposed pairs so NFC composition actually fires on the
+# (plain-ASCII) synthetic corpus: e+combining-acute, A+ring, ﬁ ligature
+# (NFC-invariant), precomposed é for the identity case.
+_NFC_SUFFIX = " café Åberg ﬁt café"
+
+
+def _nfc_query(spark, sf_dir):
+    nfc = __import__(
+        "diagnosisextraction_ml_spark.functions.text", fromlist=["nfc_normalize_udf"]
+    ).nfc_normalize_udf()
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        nfc(F.concat(F.col("text"), F.lit(_NFC_SUFFIX))).alias("normalized"),
+    )
+
+
+register(
+    "text_nfc_normalized",
+    f"SELECT doc_id, nfc_normalize(text || {_sq(_NFC_SUFFIX)}) AS normalized FROM documents",
+)(_nfc_query)

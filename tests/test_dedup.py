@@ -161,3 +161,39 @@ def test_connected_components_chain_clique_and_convergence(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty).count() == 0
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """A corpus doc sharing a 13-gram with a benchmark doc flags; clean
+    docs come back with n_hit_ngrams = 0 (output covers every doc)."""
+    from diagnosisextraction_ml_spark.operators.dedup import decontaminate
+
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text),                                   # verbatim benchmark doc
+            (2, "prefix " + " ".join(f"b{i}" for i in range(13)) + " suffix"),
+            (3, " ".join(f"c{i}" for i in range(30))),         # clean
+            (4, " ".join(f"b{i}" for i in range(12))),         # short: whole-text gram, no 13-gram match
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_hit_ngrams"], r["contaminated"])
+           for r in decontaminate(corpus, bench, n=13).collect()}
+    assert got[1][1] and got[1][0] == 8      # 20-13+1 grams, all hit
+    assert got[2] == (1, True)               # exactly the one embedded 13-gram
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+    assert len(got) == 4
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must reach the corpus as a broadcast
+    probe — no shuffle of the corpus grams."""
+    from diagnosisextraction_ml_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    plan = decontaminate(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -196,3 +196,39 @@ def test_shuffle_rows_content_key_is_injective(spark):
     assert sorted(a, key=lambda t: (t[0], t[1] or "")) == sorted(
         rows, key=lambda t: (t[0], t[1] or "")
     )
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    """ceil(n_s/4) rows per stratum, identical picks on any
+    partitioning, and picks equal the naive per-stratum hash rank."""
+    from diagnosisextraction_ml_spark.functions.hashing import md5_hash64
+    from diagnosisextraction_ml_spark.operators.prep import stratified_sample_exact
+    from pyspark.sql import Window, functions as F
+
+    rows = [(i, f"s{i % 3}") for i in range(101)]
+    df = spark.createDataFrame(rows, "k long, stratum string")
+    out = stratified_sample_exact(df, "stratum", "k", num=1, den=4)
+    got = sorted((r["stratum"], r["k"]) for r in out.collect())
+
+    counts = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    by_stratum = {}
+    for s, k in got:
+        by_stratum[s] = by_stratum.get(s, 0) + 1
+    for s, n in counts.items():
+        assert by_stratum[s] == -(-n // 4)  # ceil
+
+    again = sorted(
+        (r["stratum"], r["k"])
+        for r in stratified_sample_exact(df.repartition(7), "stratum", "k", 1, 4).collect()
+    )
+    assert again == got
+
+    w = Window.partitionBy("stratum").orderBy(md5_hash64(F.col("k").cast("string")), "k")
+    naive = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("stratum")))
+        .filter(F.col("rn") <= F.expr("(n * 1 + 3) div 4"))
+    )
+    assert sorted((r["stratum"], r["k"]) for r in naive.collect()) == got

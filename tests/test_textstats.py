@@ -145,3 +145,38 @@ def test_redact_pii_rules_and_order(spark):
     assert got[4] == "account <number> overdrawn"
     assert got[5] == "plain text stays put"
     assert got[6] == "short 123 and 12-34 survive"
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    """Bins fill greedily in id order per shard: every bin holds <=
+    budget tokens unless it is a single oversized doc, bins are
+    contiguous, and a doc never splits."""
+    from diagnosisextraction_ml_spark.operators.textstats import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(
+        [30, 30, 30, 30, 150, 20, 300, 10, 90, 90, 5, 5, 5])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, budget=100, n_shards=2).collect()
+    assert len(out) == len(rows)
+    fills = {}
+    for r in out:
+        fills.setdefault((r["shard"], r["bin_id"]), []).append(r["n_tokens"])
+    for (shard, bin_id), toks in fills.items():
+        assert sum(toks) <= 100 or len(toks) == 1  # oversized doc rides alone
+    for shard in {r["shard"] for r in out}:
+        bins = sorted({r["bin_id"] for r in out if r["shard"] == shard})
+        assert bins == list(range(len(bins)))  # contiguous bin ids
+
+    # deterministic under repartition
+    again = sorted(map(tuple, pack_sequences(df.repartition(5), 100, n_shards=2).collect()))
+    assert again == sorted(map(tuple, out))
+
+
+def test_nfc_normalization_composes(spark):
+    from diagnosisextraction_ml_spark.functions.text import nfc_normalize_udf
+    from pyspark.sql import functions as F
+
+    decomposed = "café Åberg ﬁt"
+    df = spark.createDataFrame([(1, decomposed)], "doc_id long, text string")
+    got = df.select(nfc_normalize_udf()(F.col("text")).alias("t")).head()["t"]
+    assert got == "café Åberg ﬁt"  # composed; ligature NFC-invariant
