@@ -542,3 +542,44 @@ def stratified_sample_exact(
         .filter((F.col("__rn") + F.col("__off")) <= keep_expr)
         .drop("__h", "__sb", "__rn", "__off", "__n")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weights: dict[str, tuple[int, int]],
+    default: tuple[int, int] = (1, 1),
+) -> DataFrame:
+    """Deterministic domain-mixture resampling (data-mixing step).
+
+    Reweights groups (domains/sources/languages) to target sampling
+    weights for training: a row in a group with weight ``num/den``
+    appears ``floor(num/den)`` times, plus once more when
+    ``md5(key) mod den < num mod den`` — so multiplicity is exact per
+    key, the expected group weight is exactly ``num/den``, and the
+    same row keeps the same multiplicity on any cluster or
+    partitioning (the repo's hash-not-rand doctrine). Weights > 1
+    upsample by repetition (``copy_idx`` distinguishes the copies for
+    downstream shuffling), weights < 1 downsample.
+
+    Scale design: one codegen'd map stage — a CASE over the (tiny,
+    literal) weight table, an md5 of the key, and an
+    ``explode(sequence(...))`` whose fan-out Catalyst sees up front.
+    No shuffle, no join, no UDF; at 100 TB this is scan-speed.
+    """
+    num = F.lit(int(default[0]))
+    den = F.lit(int(default[1]))
+    for g, (nu, de) in sorted(weights.items()):
+        if de <= 0 or nu < 0:
+            raise ValueError(f"weight for {g!r} must have num >= 0, den > 0")
+        num = F.when(F.col(group_col) == g, F.lit(int(nu))).otherwise(num)
+        den = F.when(F.col(group_col) == g, F.lit(int(de))).otherwise(den)
+    h = md5_hash64(F.col(key_col).cast("string"))
+    n_copies = (num - (num % den)) / den + F.when((h % den) < (num % den), 1).otherwise(0)
+    return (
+        df.withColumn("__n", n_copies.cast("int"))
+        .filter(F.col("__n") >= 1)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
+    )

@@ -1494,3 +1494,37 @@ register(
     "text_nfc_normalized",
     f"SELECT doc_id, nfc_normalize(text || {_sq(_NFC_SUFFIX)}) AS normalized FROM documents",
 )(_nfc_query)
+
+
+# Domain-mixture weights for the oracle query: double src0, 2.5x src1
+# (hash decides the half copy), halve src2, drop src3, keep the rest.
+_MIX_WEIGHTS = {"src0": (2, 1), "src1": (5, 2), "src2": (1, 2), "src3": (0, 1)}
+
+
+def _mixture_sql() -> str:
+    h = md5_hash64_sql("CAST(doc_id AS VARCHAR)")
+    num = " ".join(f"WHEN '{g}' THEN {nu}" for g, (nu, _) in sorted(_MIX_WEIGHTS.items()))
+    den = " ".join(f"WHEN '{g}' THEN {de}" for g, (_, de) in sorted(_MIX_WEIGHTS.items()))
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE source {num} ELSE 1 END AS num,
+             CASE source {den} ELSE 1 END AS den,
+             {h} AS h
+      FROM documents),
+    n AS (SELECT doc_id, source,
+                 (num // den) + CASE WHEN (h % den) < (num % den) THEN 1 ELSE 0 END AS n
+          FROM w)
+    SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS INT) AS copy_idx
+    FROM n WHERE n >= 1
+    """
+
+
+register("prep_mixture_resample", _mixture_sql())(
+    lambda spark, sf_dir: prep.mixture_resample(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        "source",
+        "doc_id",
+        _MIX_WEIGHTS,
+    )
+)

@@ -232,3 +232,36 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
         .filter(F.col("rn") <= F.expr("(n * 1 + 3) div 4"))
     )
     assert sorted((r["stratum"], r["k"]) for r in naive.collect()) == got
+
+
+def test_mixture_resample_multiplicity_and_determinism(spark):
+    """Exact per-key multiplicity: floor(num/den) + (md5(key) % den <
+    num % den); zero-weight groups drop; stable under repartition."""
+    from diagnosisextraction_ml_spark.operators.prep import mixture_resample
+
+    rows = [(i, f"g{i % 4}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    weights = {"g0": (2, 1), "g1": (3, 2), "g2": (0, 1)}
+    out = mixture_resample(df, "g", "k", weights).collect()
+
+    import hashlib
+
+    def h60(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+
+    expect = {}
+    for k, g in rows:
+        nu, de = weights.get(g, (1, 1))
+        n = nu // de + (1 if h60(k) % de < nu % de else 0)
+        if n:
+            expect[k] = n
+    got = {}
+    for r in out:
+        got[r["k"]] = got.get(r["k"], 0) + 1
+    assert got == expect
+    assert all(r["g"] != "g2" for r in out)
+    copies = sorted(r["copy_idx"] for r in out if r["k"] == 0)
+    assert copies == list(range(1, expect[0] + 1))
+
+    again = mixture_resample(df.repartition(7), "g", "k", weights).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
