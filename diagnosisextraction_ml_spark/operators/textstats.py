@@ -421,3 +421,43 @@ def pack_sequences(
 
     schema = f"{id_col} long, shard int, n_tokens long, bin_id long"
     return base.groupBy("shard").applyInPandas(_pack, schema)
+
+
+def doc_commonness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-statistic quality signal: mean document frequency of a
+    document's distinct tokens.
+
+    The CCNet-style idea of scoring documents against a corpus-level
+    language statistic, kept in exact integer arithmetic (mean document
+    frequency instead of a float LM perplexity) so the score is
+    bit-reproducible in any engine: gibberish/OCR noise scores low
+    (tokens appear almost nowhere else), boilerplate scores high —
+    both tails are the usual filter targets.
+
+    Scale design: distinct tokens per doc (map-side), one groupBy
+    token to build the document-frequency table, one equi-join back
+    keyed on token, one groupBy doc. The token join is skewed by
+    nature (stopwords touch every doc) — at 100 TB run with AQE skew
+    join on (session default here); the df table is (token, count)
+    only, never text. Division of two exact counts → exact ratio.
+    """
+    toks = F.array_distinct(
+        F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
+    )
+    doc_tokens = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    token_df = doc_tokens.groupBy("token").agg(F.count("*").alias("token_docfreq"))
+    return (
+        doc_tokens.join(token_df, "token")
+        .groupBy(id_col)
+        .agg(
+            F.sum("token_docfreq").alias("sum_docfreq"),
+            F.count("*").alias("n_distinct_tokens"),
+        )
+        .withColumn(
+            "mean_token_docfreq", F.col("sum_docfreq") / F.col("n_distinct_tokens")
+        )
+    )

@@ -1528,3 +1528,24 @@ register("prep_mixture_resample", _mixture_sql())(
         _MIX_WEIGHTS,
     )
 )
+
+
+def _commonness_sql() -> str:
+    toks = _toks_sql("lower(text)")
+    return f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(list_distinct({toks})) AS token FROM documents)),
+    tdf AS (SELECT token, count(*) AS token_docfreq FROM dt GROUP BY token)
+    SELECT doc_id,
+           CAST(sum(token_docfreq) AS BIGINT) AS sum_docfreq,
+           count(*) AS n_distinct_tokens,
+           sum(token_docfreq) * 1.0 / count(*) AS mean_token_docfreq
+    FROM dt JOIN tdf USING (token)
+    GROUP BY doc_id
+    """
+
+
+register("doc_token_commonness", _commonness_sql())(
+    lambda spark, sf_dir: textstats.doc_commonness(_t(spark, sf_dir, "documents"))
+)

@@ -180,3 +180,17 @@ def test_nfc_normalization_composes(spark):
     df = spark.createDataFrame([(1, decomposed)], "doc_id long, text string")
     got = df.select(nfc_normalize_udf()(F.col("text")).alias("t")).head()["t"]
     assert got == "café Åberg ﬁt"  # composed; ligature NFC-invariant
+
+
+def test_doc_commonness_hand_case(spark):
+    """df('a')=3, df('b')=2, df('c')=1 over three docs; means follow."""
+    from diagnosisextraction_ml_spark.operators.textstats import doc_commonness
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b a"), (3, "a c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in doc_commonness(df).collect()}
+    assert got[1]["sum_docfreq"] == 5 and got[1]["n_distinct_tokens"] == 2
+    assert got[2]["sum_docfreq"] == 5 and got[2]["n_distinct_tokens"] == 2
+    assert got[3]["sum_docfreq"] == 4 and got[3]["n_distinct_tokens"] == 2
+    assert got[3]["mean_token_docfreq"] == 2.0
