@@ -626,3 +626,43 @@ def decontaminate(
             (F.coalesce(F.col("n_hit_ngrams"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental (day-2) dedup: drop new documents whose normalized
+    text already exists in a historical fingerprint index.
+
+    The production shape of exact dedup — yesterday's corpus is a
+    persisted (fingerprint) table, today's batch is checked against it
+    without rescanning history: one LEFT ANTI hash join on the 128-bit
+    md5 (birthday-safe at corpus scale, same rationale as
+    :func:`exact_duplicates`). Also dedups *within* the batch
+    (min-id survivor per fingerprint, one groupBy) so the output can
+    be appended to both the corpus and the index.
+
+    ``seen_fingerprints`` needs a ``fingerprint`` column — e.g. the
+    output of :func:`exact_duplicates`, or ``index_fingerprints`` of a
+    prior batch. Only fingerprints cross the wire, never text.
+    """
+    normalized = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    fp = new_df.select(F.md5(normalized).alias("fingerprint"), F.col(id_col))
+    survivors = (
+        fp.join(seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti")
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return new_df.join(survivors.select(id_col), id_col, "left_semi")
+
+
+def index_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct normalized-text fingerprints of a batch — the rows to
+    append to the historical index after :func:`dedup_incremental`."""
+    normalized = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return df.select(F.md5(normalized).alias("fingerprint")).distinct()

@@ -1549,3 +1549,37 @@ def _commonness_sql() -> str:
 register("doc_token_commonness", _commonness_sql())(
     lambda spark, sf_dir: textstats.doc_commonness(_t(spark, sf_dir, "documents"))
 )
+
+
+def _incremental_sql() -> str:
+    """History = even base docs; batch = odd docs + copies of even docs
+    (dup-union shifts), so the copies drop against history and the
+    batch's internal dups collapse to the min id."""
+    fp = "md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH history AS (
+      SELECT DISTINCT {fp} AS fingerprint FROM documents WHERE doc_id % 2 = 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+    fps AS (SELECT {fp} AS fingerprint, doc_id FROM batch),
+    survivors AS (
+      SELECT fingerprint, min(doc_id) AS doc_id FROM fps
+      WHERE fingerprint NOT IN (SELECT fingerprint FROM history)
+      GROUP BY fingerprint)
+    SELECT b.doc_id, b.text FROM batch b
+    WHERE b.doc_id IN (SELECT doc_id FROM survivors)
+    """
+
+
+def _incremental(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    history = dedup.index_fingerprints(docs.filter(F.col("doc_id") % 2 == 0))
+    batch = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return dedup.dedup_incremental(batch, history)
+
+
+register("dedup_incremental_batch", _incremental_sql())(_incremental)

@@ -197,3 +197,29 @@ def test_decontaminate_broadcasts_benchmark(spark):
     bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
     plan = decontaminate(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_incremental_batch(spark):
+    """New docs drop against the historical index AND collapse within
+    the batch; whitespace-normalized equality, min-id survivor."""
+    from diagnosisextraction_ml_spark.operators.dedup import (
+        dedup_incremental,
+        index_fingerprints,
+    )
+
+    history_docs = spark.createDataFrame(
+        [(1, "old doc one"), (2, "old  doc\ttwo")], "doc_id long, text string"
+    )
+    history = index_fingerprints(history_docs)
+    batch = spark.createDataFrame(
+        [
+            (10, "old doc one"),        # seen (exact)
+            (11, "old doc two"),        # seen (whitespace-normalized)
+            (12, "brand new"),
+            (13, "brand  new"),         # in-batch dup of 12 (normalized)
+            (14, "also new"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in dedup_incremental(batch, history).collect())
+    assert got == [12, 14]
