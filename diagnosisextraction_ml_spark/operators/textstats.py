@@ -366,6 +366,25 @@ def lexical_dispersion(
     return exploded.filter(F.col("term").isin(list(terms)))
 
 
+def greedy_next_fit_bins(counts, budget: int) -> list[int]:
+    """Pure next-fit packing core (one stream): bin index per item, in
+    input order. A new bin opens exactly when the current one cannot
+    take the next item; oversized items occupy a bin alone."""
+    bins: list[int] = []
+    bin_id, fill = 0, 0
+    for i, nt in enumerate(counts):
+        nt = int(nt)
+        if i == 0:
+            fill = nt
+        elif fill + nt <= budget:
+            fill += nt
+        else:
+            bin_id += 1
+            fill = nt
+        bins.append(bin_id)
+    return bins
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,
@@ -405,19 +424,7 @@ def pack_sequences(
 
     def _pack(pdf):
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
-        bins = []
-        bin_id, fill = 0, 0
-        for i, nt in enumerate(pdf["n_tokens"]):
-            nt = int(nt)
-            if i == 0:
-                fill = nt
-            elif fill + nt <= budget:
-                fill += nt
-            else:
-                bin_id += 1
-                fill = nt
-            bins.append(bin_id)
-        return pdf.assign(bin_id=bins)
+        return pdf.assign(bin_id=greedy_next_fit_bins(pdf["n_tokens"], budget))
 
     schema = f"{id_col} long, shard int, n_tokens long, bin_id long"
     return base.groupBy("shard").applyInPandas(_pack, schema)

@@ -50,3 +50,33 @@ def test_t_sf_range_and_monotonicity(t, df):
     p = t_sf(t, df)
     assert 0.0 <= p <= 0.5 + 1e-12
     assert t_sf(t + 1.0, df) <= p + 1e-12
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_greedy_next_fit_bins_characterization(counts, budget):
+    """The two directions that pin next-fit exactly: (a) a bin never
+    exceeds the budget unless it is a single oversized item, and (b) a
+    new bin opens ONLY when the item would not have fit (greedy — no
+    premature splits)."""
+    from diagnosisextraction_ml_spark.operators.textstats import greedy_next_fit_bins
+
+    bins = greedy_next_fit_bins(counts, budget)
+    assert len(bins) == len(counts)
+    assert bins[0] == 0
+    fills: dict[int, list[int]] = {}
+    for b, n in zip(bins, counts):
+        fills.setdefault(b, []).append(n)
+    assert sorted(fills) == list(range(len(fills)))  # contiguous
+    for b, items in fills.items():
+        assert sum(items) <= budget or len(items) == 1
+    for i in range(1, len(counts)):
+        assert bins[i] in (bins[i - 1], bins[i - 1] + 1)
+        if bins[i] == bins[i - 1] + 1:
+            prev_fill = sum(
+                counts[j] for j in range(i) if bins[j] == bins[i - 1]
+            )
+            assert prev_fill + counts[i] > budget
