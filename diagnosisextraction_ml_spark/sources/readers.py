@@ -96,17 +96,30 @@ def read_predictions(spark: SparkSession, path: str) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table (TESTDATA.md).
 
-    ``events.parquet`` carries TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default — read the nanos as long (legacy conf)
-    and convert to a microsecond timestamp with *integer* arithmetic
-    (ts DIV 1000: nanos ~1.7e18 exceed double's 53-bit mantissa, so a
-    float division would corrupt low digits).
+    ``events.ts`` has drifted across testdata generations — normalize
+    every on-disk shape to a canonical ``TimestampType`` so downstream
+    plans (``unix_micros``, ``withWatermark``, ``session_window``) see
+    one type regardless of which generation of parquet is on disk:
+
+    - TIMESTAMP(NANOS): rejected by the parquet reader by default —
+      read the nanos as long (legacy conf) and convert with *integer*
+      arithmetic (``ts DIV 1000``: nanos ~1.7e18 exceed double's
+      53-bit mantissa, so a float division would corrupt low digits).
+    - TIMESTAMP_NTZ (``timestamp[us]``, isAdjustedToUTC=false — the
+      current driver output): ``cast("timestamp")``. The session
+      timezone is pinned UTC (session.py), so the cast is a pure
+      relabel — bit-identical micros, matching the DuckDB oracle's
+      ``CAST(ts AS TIMESTAMP)`` exactly.
+    - TIMESTAMP: already canonical, no-op.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

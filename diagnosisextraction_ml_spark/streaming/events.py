@@ -18,6 +18,19 @@ from pyspark.sql import functions as F
 from diagnosisextraction_ml_spark.operators.textstats import quality_score
 
 
+def _with_event_time(df: DataFrame, col: str) -> DataFrame:
+    """Normalize an event-time column to ``TimestampType``.
+
+    A caller streaming raw TIMESTAMP_NTZ parquet directly (bypassing
+    ``load_table``'s normalization) would otherwise hit
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE at ``withWatermark``. The
+    session timezone is pinned UTC, so the cast is a pure relabel.
+    """
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def read_events_stream(
     spark: SparkSession, path: str, schema, max_files_per_trigger: int = 4
 ) -> DataFrame:
@@ -38,7 +51,8 @@ def windowed_event_counts(
     """Per-type sliding-window event counts with late-data watermark."""
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events, "ts")
+        .withWatermark("ts", watermark)
         .groupBy(win.alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
         .select(
@@ -69,7 +83,8 @@ def sessionized_event_counts(
     ``last_ts + gap``.
     """
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events, "ts")
+        .withWatermark("ts", watermark)
         .groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -107,8 +122,10 @@ def streaming_dedup_exact(
         "__fp", F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     )
     if ts_col is not None:
-        out = fingerprinted.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-            ["__fp"]
+        out = (
+            _with_event_time(fingerprinted, ts_col)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__fp"])
         )
     else:
         out = fingerprinted.dropDuplicates(["__fp"])
@@ -143,11 +160,13 @@ def stream_interval_join(
     events-shaped. Works identically on batch frames (``withWatermark``
     is a no-op there) — one function, both modes.
     """
-    l = left.select(
-        *[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns]
+    l = _with_event_time(
+        left.select(*[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns]),
+        f"{left_prefix}{left_ts}",
     ).withWatermark(f"{left_prefix}{left_ts}", watermark)
-    r = right.select(
-        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    r = _with_event_time(
+        right.select(*[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]),
+        f"{right_prefix}{right_ts}",
     ).withWatermark(f"{right_prefix}{right_ts}", watermark)
     lt = F.col(f"{left_prefix}{left_ts}")
     rt = F.col(f"{right_prefix}{right_ts}")

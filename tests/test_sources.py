@@ -59,6 +59,95 @@ def test_load_tables(spark, sf_dir):
     assert dict(ev.dtypes)["ts"] == "timestamp"
 
 
+# Canonical post-load dtype snapshot for every TESTDATA table. The
+# driver regenerates the parquet between rounds and has already drifted
+# once (events.ts TIMESTAMP(NANOS) → TIMESTAMP_NTZ, which silently broke
+# sessionize/streaming/bench for two rounds). This literal snapshot
+# turns the next drift into a first-pytest-run failure instead of a
+# CORRECTNESS surprise. If it fires: decide whether load_table should
+# normalize the new shape (like events.ts) or the snapshot should move.
+TESTDATA_DTYPES = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+    "customer": [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp_ntz"),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp_ntz"),
+    ],
+    "events": [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),  # normalized by load_table whatever's on disk
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ],
+}
+
+
+def test_testdata_schema_snapshot(spark, sf_dir):
+    """Pin the driver testdata contract: full post-load dtype map."""
+    from diagnosisextraction_ml_spark.sources.readers import load_tables
+
+    actual = {name: df.dtypes for name, df in load_tables(spark, sf_dir).items()}
+    for name, expected in TESTDATA_DTYPES.items():
+        assert actual[name] == expected, (
+            f"testdata drift in `{name}`: on-disk/post-load dtypes changed.\n"
+            f"expected: {expected}\nactual:   {actual[name]}\n"
+            "Update load_table normalization or this snapshot deliberately."
+        )
+    assert set(actual) == set(TESTDATA_DTYPES)
+
+
 def test_export_tree_debug(spark, tmp_path):
     from pyspark.ml.classification import DecisionTreeClassifier
     from pyspark.ml.linalg import Vectors

@@ -50,6 +50,44 @@ def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_windowed_counts_on_ntz_stream(spark, sf_dir, tmp_path):
+    """A caller streaming raw TIMESTAMP_NTZ parquet directly (bypassing
+    load_table's normalization) still gets a valid watermarked plan —
+    the op casts NTZ event time to TIMESTAMP itself instead of dying
+    with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE."""
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    ntz = ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    path = str(tmp_path / "events_ntz")
+    ntz.repartition(2).write.mode("overwrite").parquet(path)
+    on_disk_schema = spark.read.parquet(path).schema
+    assert dict(spark.read.parquet(path).dtypes)["ts"] == "timestamp_ntz"
+
+    stream = read_events_stream(spark, path, on_disk_schema, max_files_per_trigger=1)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts_ntz")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_counts_ntz").collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_streaming_quality_filter(spark, tmp_path):
     import pandas as pd
 
