@@ -22,3 +22,9 @@ from diagnosisextraction_ml_spark.functions.typo import (  # noqa: F401
     correct_typos,
 )
 from diagnosisextraction_ml_spark.functions.stats import ttest_5x2cv, t_sf  # noqa: F401
+from diagnosisextraction_ml_spark.functions.figures import (  # noqa: F401
+    plot_confusion_matrix,
+    plot_precision_recall,
+    plot_roc_std,
+    plot_swarm,
+)

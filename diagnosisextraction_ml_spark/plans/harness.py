@@ -195,6 +195,64 @@ class TextClassificationHarness:
         stack = np.vstack(interped)
         return grid, stack.mean(axis=0), stack.std(axis=0)
 
+    # -- E5 — fold PR curves interpolated onto a common recall grid -----------
+    def pr_grid(self, name: str, n_points: int = 100):
+        """E5 — per-fold precision interpolated to a common recall grid,
+        with mean±std precision per grid point.
+
+        Ref: plotPrecisionRecall (src/TextClassification.py:551-581) /
+        plotPR (src/NLP_functions.py:716-745) — fold precisions onto
+        ``recall_scale = linspace(0, 1, 100)``; the final grid point is
+        pinned to 0.0 exactly as the reference's ``mean_precision[-1] =
+        0.0`` does.
+
+        Returns (grid, mean_precision, std_precision) as numpy arrays.
+        """
+        import numpy as np
+
+        grid = np.linspace(0.0, 1.0, n_points)
+        interped = []
+        for res in self.results[name]:
+            pts = sorted((c["tpr"], c["precision"]) for c in res.curve)
+            rec = np.array([0.0] + [p[0] for p in pts])
+            prec = np.array([1.0] + [p[1] for p in pts])
+            interped.append(np.interp(grid, rec, prec))
+        stack = np.vstack(interped)
+        mean_p, std_p = stack.mean(axis=0), stack.std(axis=0)
+        mean_p[-1] = 0.0
+        return grid, mean_p, std_p
+
+    # -- figure endpoints (driver-side rasterization) -------------------------
+    def render_roc_figure(self, path: str | None = None, models: list[str] | None = None) -> bytes:
+        """Render the mean-ROC ± std figure for the fitted models.
+
+        Ref: the plotROC/plotSTD figure the reference notebook shows
+        (src/NLP_functions.py:680-750). Inputs are the ≤100-pt fold
+        grids — strictly driver-side."""
+        from diagnosisextraction_ml_spark.functions.figures import plot_roc_std
+
+        s = self.summary()
+        names = models or [n for n in self.results if self.results[n]]
+        data = {
+            n: (*self.roc_grid(n), s[n]["roc_auc_mean"], s[n]["roc_auc_std"])
+            for n in names
+        }
+        return plot_roc_std(data, path)
+
+    def render_pr_figure(self, path: str | None = None, models: list[str] | None = None) -> bytes:
+        """Render the mean precision-recall ± std figure.
+
+        Ref: plotPrecisionRecall (src/TextClassification.py:551-581)."""
+        from diagnosisextraction_ml_spark.functions.figures import plot_precision_recall
+
+        s = self.summary()
+        names = models or [n for n in self.results if self.results[n]]
+        data = {
+            n: (*self.pr_grid(n), s[n]["pr_auc_mean"], s[n]["pr_auc_std"])
+            for n in names
+        }
+        return plot_precision_recall(data, path)
+
     # -- E5/O3 median-model selection ----------------------------------------
     def median_iteration(self, name: str) -> FoldResult:
         """The fold with median PR-AUC — "the" trained model.
