@@ -24,7 +24,12 @@ from diagnosisextraction_ml_spark.functions.typo import (  # noqa: F401
 from diagnosisextraction_ml_spark.functions.stats import ttest_5x2cv, t_sf  # noqa: F401
 from diagnosisextraction_ml_spark.functions.figures import (  # noqa: F401
     plot_confusion_matrix,
+    plot_f1_scores,
+    plot_feature_weights,
+    plot_lexical_dispersion,
     plot_precision_recall,
     plot_roc_std,
     plot_swarm,
+    plot_train_test_distribution,
+    plot_word_frequencies,
 )

@@ -189,16 +189,33 @@ class Canvas:
         mask[ya:yb, xa:xb] = True
         self.blend_mask(mask, color, alpha)
 
-    def text(self, x, y, s, color=_INK, scale: float = 2.0, anchor: str = "lt") -> None:
+    def text(self, x, y, s, color=_INK, scale: float = 2.0, anchor: str = "lt", rot: int = 0) -> None:
         """Stroke-font text. ``anchor``: `[lcr][tmb]` — horizontal then
-        vertical alignment of (x, y) relative to the string's box."""
+        vertical alignment of (x, y) relative to the string's box.
+        ``rot=90`` renders top-to-bottom (vertical tick labels)."""
         s = str(s).upper()
         wpx = text_width(s, scale)
         hpx = 7 * scale
         ha, va = anchor[0], anchor[1]
+        lw = max(1.0, scale * 0.6)
+        if rot == 90:
+            # 90° CW: advance runs down the canvas, glyph tops face right.
+            # Rotated box: width = glyph height (right edge at ox),
+            # height = string length (top at oy).
+            ox = x + (hpx / 2 if ha == "c" else hpx if ha == "l" else 0)
+            oy = y - (wpx / 2 if va == "m" else wpx if va == "b" else 0)
+            for i, ch in enumerate(s):
+                segs = _GLYPHS.get(ch, _GLYPHS["-"])
+                cy = oy + i * _CHAR_ADVANCE * scale
+                for (ax, ay, bx, by) in segs:
+                    self.line(
+                        ox - ay * scale, cy + ax * scale,
+                        ox - by * scale, cy + bx * scale,
+                        color, width=lw,
+                    )
+            return
         ox = x - (wpx / 2 if ha == "c" else wpx if ha == "r" else 0)
         oy = y - (hpx / 2 if va == "m" else hpx if va == "b" else 0)
-        lw = max(1.0, scale * 0.6)
         for i, ch in enumerate(s):
             segs = _GLYPHS.get(ch, _GLYPHS["-"])
             cx = ox + i * _CHAR_ADVANCE * scale
@@ -313,6 +330,22 @@ class Figure:
             self.canvas.disc(self.px(x), self.py(y), r, color, alpha)
         if label:
             self._legend.append((label, _rgb(color)))
+
+    def bar(self, x: float, height: float, width: float, color, baseline: float = 0.0,
+            alpha: float = 1.0, label: str | None = None) -> None:
+        """Vertical bar centered on data-x, from ``baseline`` to ``height``."""
+        x0, x1 = self.px(x - width / 2), self.px(x + width / 2)
+        # 2px surface gap between adjacent fills
+        self.canvas.rect(x0 + 1, self.py(baseline), x1 - 1, self.py(height), color, alpha)
+        if label:
+            self._legend.append((label, _rgb(color)))
+
+    def errorbar(self, x: float, lo: float, hi: float, color=_INK, cap_px: float = 5.0) -> None:
+        """Vertical error whisker with end caps (data coords)."""
+        X = self.px(x)
+        self.canvas.line(X, self.py(lo), X, self.py(hi), color, 1.5)
+        for v in (lo, hi):
+            self.canvas.line(X - cap_px, self.py(v), X + cap_px, self.py(v), color, 1.5)
 
     def legend(self, loc: str = "br") -> None:
         """Swatch + label box. ``loc``: `br` bottom-right (ROC) or `tr`."""
@@ -469,6 +502,212 @@ def plot_confusion_matrix(
     if path:
         return c.save(path)
     return c.to_png()
+
+
+def _word_count_rows(rows) -> list[tuple[str, int]]:
+    out = []
+    for row in rows:
+        if hasattr(row, "asDict"):
+            d = row.asDict()
+            out.append((str(d["word"]), int(d["n"])))
+        elif isinstance(row, dict):
+            out.append((str(row["word"]), int(row["n"])))
+        else:
+            out.append((str(row[0]), int(row[1])))
+    return out
+
+
+def plot_word_frequencies(
+    counts, path: str | None = None, title: str = "PREVALENCE OF FEATURES"
+) -> bytes:
+    """Top-k word-frequency bar chart with vertical term labels.
+
+    Ref: plotSampleDistribution
+    (/root/reference/src/NLP_functions.py:571-594) — a bar per top-N
+    word, counts descending, term labels rotated 90°.
+
+    ``counts``: collected ``textstats.top_k_words`` rows (word, n), or
+    (word, n) tuples.
+    """
+    pairs = _word_count_rows(counts)
+    n = max(1, len(pairs))
+    ymax = max((c for _, c in pairs), default=1) * 1.05
+    fig = Figure(
+        width=max(640, 14 * n + 120), height=480,
+        xlim=(-0.7, n - 0.3), ylim=(0.0, ymax),
+        title=title, ylabel="FREQUENCY",
+    )
+    fig.mb = 110  # room for vertical term labels
+    fig.axes(xticks=[], tick_fmt="{:.0f}")
+    for i, (word, c) in enumerate(pairs):
+        fig.bar(i, c, 0.8, PALETTE[0])
+        fig.canvas.text(
+            fig.px(i), fig.canvas.h - fig.mb + 6, word[:12], _INK_MUTED, 1.5, "ct", rot=90
+        )
+    return fig.save(path)
+
+
+def plot_train_test_distribution(
+    train_counts,
+    test_counts,
+    path: str | None = None,
+    title: str = "TRAIN/TEST FEATURE DISTRIBUTION",
+) -> bytes:
+    """Paired train-vs-test bars over the train set's top words.
+
+    Ref: plotTrainTestDistribution
+    (/root/reference/src/NLP_functions.py:596-635) — the train top-N
+    fixes the word order; each word shows its train and test counts
+    side by side (missing in test → 0).
+    """
+    train = _word_count_rows(train_counts)
+    test = dict(_word_count_rows(test_counts))
+    n = max(1, len(train))
+    ymax = max(
+        [c for _, c in train] + [test.get(w, 0) for w, _ in train] + [1]
+    ) * 1.05
+    fig = Figure(
+        width=max(640, 18 * n + 120), height=480,
+        xlim=(-0.7, n - 0.3), ylim=(0.0, ymax),
+        title=title, ylabel="FREQUENCY",
+    )
+    fig.mb = 110
+    fig.axes(xticks=[], tick_fmt="{:.0f}")
+    first = True
+    for i, (word, c) in enumerate(train):
+        fig.bar(i - 0.2, c, 0.38, PALETTE[0], label="TRAIN" if first else None)
+        fig.bar(i + 0.2, test.get(word, 0), 0.38, PALETTE[1], label="TEST" if first else None)
+        first = False
+        fig.canvas.text(
+            fig.px(i), fig.canvas.h - fig.mb + 6, word[:12], _INK_MUTED, 1.5, "ct", rot=90
+        )
+    fig.legend("tr")
+    return fig.save(path)
+
+
+def plot_feature_weights(
+    pairs, path: str | None = None, title: str = "FEATURE WEIGHTS"
+) -> bytes:
+    """Signed coefficient / importance bars with vertical term labels.
+
+    Ref: plot_coefficients
+    (/root/reference/src/TextClassification.py:1243-1299) and
+    plotFeatureImportance (src/NLP_functions.py:465-521) — bars of the
+    top positive (blue) and top negative (red) weights, term labels
+    rotated. Input order is preserved (callers pass negatives first,
+    positives last, as the reference does).
+
+    ``pairs``: (term, weight) tuples or rows from the M13 op.
+    """
+    data = []
+    for row in pairs:
+        if hasattr(row, "asDict"):
+            d = row.asDict()
+            data.append((
+                str(d.get("term", d.get("word"))),
+                float(d.get("weight", d.get("coef"))),
+            ))
+        elif isinstance(row, dict):
+            data.append((str(row.get("term", row.get("word"))), float(row.get("weight", row.get("coef")))))
+        else:
+            data.append((str(row[0]), float(row[1])))
+    n = max(1, len(data))
+    ws = [w for _, w in data]
+    lo, hi = min(ws + [0.0]), max(ws + [0.0])
+    pad = (hi - lo) * 0.05 or 1.0
+    fig = Figure(
+        width=max(640, 16 * n + 120), height=480,
+        xlim=(-0.7, n - 0.3), ylim=(lo - pad, hi + pad),
+        title=title, ylabel="WEIGHT",
+    )
+    fig.mb = 110
+    fig.axes(xticks=[], tick_fmt="{:.2f}")
+    # zero baseline
+    fig.canvas.line(fig.px(-0.7), fig.py(0), fig.px(n - 0.3), fig.py(0), _INK_MUTED, 1)
+    for i, (term, w) in enumerate(data):
+        color = PALETTE[7] if w < 0 else PALETTE[0]  # red negative, blue positive
+        fig.bar(i, w, 0.8, color)
+        fig.canvas.text(
+            fig.px(i), fig.canvas.h - fig.mb + 6, term[:12], _INK_MUTED, 1.5, "ct", rot=90
+        )
+    return fig.save(path)
+
+
+def plot_f1_scores(
+    summary: dict, path: str | None = None, title: str = "F1-SCORE PER CLASSIFIER"
+) -> bytes:
+    """Mean-F1 bar per model with ±std error whiskers.
+
+    Ref: plotF1scores (/root/reference/src/TextClassification.py:1302-1330)
+    — one bar per classifier, black error bars, y = F1 ± std.
+
+    ``summary``: ``harness.summary()`` (uses f1_mean/f1_std) or a plain
+    name → (mean, std) mapping.
+    """
+    items = []
+    for name, v in sorted(summary.items()):
+        if isinstance(v, dict):
+            items.append((name, float(v["f1_mean"]), float(v["f1_std"])))
+        else:
+            items.append((name, float(v[0]), float(v[1])))
+    n = max(1, len(items))
+    fig = Figure(
+        width=max(640, 90 * n + 140), height=480,
+        xlim=(-0.7, n - 0.3), ylim=(0.0, 1.0),
+        title=title, ylabel="F1-SCORE +/- STD",
+    )
+    fig.axes(xticks=[])
+    for i, (name, mean, std) in enumerate(items):
+        fig.bar(i, mean, 0.7, PALETTE[0], alpha=0.6)
+        hi = min(1.0, mean + std)
+        fig.errorbar(i, max(0.0, mean - std), hi)
+        fig.canvas.text(fig.px(i), fig.canvas.h - fig.mb + 6, name[:14], _INK_MUTED, 1.5, "ct")
+        fig.canvas.text(fig.px(i), fig.py(hi) - 4, f"{mean:.2f}", _INK, 1.5, "cb")
+    return fig.save(path)
+
+
+def plot_lexical_dispersion(
+    rows,
+    terms,
+    path: str | None = None,
+    title: str = "LEXICAL DISPERSION",
+    x_col: str = "doc_id",
+) -> bytes:
+    """Dispersion strip: one row per term, a tick per occurrence.
+
+    Ref: plotLexicalDispersion
+    (/root/reference/src/NLP_functions.py:523-567) (yellowbrick
+    DispersionPlot) — x = position across the corpus, y = term.
+
+    ``rows``: collected ``textstats.lexical_dispersion`` output
+    (doc_id, term, position); ``terms`` fixes the y-order (top terms
+    first, same as the reference's tf-idf ranking).
+    """
+    terms = [str(t) for t in terms]
+    order = {t: i for i, t in enumerate(terms)}
+    pts = []
+    for row in rows:
+        d = row.asDict() if hasattr(row, "asDict") else (
+            row if isinstance(row, dict) else {"doc_id": row[0], "term": row[1], "position": row[2]}
+        )
+        t = str(d["term"])
+        if t in order:
+            pts.append((float(d[x_col]), order[t]))
+    xmax = max((x for x, _ in pts), default=1.0) * 1.02 or 1.0
+    n = len(terms)
+    fig = Figure(
+        width=720, height=max(300, 26 * n + 110),
+        xlim=(0.0, xmax), ylim=(n - 0.5, -0.5),  # first term on top
+        title=title, xlabel="DOCUMENT",
+    )
+    fig.ml = 110  # room for term labels
+    fig.axes(yticks=[], tick_fmt="{:.0f}")
+    for i, t in enumerate(terms):
+        fig.canvas.text(fig.ml - 6, fig.py(i), t[:14], _INK_MUTED, 1.5, "rm")
+    for x, yi in pts:
+        X, Y = fig.px(x), fig.py(yi)
+        fig.canvas.line(X, Y - 5, X, Y + 5, PALETTE[0], 1.5, alpha=0.85)
+    return fig.save(path)
 
 
 def plot_swarm(

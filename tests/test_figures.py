@@ -12,9 +12,14 @@ from diagnosisextraction_ml_spark.functions.figures import (
     Canvas,
     _rgb,
     plot_confusion_matrix,
+    plot_f1_scores,
+    plot_feature_weights,
+    plot_lexical_dispersion,
     plot_precision_recall,
     plot_roc_std,
     plot_swarm,
+    plot_train_test_distribution,
+    plot_word_frequencies,
     text_width,
 )
 from diagnosisextraction_ml_spark.functions.png import decode_png
@@ -94,6 +99,58 @@ def test_swarm_is_deterministic_and_split_by_class():
         assert (flat == blended).all(axis=1).any()
 
 
+def test_word_frequency_bars_scale_with_counts():
+    words = [(f"woord{i}", 500 - i * 9) for i in range(20)]
+    png = plot_word_frequencies(words)
+    assert png == plot_word_frequencies(words)  # deterministic
+    img = decode_png(png)
+    bar = np.array(_rgb(PALETTE[0]))
+    col_is_bar = (img == bar).all(axis=2)
+    # taller first bar: the leftmost bar's pixel column count exceeds
+    # the rightmost bar's
+    cols = col_is_bar.sum(axis=0)
+    bar_cols = np.flatnonzero(cols > 0)
+    assert cols[bar_cols[0]] > cols[bar_cols[-1]]
+
+
+def test_train_test_distribution_renders_both_series():
+    train = [(f"w{i}", 100 - i) for i in range(10)]
+    test = [(f"w{i}", 60 - i) for i in range(0, 10, 2)]
+    img = decode_png(plot_train_test_distribution(train, test))
+    flat = img.reshape(-1, 3)
+    assert (flat == _rgb(PALETTE[0])).all(axis=1).any()  # train bars
+    assert (flat == _rgb(PALETTE[1])).all(axis=1).any()  # test bars
+
+
+def test_feature_weights_signed_colors():
+    pairs = [("neg", -1.5), ("pos", 2.0)]
+    img = decode_png(plot_feature_weights(pairs))
+    flat = img.reshape(-1, 3)
+    assert (flat == _rgb(PALETTE[0])).all(axis=1).any()  # positive blue
+    assert (flat == _rgb(PALETTE[7])).all(axis=1).any()  # negative red
+
+
+def test_f1_scores_accepts_harness_summary_shape():
+    s = {
+        "SVM": {"f1_mean": 0.91, "f1_std": 0.03},
+        "WordMatching": (0.77, 0.08),  # plain tuple form also accepted
+    }
+    img = decode_png(plot_f1_scores(s))
+    assert img.shape[2] == 3 and (img != 255).any()
+
+
+def test_lexical_dispersion_rows_per_term():
+    rows = [(d, t, 0) for d in range(100) for t in (["a", "b"] if d % 2 else ["a"])]
+    png = plot_lexical_dispersion(rows, ["a", "b"])
+    img = decode_png(png)
+    tick = np.array(_rgb(PALETTE[0]), float)
+    blended = np.round(255 * 0.15 + tick * 0.85)  # alpha 0.85 over white
+    rows_with_ticks = np.flatnonzero((img == blended).all(axis=2).sum(axis=1) > 0)
+    # two distinct horizontal strips (term rows) carry ticks
+    gaps = np.diff(rows_with_ticks)
+    assert (gaps > 1).sum() >= 1
+
+
 def test_stroke_font_renders_every_glyph():
     """Every glyph draws at least one non-background pixel (catches a
     malformed segment table), and unknown chars fall back to dashes."""
@@ -106,6 +163,16 @@ def test_stroke_font_renders_every_glyph():
         c.text(4, 4, ch, scale=3.0)
         assert (c.img != 255).any(), f"glyph {ch!r} rendered nothing"
     assert text_width("AUC", 2.0) == 36
+
+
+def test_rotated_text_box_is_vertical():
+    c = Canvas(60, 120)
+    c.text(30, 6, "ABCDE", scale=2.0, anchor="ct", rot=90)
+    ink = (c.img != 255).any(axis=2)
+    ys, xs = np.nonzero(ink)
+    # vertical run much taller than wide, centered near x=30
+    assert ys.max() - ys.min() > 2 * (xs.max() - xs.min())
+    assert abs((xs.max() + xs.min()) / 2 - 30) <= 4
 
 
 @pytest.mark.slow
