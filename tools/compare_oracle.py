@@ -11,10 +11,15 @@ Usage: python tools/compare_oracle.py [sf_dir] [name_filter]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 import duckdb
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def canon(rows, colnames):

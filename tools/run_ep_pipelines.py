@@ -85,6 +85,15 @@ def main() -> int:
         t, p = harness.compare_5x2cv("NaiveBayes", "WordMatching")
         report["ep2_ttest_nb_vs_wm"] = {"t": t, "p": p}
 
+    # The notebook's figure cells: mean-ROC/PR ± std and F1 bars.
+    from diagnosisextraction_ml_spark.functions.figures import plot_f1_scores
+
+    os.makedirs(f"{out_dir}/figures", exist_ok=True)
+    harness.render_roc_figure(f"{out_dir}/figures/roc.png")
+    harness.render_pr_figure(f"{out_dir}/figures/pr.png")
+    plot_f1_scores(harness.summary(), f"{out_dir}/figures/f1.png")
+    report["ep2_figures"] = ["roc.png", "pr.png", "f1.png"]
+
     # ---- EP3 ----------------------------------------------------------------
     svm = build_model_pipeline("SVM").fit(labeled)
     gold_raw = read_ehr_entries(spark, f"{REFERENCE}/dummydata_gold.csv")
@@ -101,6 +110,25 @@ def main() -> int:
         k: (float(rep[k]) if rep[k] is not None else None)
         for k in ("tp", "fp", "fn", "tn", "tpr", "tnr", "ppv", "npv", "acc", "f1")
     }
+
+    # Gold-set figures: confusion heatmap at the 0.68 cut + score swarm.
+    from diagnosisextraction_ml_spark.functions.figures import (
+        plot_confusion_matrix,
+        plot_swarm,
+    )
+    from diagnosisextraction_ml_spark.operators.evaluate import (
+        confusion_counts,
+        swarm_points,
+        threshold_predictions,
+    )
+
+    cm_rows = confusion_counts(
+        threshold_predictions(scored, "score", 0.68), "label", "pred"
+    ).collect()
+    plot_confusion_matrix(cm_rows, f"{out_dir}/figures/confusion_gold.png")
+    pts = swarm_points(scored, "score", "label", max_points=2000).collect()
+    plot_swarm(pts, f"{out_dir}/figures/swarm_gold.png")
+    report["ep3_figures"] = ["confusion_gold.png", "swarm_gold.png"]
 
     print(json.dumps(report, indent=2, default=float))
     return 0
