@@ -42,6 +42,9 @@ HEADLINE = [
     "dedup_minhash_sigs",
     "dedup_lsh_band_pairs",
     "sim_bruteforce_topk",
+    # added round 6 — train+score hashed quality classifier (two corpus
+    # passes + broadcast join); totals before r06 cover 17 queries.
+    "quality_token_logodds",
 ]
 
 # Every headline name must exist in the registry — a typo here would

@@ -1,0 +1,139 @@
+"""Hashed linear quality classifier — train AND score as relational algebra.
+
+The standard quality/language-filtering step of an LLM data pipeline
+(fastText-style classifiers as in the CCNet / GPT-3 data work) is a
+linear model over token features: train on weak labels (a "looks like
+the reference corpus" class vs the rest), then score every document
+and keep the high-scoring tail. The reference repo has no equivalent
+(it classifies EHR entries with TF-IDF + sklearn); this operator is a
+north-star extension sized for the 100 TB corpus case.
+
+Design — both phases are pure DataFrame algebra, no model object, no
+Python in the hot path:
+
+- **Features**: whitespace tokens hashed into ``n_buckets`` via the
+  repo's cross-engine md5 hash (functions/hashing.py) — the hashing
+  trick, so the "model" is a bounded (bucket → weight) table no matter
+  the vocabulary size.
+- **Training** is a closed-form Naive-Bayes log-odds fit: one
+  ``groupBy(bucket)`` aggregation (map-side partial combine) produces
+  the per-bucket class counts; the ≤n_buckets-row result is persisted
+  so the grand totals derive from the cached counts instead of a
+  second corpus scan (without the persist, Catalyst duplicates the
+  whole scan→explode→agg subtree under the totals branch), then
+  ``weight = ln(pos_n+α) − ln(pos_tot+αB) − ln(neg_n+α) + ln(neg_tot+αB)``.
+  Weights are quantized to integer **micro-nats** (``round(1e6·w)``) so
+  downstream sums are exact 64-bit integer arithmetic — reproducible
+  bit-for-bit across engines, partitionings, and cluster sizes, which
+  is what makes the whole classifier DuckDB-oracle-checkable.
+- **Scoring** joins exploded tokens against the broadcast weight table
+  and sums per document: one broadcast hash join + one partial-agg
+  shuffle keyed by doc id. At 100 TB the weight table is ≤n_buckets
+  rows (a few MB broadcast), the shuffle carries one (doc, sum, count)
+  row per document, and everything stays in whole-stage codegen.
+
+The score is mean micro-nat log-odds per token (length-normalized, like
+per-token perplexity); ``pred`` is its sign.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from diagnosisextraction_ml_spark.functions.hashing import md5_hash64
+
+DEFAULT_BUCKETS = 4096
+
+
+def _token_buckets(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int, extra: list[str] | None = None
+) -> DataFrame:
+    """(id, [extra cols], bucket) — one row per whitespace token."""
+    toks = F.explode(
+        F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
+    ).alias("token")
+    base = df.select(F.col(id_col), *[F.col(c) for c in (extra or [])], toks)
+    return base.select(
+        F.col(id_col),
+        *[F.col(c) for c in (extra or [])],
+        (md5_hash64(F.col("token")) % F.lit(n_buckets)).alias("bucket"),
+    )
+
+
+def fit_token_logodds(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: int = 1,
+) -> DataFrame:
+    """Fit the (bucket, weight_micro) table from 0/1 weak labels.
+
+    One corpus pass: ``groupBy(bucket)`` with map-side combine yields
+    per-bucket class counts; the ≤n_buckets-row result is persisted and
+    the grand totals are aggregated from it (not from a re-scan), then
+    broadcast back onto the bucket rows. ``weight_micro`` is the
+    α-smoothed log-odds in integer micro-nats.
+    """
+    tok = _token_buckets(df, text_col, id_col, n_buckets, extra=[label_col])
+    b = tok.select(F.col("bucket"), F.col(label_col).cast("long").alias("pos"))
+    counts = (
+        b.groupBy("bucket")
+        .agg(
+            F.sum("pos").alias("pos_n"),
+            F.sum(F.lit(1) - F.col("pos")).alias("neg_n"),
+        )
+        .persist()
+    )
+    totals = counts.agg(
+        F.sum("pos_n").alias("pos_tot"), F.sum("neg_n").alias("neg_tot")
+    )
+    ab = alpha * n_buckets
+    w = (
+        F.log(F.col("pos_n") + F.lit(alpha))
+        - F.log(F.col("pos_tot") + F.lit(ab))
+        - F.log(F.col("neg_n") + F.lit(alpha))
+        + F.log(F.col("neg_tot") + F.lit(ab))
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(F.lit(1_000_000) * w, 0).cast("long").alias("weight_micro"),
+    )
+
+
+def score_token_logodds(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    default_weight_micro: int = 0,
+) -> DataFrame:
+    """Score documents against a fitted weight table.
+
+    Output: (id, n_tok, w_sum, score, pred) where ``w_sum`` is the
+    exact integer micro-nat sum, ``score = w_sum / (1e6 · n_tok)`` the
+    mean log-odds per token, ``pred = 1`` iff the sum is positive.
+    Tokens hashing to a bucket absent from the weight table contribute
+    ``default_weight_micro`` (0 = neutral prior).
+    """
+    tok = _token_buckets(df, text_col, id_col, n_buckets)
+    joined = tok.join(F.broadcast(weights), "bucket", "left")
+    return (
+        joined.groupBy(F.col(id_col))
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(
+                F.coalesce(F.col("weight_micro"), F.lit(default_weight_micro))
+            ).alias("w_sum"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tok",
+            "w_sum",
+            (F.col("w_sum") / (F.lit(1_000_000.0) * F.col("n_tok"))).alias("score"),
+            (F.col("w_sum") > 0).cast("int").alias("pred"),
+        )
+    )

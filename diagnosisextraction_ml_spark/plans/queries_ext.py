@@ -1583,3 +1583,54 @@ def _incremental(spark, sf_dir):
 
 
 register("dedup_incremental_batch", _incremental_sql())(_incremental)
+
+
+# ===========================================================================
+# Hashed linear quality classifier (train + score, one relational plan)
+# ===========================================================================
+
+def _quality_logodds_sql() -> str:
+    """DuckDB twin of fit_token_logodds + score_token_logodds with weak
+    labels lang='en': same md5 bucketing, same α=1 smoothing, same
+    integer micro-nat quantization, same left-join-with-neutral-default
+    scoring — every value after the quantization is exact integer /
+    IEEE-division arithmetic, so the whole classifier hash-matches."""
+    from diagnosisextraction_ml_spark.operators.quality_model import DEFAULT_BUCKETS
+
+    b = DEFAULT_BUCKETS
+    toks = _toks_sql("lower(text)")
+    bucket = md5_hash64_sql("token") + f" % {b}"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, pos, {bucket} AS bucket FROM (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+               unnest({toks}) AS token
+        FROM documents)),
+    agg AS (SELECT bucket, SUM(pos) AS pos_n, SUM(1 - pos) AS neg_n
+            FROM tok GROUP BY bucket),
+    tot AS (SELECT SUM(pos) AS pos_tot, SUM(1 - pos) AS neg_tot FROM tok),
+    w AS (SELECT bucket,
+                 CAST(ROUND(1000000 * (LN(pos_n + 1) - LN(pos_tot + {b})
+                                       - LN(neg_n + 1) + LN(neg_tot + {b}))) AS BIGINT)
+                 AS weight_micro
+          FROM agg, tot),
+    s AS (SELECT doc_id, COUNT(*) AS n_tok,
+                 SUM(COALESCE(weight_micro, 0)) AS w_sum
+          FROM tok LEFT JOIN w USING (bucket) GROUP BY doc_id)
+    SELECT doc_id, n_tok, w_sum,
+           w_sum / (1000000.0 * n_tok) AS score,
+           CAST(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END AS INT) AS pred
+    FROM s
+    """
+
+
+def _quality_logodds(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators import quality_model
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn("is_pos", (F.col("lang") == "en").cast("long"))
+    weights = quality_model.fit_token_logodds(labeled, "is_pos")
+    return quality_model.score_token_logodds(docs, weights)
+
+
+register("quality_token_logodds", _quality_logodds_sql())(_quality_logodds)

@@ -1,0 +1,124 @@
+"""Hashed linear quality classifier — closed-form fit, exact scoring."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from diagnosisextraction_ml_spark.operators.quality_model import (
+    fit_token_logodds,
+    score_token_logodds,
+)
+
+
+def _tiny_corpus(spark):
+    rows = [
+        (0, "good clean prose flows here", 1),
+        (1, "good prose reads well here", 1),
+        (2, "spam spam buy now spam", 0),
+        (3, "buy now cheap spam deal", 0),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, is_pos long")
+
+
+def test_weights_match_hand_computed_logodds(spark):
+    """weight_micro equals round(1e6 * smoothed log-odds) computed by
+    hand from raw token counts (α=1, B=64)."""
+    df = _tiny_corpus(spark)
+    B = 64
+    w = {r["bucket"]: r["weight_micro"] for r in fit_token_logodds(df, "is_pos", n_buckets=B).collect()}
+
+    # recompute expected counts per bucket in python with the same hash
+    from diagnosisextraction_ml_spark.functions.hashing import md5_hash64
+
+    tok = df.select(
+        "is_pos",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    ).select("is_pos", (md5_hash64(F.col("token")) % B).alias("bucket"))
+    counts: dict[int, list[int]] = {}
+    for r in tok.collect():
+        c = counts.setdefault(r["bucket"], [0, 0])
+        c[0] += int(r["is_pos"])
+        c[1] += 1 - int(r["is_pos"])
+    pos_tot = sum(c[0] for c in counts.values())
+    neg_tot = sum(c[1] for c in counts.values())
+    assert set(w) == set(counts)
+    for bucket, (pos_n, neg_n) in counts.items():
+        expected = round(
+            1e6
+            * (
+                math.log(pos_n + 1)
+                - math.log(pos_tot + B)
+                - math.log(neg_n + 1)
+                + math.log(neg_tot + B)
+            )
+        )
+        assert w[bucket] == expected, bucket
+
+
+def test_scores_separate_classes_and_sum_exactly(spark):
+    df = _tiny_corpus(spark)
+    weights = fit_token_logodds(df, "is_pos", n_buckets=64)
+    scored = {r["doc_id"]: r for r in score_token_logodds(df, weights, n_buckets=64).collect()}
+    # training docs separate: positive-class docs score > negative-class
+    assert min(scored[0]["score"], scored[1]["score"]) > max(
+        scored[2]["score"], scored[3]["score"]
+    )
+    assert scored[0]["pred"] == 1 and scored[3]["pred"] == 0
+    # score is exactly w_sum / (1e6 * n_tok)
+    for r in scored.values():
+        assert r["score"] == r["w_sum"] / (1e6 * r["n_tok"])
+        assert r["n_tok"] == 5
+
+
+def test_scoring_is_partitioning_invariant(spark, sf_dir):
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    labeled = docs.withColumn("is_pos", (F.col("lang") == "en").cast("long"))
+    w = fit_token_logodds(labeled, "is_pos")
+    a = sorted(map(tuple, score_token_logodds(docs, w).collect()))
+    b = sorted(
+        map(
+            tuple,
+            score_token_logodds(docs.repartition(7), w).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_unseen_buckets_use_neutral_default(spark):
+    df = _tiny_corpus(spark)
+    # huge bucket space → the new doc's tokens are (almost surely) unseen
+    weights = fit_token_logodds(df, "is_pos", n_buckets=1 << 20)
+    new = spark.createDataFrame(
+        [(99, "zzzunseen qqqnovel wwwfresh")], "doc_id long, text string"
+    )
+    r = score_token_logodds(new, weights, n_buckets=1 << 20).collect()[0]
+    assert r["w_sum"] == 0 and r["score"] == 0.0 and r["pred"] == 0
+    # and a nonzero default shifts the sum by exactly default * n_tok
+    r2 = score_token_logodds(
+        new, weights, n_buckets=1 << 20, default_weight_micro=-5
+    ).collect()[0]
+    assert r2["w_sum"] == -15
+
+
+def test_english_scores_higher_on_testdata(spark, sf_dir):
+    """The weak-label classifier actually separates: mean score of
+    English documents exceeds mean score of the rest."""
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn("is_pos", (F.col("lang") == "en").cast("long"))
+    w = fit_token_logodds(labeled, "is_pos")
+    scored = score_token_logodds(docs, w).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    means = {
+        r["en"]: r["m"]
+        for r in scored.groupBy((F.col("lang") == "en").alias("en"))
+        .agg(F.avg("score").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
