@@ -3,14 +3,15 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata alongside. The Spark-side plumbing here — schemas, Arrow
 batch shape, ``mapInPandas`` signatures, partition sizing — is real
-and tested; codec work goes through ``decoder=`` hooks. Three decoders
+and tested; codec work goes through ``decoder=`` hooks. Four decoders
 ship: the stdlib from-spec PNG path
 (``functions.png.png_feature_decoder`` — a REAL image decode, tested
-end-to-end through mapInPandas), the deterministic md5 fake
-(``fake_decoder``, used by the hash-pinned oracle query), and the
-raising ``default_decoder`` placeholder for formats that need external
-libraries (JPEG/audio/video — not in this container; pass a
-PIL/ffmpeg-backed callable in production).
+end-to-end through mapInPandas), the stdlib from-spec WAV/PCM path
+(``functions.wav.wav_feature_decoder`` — a REAL audio decode, same
+test treatment), the deterministic md5 fake (``fake_decoder``, used by
+the hash-pinned oracle query), and the raising ``default_decoder``
+placeholder for formats that need external libraries (JPEG/video — not
+in this container; pass a PIL/ffmpeg-backed callable in production).
 
 Scale notes:
 - Binary payloads never pass through Python row-at-a-time: mapInPandas
