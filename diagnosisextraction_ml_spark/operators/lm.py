@@ -1,0 +1,126 @@
+"""Bigram language-model scoring — perplexity-style filtering as algebra.
+
+The second standard corpus gate next to the linear quality classifier
+(:mod:`.quality_model`): CCNet-style pipelines score every document
+with a language model trained on a reference corpus and keep the
+low-perplexity tail. A full KenLM is out of scope (and unnecessary for
+filtering); an add-α bigram model over hashed token buckets captures
+the ranking signal and — like everything in this engine — runs as pure
+DataFrame algebra with exact cross-engine arithmetic:
+
+- **Counts**: bigrams come from ``arrays_zip`` of two shifted slices
+  of the token array (the repo's shingle trick — two array copies, not
+  one per position); tokens hash into ``n_buckets`` md5 buckets, so
+  unigram state is ≤B rows and bigram state ≤ observed distinct
+  hashed bigrams (Zipf-bounded; ``min_count`` prunes the tail to keep
+  the table broadcastable at 100 TB).
+- **Scoring**: per-bigram log-probability
+  ``ln P(w2|w1) = ln(C(w1,w2)+α) − ln(C(w1)+αB)`` quantized to integer
+  micro-nats; a document's score is the exact integer sum over its
+  bigrams divided by their count — mean per-token log-prob, monotone
+  in perplexity (``ppl = exp(−score)``). Unseen bigrams fall back to
+  the same formula with C=0 via left joins, so cold documents are
+  scored, not dropped.
+- **Plan shape**: train = one corpus pass with two groupBys (map-side
+  combine); score = two broadcast joins (bigram table, unigram table)
+  + one partial-agg shuffle keyed by doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from diagnosisextraction_ml_spark.functions.hashing import md5_hash64
+
+DEFAULT_BUCKETS = 4096
+
+
+def _bigram_buckets(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, b1, b2) — one row per adjacent token pair (hashed)."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    with_toks = df.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    n = F.size("toks")
+    pairs = F.arrays_zip(
+        F.slice(F.col("toks"), 1, n - 1).alias("w1"),
+        F.slice(F.col("toks"), 2, n - 1).alias("w2"),
+    )
+    exploded = with_toks.select(F.col(id_col), F.explode(pairs).alias("p"))
+    return exploded.select(
+        F.col(id_col),
+        (md5_hash64(F.col("p.w1")) % F.lit(n_buckets)).alias("b1"),
+        (md5_hash64(F.col("p.w2")) % F.lit(n_buckets)).alias("b2"),
+    )
+
+
+def fit_bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Train: (bigram_counts, unigram_counts) over hashed buckets.
+
+    ``unigram_counts`` counts each bucket's occurrences as a *left*
+    bigram element (the conditioning context), so the conditional
+    probabilities normalize exactly: Σ_w2 C(w1,w2) = C(w1).
+    ``min_count`` prunes rare bigrams from the broadcast table (they
+    fall back to the unseen-bigram path at scoring — same formula,
+    C=0), bounding table size at web scale.
+    """
+    bg = _bigram_buckets(df, text_col, id_col, n_buckets)
+    bigrams = bg.groupBy("b1", "b2").agg(F.count("*").alias("c_bigram"))
+    if min_count > 1:
+        bigrams = bigrams.filter(F.col("c_bigram") >= min_count)
+    unigrams = bg.groupBy("b1").agg(F.count("*").alias("c_left"))
+    return bigrams, unigrams
+
+
+def score_bigram_logprob(
+    df: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: int = 1,
+) -> DataFrame:
+    """Score: (id, n_bigrams, lp_sum, score) — exact mean log-prob.
+
+    Per bigram: ``round(1e6·(ln(C(w1,w2)+α) − ln(C(w1)+αB)))`` integer
+    micro-nats, with C=0 via left-join coalesce for unseen pairs or
+    contexts; ``score = lp_sum / (1e6 · n_bigrams)`` (≤ 0; higher =
+    more reference-corpus-like; perplexity = exp(−score)).
+    """
+    ab = alpha * n_buckets
+    bg = _bigram_buckets(df, text_col, id_col, n_buckets)
+    joined = bg.join(F.broadcast(bigrams), ["b1", "b2"], "left").join(
+        F.broadcast(unigrams), ["b1"], "left"
+    )
+    lp_micro = F.round(
+        F.lit(1_000_000)
+        * (
+            F.log(F.coalesce(F.col("c_bigram"), F.lit(0)) + F.lit(alpha))
+            - F.log(F.coalesce(F.col("c_left"), F.lit(0)) + F.lit(ab))
+        ),
+        0,
+    ).cast("long")
+    return (
+        joined.groupBy(F.col(id_col))
+        .agg(F.count("*").alias("n_bigrams"), F.sum(lp_micro).alias("lp_sum"))
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            "lp_sum",
+            (F.col("lp_sum") / (F.lit(1_000_000.0) * F.col("n_bigrams"))).alias(
+                "score"
+            ),
+        )
+    )

@@ -1634,3 +1634,55 @@ def _quality_logodds(spark, sf_dir):
 
 
 register("quality_token_logodds", _quality_logodds_sql())(_quality_logodds)
+
+
+# ===========================================================================
+# Bigram LM log-prob scoring (perplexity-style filter, one relational plan)
+# ===========================================================================
+
+def _lm_bigram_sql() -> str:
+    """DuckDB twin of fit_bigram_counts(lang='en') + score_bigram_logprob
+    over all documents: same md5 bucketing, same add-1 smoothing, same
+    per-bigram micro-nat quantization — exact integer sums, IEEE mean."""
+    from diagnosisextraction_ml_spark.operators.lm import DEFAULT_BUCKETS
+
+    b = DEFAULT_BUCKETS
+    toks = _toks_sql("lower(text)")
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+    bg_all AS (
+      SELECT doc_id, lang,
+             {md5_hash64_sql('w1')} % {b} AS b1,
+             {md5_hash64_sql('w2')} % {b} AS b2
+      FROM (SELECT doc_id, lang,
+                   unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+                   unnest(list_slice(toks, 2, len(toks))) AS w2
+            FROM t WHERE len(toks) >= 2)),
+    big AS (SELECT b1, b2, COUNT(*) AS c_bigram FROM bg_all
+            WHERE lang = 'en' GROUP BY b1, b2),
+    uni AS (SELECT b1, COUNT(*) AS c_left FROM bg_all
+            WHERE lang = 'en' GROUP BY b1),
+    s AS (
+      SELECT g.doc_id, COUNT(*) AS n_bigrams,
+             SUM(CAST(ROUND(1000000 * (LN(COALESCE(c_bigram, 0) + 1)
+                                       - LN(COALESCE(c_left, 0) + {b})))
+                      AS BIGINT)) AS lp_sum
+      FROM bg_all g
+      LEFT JOIN big USING (b1, b2)
+      LEFT JOIN uni USING (b1)
+      GROUP BY g.doc_id)
+    SELECT doc_id, n_bigrams, lp_sum,
+           lp_sum / (1000000.0 * n_bigrams) AS score
+    FROM s
+    """
+
+
+def _lm_bigram(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    bigrams, unigrams = lm.fit_bigram_counts(docs.filter(F.col("lang") == "en"))
+    return lm.score_bigram_logprob(docs, bigrams, unigrams)
+
+
+register("lm_bigram_logprob", _lm_bigram_sql())(_lm_bigram)

@@ -1,0 +1,104 @@
+"""Bigram LM scoring — closed-form counts, exact micro-nat arithmetic."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from diagnosisextraction_ml_spark.operators.lm import (
+    fit_bigram_counts,
+    score_bigram_logprob,
+)
+
+
+def _corpus(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran to the mat"),
+        (2, "the dog sat on the rug"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_scores_match_hand_computed_bigram_model(spark):
+    """lp_sum equals the sum of round(1e6·(ln(C(w1,w2)+1) − ln(C(w1)+B)))
+    computed by hand from raw bigram counts (B large → no collisions)."""
+    B = 1 << 20
+    df = _corpus(spark)
+    bigrams, unigrams = fit_bigram_counts(df, n_buckets=B)
+    scored = {
+        r["doc_id"]: r for r in score_bigram_logprob(df, bigrams, unigrams, n_buckets=B).collect()
+    }
+
+    texts = {r["doc_id"]: r["text"].split() for r in df.collect()}
+    cb: dict[tuple[str, str], int] = {}
+    cu: dict[str, int] = {}
+    for toks in texts.values():
+        for a, b in zip(toks, toks[1:]):
+            cb[(a, b)] = cb.get((a, b), 0) + 1
+            cu[a] = cu.get(a, 0) + 1
+    for doc_id, toks in texts.items():
+        want = sum(
+            round(1e6 * (math.log(cb[(a, b)] + 1) - math.log(cu[a] + B)))
+            for a, b in zip(toks, toks[1:])
+        )
+        assert scored[doc_id]["lp_sum"] == want
+        assert scored[doc_id]["n_bigrams"] == len(toks) - 1
+        assert scored[doc_id]["score"] == want / (1e6 * (len(toks) - 1))
+
+
+def test_unseen_bigrams_fall_back_not_drop(spark):
+    B = 1 << 20
+    train = _corpus(spark)
+    bigrams, unigrams = fit_bigram_counts(train, n_buckets=B)
+    new = spark.createDataFrame(
+        [(9, "the cat sat quietly"), (10, "zz qq ww")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in score_bigram_logprob(new, bigrams, unigrams, n_buckets=B).collect()}
+    # both docs scored; the in-domain one scores higher
+    assert set(out) == {9, 10}
+    assert out[9]["score"] > out[10]["score"]
+    # fully-unseen doc: every bigram contributes round(1e6·(ln(1)−ln(B)))
+    assert out[10]["lp_sum"] == 2 * round(1e6 * (0.0 - math.log(B)))
+
+
+def test_min_count_prunes_but_scoring_still_total(spark):
+    df = _corpus(spark)
+    bigrams, unigrams = fit_bigram_counts(df, n_buckets=1 << 20, min_count=2)
+    # only bigrams seen ≥2 times survive the broadcast table
+    assert all(r["c_bigram"] >= 2 for r in bigrams.collect())
+    scored = score_bigram_logprob(df, bigrams, unigrams, n_buckets=1 << 20)
+    assert scored.count() == 3  # every doc still gets a score
+
+
+def test_scoring_is_partitioning_invariant(spark, sf_dir):
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    bigrams, unigrams = fit_bigram_counts(docs.filter(F.col("lang") == "en"))
+    a = sorted(map(tuple, score_bigram_logprob(docs, bigrams, unigrams).collect()))
+    b = sorted(
+        map(tuple, score_bigram_logprob(docs.repartition(9), bigrams, unigrams).collect())
+    )
+    assert a == b
+
+
+def test_reference_language_scores_higher(spark, sf_dir):
+    """Perplexity separation: English documents (the training corpus)
+    get higher mean log-prob than other languages."""
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams, unigrams = fit_bigram_counts(docs.filter(F.col("lang") == "en"))
+    scored = score_bigram_logprob(docs, bigrams, unigrams).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    means = {
+        r["en"]: r["m"]
+        for r in scored.groupBy((F.col("lang") == "en").alias("en"))
+        .agg(F.avg("score").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
