@@ -38,6 +38,7 @@ per-token perplexity); ``pred`` is its sign.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -100,6 +101,79 @@ def fit_token_logodds(
     return counts.crossJoin(F.broadcast(totals)).select(
         "bucket",
         F.round(F.lit(1_000_000) * w, 0).cast("long").alias("weight_micro"),
+    )
+
+
+def weights_as_map(weights: DataFrame) -> dict[int, int]:
+    """Collect a fitted weight table to a {bucket: weight_micro} dict.
+
+    The table is ≤n_buckets rows by construction (a few KB), so this is
+    a safe driver pull — it is how the model ships to a streaming job
+    or another cluster."""
+    return {r["bucket"]: r["weight_micro"] for r in weights.collect()}
+
+
+def score_token_logodds_rowwise(
+    df: DataFrame,
+    weight_map: dict[int, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    default_weight_micro: int = 0,
+) -> DataFrame:
+    """Row-local scorer: same outputs as :func:`score_token_logodds`,
+    computed per row with no shuffle — the deployment shape.
+
+    An Arrow-batched pandas UDF holds the (≤n_buckets-entry) weight map
+    and scores each document independently, so the operator is
+    stateless: it runs unchanged on a Structured Streaming frame (the
+    batch twin is pinned equal in tests), needs no watermark, and adds
+    zero exchanges to the plan. md5 bucketing matches the relational
+    scorer exactly (hashlib and Spark's ``md5`` agree byte-for-byte),
+    and tokenization splits on ``\\s+`` with ``re.ASCII`` to match
+    Java-regex whitespace semantics — batch-vs-rowwise results are
+    identical for any text whose lowercase mapping agrees between
+    Python and the JVM (all of ASCII/Latin; the exotic exceptions like
+    dotted-İ are documented Unicode edge cases).
+    """
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    wm = dict(weight_map)
+    default = int(default_weight_micro)
+    ws = re.compile(r"\s+", re.ASCII)
+
+    @pandas_udf("long")
+    def _w_sum(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for t in texts:
+            s = 0
+            for tok in ws.split(str(t or "").lower()):
+                if not tok:
+                    continue
+                # match md5_hash64: first 15 hex chars of md5 → int
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n_buckets
+                s += wm.get(h, default)
+            out.append(s)
+        return pd.Series(out)
+
+    # token count stays a native JVM expression — only the weight-map
+    # lookup needs Python
+    n_tok = F.size(
+        F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
+    ).cast("long")
+    out = df.withColumn("n_tok", n_tok).withColumn("w_sum", _w_sum(F.col(text_col)))
+    return out.select(
+        F.col(id_col),
+        "n_tok",
+        "w_sum",
+        (
+            F.col("w_sum") / (F.lit(1_000_000.0) * F.greatest(F.col("n_tok"), F.lit(1)))
+        ).alias("score"),
+        (F.col("w_sum") > 0).cast("int").alias("pred"),
     )
 
 

@@ -122,3 +122,55 @@ def test_english_scores_higher_on_testdata(spark, sf_dir):
         .collect()
     }
     assert means[True] > means[False]
+
+
+def test_rowwise_scorer_equals_relational_scorer(spark, sf_dir):
+    """The deployment-shape scorer (pandas UDF + weight map, no
+    shuffle) reproduces the relational scorer's output exactly."""
+    from diagnosisextraction_ml_spark.operators.quality_model import (
+        score_token_logodds_rowwise,
+        weights_as_map,
+    )
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    labeled = docs.withColumn("is_pos", (F.col("lang") == "en").cast("long"))
+    w = fit_token_logodds(labeled, "is_pos")
+    wm = weights_as_map(w)
+    assert 0 < len(wm) <= 4096
+    a = sorted(map(tuple, score_token_logodds(docs, w).collect()))
+    b = sorted(map(tuple, score_token_logodds_rowwise(docs, wm).collect()))
+    assert a == b
+
+
+def test_rowwise_scorer_streams(spark, sf_dir, tmp_path):
+    """Train distributed, deploy to a stream: the rowwise scorer runs
+    on readStream unchanged and emits exactly the batch results."""
+    from diagnosisextraction_ml_spark.operators.quality_model import (
+        score_token_logodds_rowwise,
+        weights_as_map,
+    )
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120).select("doc_id", "text", "lang")
+    labeled = docs.withColumn("is_pos", (F.col("lang") == "en").cast("long"))
+    wm = weights_as_map(fit_token_logodds(labeled, "is_pos"))
+
+    path = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    out = score_token_logodds_rowwise(stream, wm)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quality_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT doc_id, n_tok, w_sum, score, pred FROM quality_stream").collect())
+    )
+    want = sorted(map(tuple, score_token_logodds_rowwise(spark.read.parquet(path), wm).collect()))
+    assert got == want and len(got) == 120
