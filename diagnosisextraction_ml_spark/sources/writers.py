@@ -140,3 +140,63 @@ def export_tree_graphviz(
     with open(path, "w") as fh:
         fh.write(dot)
     return dot
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int | None = None,
+    target_rows_per_shard: int | None = None,
+    fmt: str = "parquet",
+    sort_within: bool = True,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> int:
+    """Deterministically sharded corpus sink for training-data exports.
+
+    The output side of the 100 TB story: naive ``df.write`` inherits
+    whatever partitioning the last shuffle left (thousands of skewed
+    files, or a handful of giant ones), and re-runs of the same
+    pipeline produce differently-composed files. This sink makes shard
+    membership a *function of the data*:
+
+    - ``shard = md5(key) % n_shards`` (the repo's cross-engine hash) —
+      every row lands in the same shard on any cluster, any
+      parallelism, any input partitioning;
+    - one ``repartition`` onto the shard id, then a directory-partition
+      write (``shard=K/``) — exactly one file per shard, so downstream
+      loaders get uniformly-sized, addressable shards;
+    - ``sort_within`` additionally sorts rows by key inside each shard,
+      making file *contents* byte-reproducible, which is what corpus
+      versioning / diffing needs.
+
+    ``n_shards`` may be given directly, or derived from
+    ``target_rows_per_shard`` (costs one count pass — at scale, pass
+    ``n_shards`` from a known corpus size instead). ``fmt="json"``
+    writes JSONL, the common training-corpus interchange format.
+    Returns the shard count.
+    """
+    from diagnosisextraction_ml_spark.functions.hashing import md5_hash64
+
+    if n_shards is None:
+        if target_rows_per_shard is None:
+            raise ValueError("pass n_shards or target_rows_per_shard")
+        n = df.count()
+        n_shards = max(1, -(-n // target_rows_per_shard))
+    shard = (md5_hash64(F.col(key_col).cast("string")) % F.lit(n_shards)).cast("int")
+    out = df.withColumn("shard", shard).repartition(n_shards, F.col("shard"))
+    if sort_within:
+        out = out.sortWithinPartitions("shard", key_col)
+    writer = out.write.mode(mode).partitionBy("shard")
+    if compression:
+        writer = writer.option("compression", compression)
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "json":
+        writer.json(path)
+    elif fmt == "csv":
+        writer.option("header", True).csv(path)
+    else:
+        raise ValueError(f"unsupported fmt {fmt!r}")
+    return n_shards
