@@ -666,6 +666,41 @@ def plot_f1_scores(
     return fig.save(path)
 
 
+def plot_histogram(
+    bins,
+    path: str | None = None,
+    title: str = "DISTRIBUTION",
+    xlabel: str = "VALUE",
+) -> bytes:
+    """Histogram bars from ``textstats.value_histogram`` rows.
+
+    Contiguous bars on the value axis; empty bins render as gaps at
+    zero height. Under/overflow buckets (bin 0 / n+1) carry edges one
+    step outside [lo, hi], so truncated mass is visible at the plot's
+    margins rather than silently dropped.
+    """
+    rows = []
+    for row in bins:
+        d = row.asDict() if hasattr(row, "asDict") else (
+            row if isinstance(row, dict) else
+            {"bin": row[0], "lo_edge": row[1], "hi_edge": row[2], "n": row[3]}
+        )
+        rows.append((int(d["bin"]), float(d["lo_edge"]), float(d["hi_edge"]), int(d["n"])))
+    if not rows:
+        rows = [(1, 0.0, 1.0, 0)]
+    xmin = min(r[1] for r in rows)
+    xmax = max(r[2] for r in rows)
+    ymax = max(r[3] for r in rows) * 1.05 or 1.0
+    fig = Figure(
+        xlim=(xmin, xmax), ylim=(0.0, ymax), title=title,
+        xlabel=xlabel, ylabel="COUNT",
+    )
+    fig.axes(tick_fmt="{:.2f}")
+    for _b, lo, hi, n in rows:
+        fig.bar((lo + hi) / 2, n, hi - lo, PALETTE[0])
+    return fig.save(path)
+
+
 def plot_lexical_dispersion(
     rows,
     terms,

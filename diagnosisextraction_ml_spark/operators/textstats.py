@@ -468,3 +468,40 @@ def doc_commonness(
             "mean_token_docfreq", F.col("sum_docfreq") / F.col("n_distinct_tokens")
         )
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Fixed-grid histogram of a numeric column — corpus-QA staple
+    (score/length/quality distributions before choosing filter cuts).
+
+    One ``width_bucket`` projection + one groupBy (map-side combine):
+    the shuffle carries ≤n_bins+2 rows per partition regardless of
+    corpus size. Bins are [lo, hi) in ``n_bins`` equal steps; bucket 0
+    collects underflow, bucket ``n_bins+1`` overflow, so the histogram
+    is total — nothing silently dropped. Empty bins are absent from
+    the output (join against a bin spine if a dense grid is needed;
+    driver-side plotting fills gaps anyway).
+
+    Output: (bin, lo_edge, hi_edge, n) ordered by bin.
+    """
+    step = (hi - lo) / n_bins
+    bucket = F.width_bucket(F.col(col), F.lit(lo), F.lit(hi), F.lit(n_bins))
+    out = (
+        df.select(bucket.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            (F.lit(lo) + (F.col("bin") - 1) * F.lit(step)).alias("lo_edge"),
+            (F.lit(lo) + F.col("bin") * F.lit(step)).alias("hi_edge"),
+            "n",
+        )
+        .orderBy("bin")
+    )
+    return out

@@ -1686,3 +1686,48 @@ def _lm_bigram(spark, sf_dir):
 
 
 register("lm_bigram_logprob", _lm_bigram_sql())(_lm_bigram)
+
+
+# ===========================================================================
+# Composed corpus gate: classifier + LM + metadata filters in one plan
+# ===========================================================================
+
+def _corpus_gate_sql() -> str:
+    """Both model gates composed: keep documents the weak-label quality
+    classifier scores above the -0.12 mean-log-odds cut, with a length
+    floor, carrying both
+    model scores. The two full train+score pipelines nest as
+    subqueries — every value stays exact, so the composition
+    hash-matches end-to-end."""
+    q = _quality_logodds_sql()
+    l = _lm_bigram_sql()
+    return f"""
+    SELECT d.doc_id, d.n_chars,
+           q.score AS quality_score,
+           l.score AS lm_score
+    FROM documents d
+    JOIN ({q}) q ON q.doc_id = d.doc_id
+    JOIN ({l}) l ON l.doc_id = d.doc_id
+    WHERE q.score >= -0.12 AND d.n_chars >= 50
+    """
+
+
+def _corpus_gate(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators import lm, quality_model
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn("is_pos", (F.col("lang") == "en").cast("long"))
+    qweights = quality_model.fit_token_logodds(labeled, "is_pos")
+    qscores = quality_model.score_token_logodds(docs, qweights)
+    bigrams, unigrams = lm.fit_bigram_counts(docs.filter(F.col("lang") == "en"))
+    lscores = lm.score_bigram_logprob(docs, bigrams, unigrams)
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(qscores.select("doc_id", F.col("score").alias("quality_score")), "doc_id")
+        .join(lscores.select("doc_id", F.col("score").alias("lm_score")), "doc_id")
+        .filter((F.col("quality_score") >= -0.12) & (F.col("n_chars") >= 50))
+        .select("doc_id", "n_chars", "quality_score", "lm_score")
+    )
+
+
+register("pipeline_corpus_gate", _corpus_gate_sql())(_corpus_gate)

@@ -174,3 +174,40 @@ def test_rowwise_scorer_streams(spark, sf_dir, tmp_path):
     )
     want = sorted(map(tuple, score_token_logodds_rowwise(spark.read.parquet(path), wm).collect()))
     assert got == want and len(got) == 120
+
+
+def test_rowwise_equals_relational_on_adversarial_texts(spark):
+    """Tokenizer-semantics parity between the JVM expression path and
+    the Python UDF path on texts chosen to probe the differences:
+    unicode NBSP (not whitespace in Java regex OR re.ASCII), tabs/CRLF
+    (whitespace in both), empty/whitespace-only docs, repeated
+    separators, accents and mixed case."""
+    from diagnosisextraction_ml_spark.operators.quality_model import (
+        score_token_logodds_rowwise,
+        weights_as_map,
+    )
+
+    texts = [
+        (0, "plain ascii text here", 1),
+        (1, "tabs\tand\r\nnewlines   collapse", 1),
+        (2, "nbsp stays glued", 0),
+        (3, "", 0),
+        (4, "   ", 0),
+        (5, "MIXED Case TEXT", 1),
+        (6, "café naïve déjà-vu", 0),
+        (7, "a  b   c    d", 1),
+        (8, "trailing spaces   ", 0),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string, is_pos long")
+    w = fit_token_logodds(df, "is_pos", n_buckets=512)
+    wm = weights_as_map(w)
+    rel = {r["doc_id"]: (r["n_tok"], r["w_sum"]) for r in score_token_logodds(df, w, n_buckets=512).collect()}
+    row = {r["doc_id"]: (r["n_tok"], r["w_sum"]) for r in score_token_logodds_rowwise(df, wm, n_buckets=512).collect()}
+    # relational path drops zero-token docs at the explode; rowwise
+    # keeps them with n_tok=0 — compare on the docs both score, and
+    # check the rowwise-only ones are exactly the token-free docs
+    for k, v in rel.items():
+        assert row[k] == v, k
+    assert set(row) - set(rel) == {3, 4}
+    for k in (3, 4):
+        assert row[k] == (0, 0)

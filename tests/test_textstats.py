@@ -194,3 +194,50 @@ def test_doc_commonness_hand_case(spark):
     assert got[2]["sum_docfreq"] == 5 and got[2]["n_distinct_tokens"] == 2
     assert got[3]["sum_docfreq"] == 4 and got[3]["n_distinct_tokens"] == 2
     assert got[3]["mean_token_docfreq"] == 2.0
+
+
+def test_value_histogram_counts_and_edges(spark):
+    import pyspark.sql.functions as F
+
+    from diagnosisextraction_ml_spark.operators.textstats import value_histogram
+
+    vals = [-0.5, 0.05, 0.15, 0.15, 0.5, 0.95, 1.5]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r["bin"]: r for r in value_histogram(df, "x", 0.0, 1.0, n_bins=10).collect()}
+    assert rows[0]["n"] == 1            # underflow (-0.5)
+    assert rows[11]["n"] == 1           # overflow (1.5)
+    assert rows[1]["n"] == 1            # [0.0, 0.1)
+    assert rows[2]["n"] == 2            # [0.1, 0.2)
+    assert rows[6]["n"] == 1            # [0.5, 0.6)
+    assert rows[10]["n"] == 1           # [0.9, 1.0)
+    assert sum(r["n"] for r in rows.values()) == len(vals)  # total
+    assert rows[1]["lo_edge"] == 0.0 and abs(rows[1]["hi_edge"] - 0.1) < 1e-12
+    # plot round-trips through the rasterizer
+    from diagnosisextraction_ml_spark.functions.figures import plot_histogram
+    from diagnosisextraction_ml_spark.functions.png import decode_png
+
+    png = plot_histogram(sorted(rows.values(), key=lambda r: r["bin"]))
+    assert decode_png(png).shape == (480, 640, 3)
+
+
+def test_value_histogram_is_total_on_scores(spark, sf_dir):
+    """Histogram of the quality-classifier scores: bin counts sum to
+    the corpus size (nothing silently dropped)."""
+    import pyspark.sql.functions as F
+
+    from diagnosisextraction_ml_spark.operators.quality_model import (
+        fit_token_logodds,
+        score_token_logodds,
+    )
+    from diagnosisextraction_ml_spark.operators.textstats import value_histogram
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn("is_pos", (F.col("lang") == "en").cast("long"))
+    scored = score_token_logodds(docs, fit_token_logodds(labeled, "is_pos"))
+    hist = value_histogram(scored, "score", -2.0, 2.0, n_bins=16).collect()
+    assert sum(r["n"] for r in hist) == docs.count()
+    # doc lengths spread over many bins
+    lhist = value_histogram(scored, "n_tok", 0.0, 400.0, n_bins=20).collect()
+    assert sum(r["n"] for r in lhist) == docs.count()
+    assert len(lhist) >= 3
