@@ -421,3 +421,40 @@ def pairwise_topk_join(
         )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4× storage
+    reduction for embedding corpora before ANN indexing.
+
+    ``scale = max|x| / 127``; ``q_i = round(x_i / scale)`` ∈ [-127, 127]
+    (zero vectors quantize to zeros with scale 0). Elements are widened
+    float→double *first* so every subsequent op is IEEE-double in both
+    engines — the whole projection is shuffle-free and hash-matches its
+    SQL twin exactly. Dequantize with :func:`dequantize_embeddings`.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(
+        max_abs == 0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(v, lambda x: F.round(x / (max_abs / F.lit(127)), 0).cast("int"))
+    )
+    return df.select(
+        F.col(id_col),
+        (max_abs / F.lit(127)).alias("scale"),
+        q.alias("q"),
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame, q_col: str = "q", scale_col: str = "scale"
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings_int8`: x̂_i = q_i · scale.
+    Max reconstruction error is scale/2 per element by construction."""
+    return df.withColumn(
+        "embedding_deq",
+        F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
+    )

@@ -1731,3 +1731,30 @@ def _corpus_gate(spark, sf_dir):
 
 
 register("pipeline_corpus_gate", _corpus_gate_sql())(_corpus_gate)
+
+
+# ===========================================================================
+# Embedding int8 quantization (storage path for the ANN stack)
+# ===========================================================================
+
+register(
+    "emb_quantize_int8",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS max_abs
+          FROM e)
+    SELECT vec_id,
+           max_abs / 127 AS scale,
+           CASE WHEN max_abs = 0 THEN list_transform(v, x -> 0)
+                ELSE list_transform(v, x -> CAST(ROUND(x / (max_abs / 127)) AS INT))
+           END AS q
+    FROM m
+    """,
+)(
+    lambda spark, sf_dir: similarity.quantize_embeddings_int8(
+        _t(spark, sf_dir, "embeddings")
+    )
+)

@@ -129,3 +129,49 @@ def test_kmeans_ivf_corpus(spark, sf_dir, tmp_path):
     assert rows[0]["vec_id"] == 0  # query's own cluster is probed first
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan
+
+
+def test_int8_quantization_round_trip_and_bounds(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from diagnosisextraction_ml_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings_int8,
+    )
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    q = quantize_embeddings_int8(emb)
+    rows = q.join(emb, "vec_id").collect()
+    for r in rows:
+        assert all(-127 <= v <= 127 for v in r["q"])
+        assert len(r["q"]) == len(r["embedding"])
+        # per-element reconstruction error ≤ scale/2
+        for orig, qv in zip(r["embedding"], r["q"]):
+            assert abs(qv * r["scale"] - float(orig)) <= r["scale"] / 2 + 1e-12
+    # dequantized cosine stays close to the original (< 0.5% drift)
+    deq = dequantize_embeddings(q).join(emb, "vec_id")
+    from diagnosisextraction_ml_spark.operators.similarity import cosine_expr
+
+    drift = deq.select(
+        F.abs(
+            cosine_expr(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                F.col("embedding_deq"),
+            )
+            - 1.0
+        ).alias("d")
+    ).agg(F.max("d")).collect()[0][0]
+    assert drift < 0.005
+
+
+def test_int8_quantization_zero_vector_safe(spark):
+    from diagnosisextraction_ml_spark.operators.similarity import quantize_embeddings_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+    assert rows[1]["scale"] == 0.0 and rows[1]["q"] == [0, 0, 0]
+    assert rows[2]["q"][1] == -127  # max-magnitude element hits the rail
