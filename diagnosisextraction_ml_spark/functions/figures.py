@@ -666,6 +666,41 @@ def plot_f1_scores(
     return fig.save(path)
 
 
+def plot_metric_sweep(
+    series: dict,
+    path: str | None = None,
+    title: str = "METRIC SWEEP",
+    xlabel: str = "X",
+    ylabel: str = "ROC-AUC",
+    ylim=(0.5, 1.0),
+) -> bytes:
+    """Metric-vs-parameter line figure with point markers.
+
+    Ref: plotPrevalencePR (/root/reference/src/TextClassification.py:
+    1332-1424) and sampleSizeROC (src/NLP_functions.py:753-800) — AUC
+    as prevalence / training-set size varies. ``series``: label →
+    [(x, y), ...]; x may be log-ish (sample sizes) — points are drawn
+    where they fall, no resampling.
+    """
+    pts_all = [p for pts in series.values() for p in pts]
+    xmin = min((p[0] for p in pts_all), default=0.0)
+    xmax = max((p[0] for p in pts_all), default=1.0)
+    pad = (xmax - xmin) * 0.05 or 1.0
+    fig = Figure(
+        xlim=(xmin - pad, xmax + pad), ylim=ylim,
+        title=title, xlabel=xlabel, ylabel=ylabel,
+    )
+    fig.axes(tick_fmt="{:.2f}")
+    for i, (name, pts) in enumerate(sorted(series.items())):
+        color = PALETTE[i % len(PALETTE)]
+        pts = sorted((float(x), float(y)) for x, y in pts)
+        fig.plot([p[0] for p in pts], [p[1] for p in pts], color, width=2.5, label=name)
+        for x, y in pts:
+            fig.canvas.disc(fig.px(x), fig.py(y), 4, color)
+    fig.legend("br")
+    return fig.save(path)
+
+
 def plot_histogram(
     bins,
     path: str | None = None,

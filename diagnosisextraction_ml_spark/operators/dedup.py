@@ -666,3 +666,46 @@ def index_fingerprints(
     append to the historical index after :func:`dedup_incremental`."""
     normalized = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     return df.select(F.md5(normalized).alias("fingerprint")).distinct()
+
+
+def duplicated_gram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the exact-substring
+    dedup signal at gram granularity (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better": text repeated
+    verbatim elsewhere in the corpus hurts training; this scores how
+    much of each document is such text, so a gate can drop or trim).
+
+    For every document: the number of its distinct word ``n``-grams,
+    how many of those occur in at least one OTHER document, and the
+    fraction. Unlike pairwise dedup there is no pair join anywhere —
+    gram document-frequency is one groupBy over 60-bit gram hashes
+    (map-side combined, Zipf-small output), joined back to the per-doc
+    gram rows on the hash. At 100 TB only 8-byte hashes shuffle, never
+    text.
+
+    Output: (id, n_grams, n_dup_grams, dup_fraction) for every doc
+    with at least one gram.
+    """
+    grams = shingles(df, text_col, id_col, n=n).select(
+        F.col(id_col), md5_hash64(F.col("shingle")).alias("gram_hash")
+    )
+    freq = grams.groupBy("gram_hash").agg(F.count("*").alias("gram_df"))
+    joined = grams.join(freq, "gram_hash")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("gram_df") > 1).cast("long")).alias("n_dup_grams"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_dup_grams",
+            (F.col("n_dup_grams") / F.col("n_grams")).alias("dup_fraction"),
+        )
+    )

@@ -1758,3 +1758,36 @@ register(
         _t(spark, sf_dir, "embeddings")
     )
 )
+
+
+# ===========================================================================
+# Duplicated-gram fraction (exact-substring dedup signal per document)
+# ===========================================================================
+
+def _dup_gram_sql(n: int = 5) -> str:
+    """DuckDB twin of dedup.duplicated_gram_stats over the dup-injected
+    corpus: distinct n-grams per doc, gram document-frequency by md5
+    hash, per-doc duplicated fraction — exact counts, IEEE division."""
+    toks = _toks_sql("lower(text)")
+    grams = _ngrams_sql(n)
+    return f"""
+    WITH corpus AS ({_DUP_UNION_SQL}),
+    ct AS (SELECT doc_id, {toks} AS t FROM corpus),
+    cg AS (SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id, unnest({grams}) AS shingle FROM ct) WHERE shingle != ''),
+    ch AS (SELECT doc_id, {md5_hash64_sql('shingle')} AS gram_hash FROM cg),
+    freq AS (SELECT gram_hash, COUNT(*) AS gram_df FROM ch GROUP BY gram_hash)
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           SUM(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END) AS n_dup_grams,
+           SUM(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END) / COUNT(*) AS dup_fraction
+    FROM ch JOIN freq USING (gram_hash)
+    GROUP BY doc_id
+    """
+
+
+register("dedup_dup_gram_stats", _dup_gram_sql())(
+    lambda spark, sf_dir: dedup.duplicated_gram_stats(
+        _dup_union(spark, sf_dir), "text", "doc_id", n=5
+    )
+)

@@ -223,3 +223,42 @@ def test_dedup_incremental_batch(spark):
     )
     got = sorted(r["doc_id"] for r in dedup_incremental(batch, history).collect())
     assert got == [12, 14]
+
+
+def test_duplicated_gram_stats_hand_case(spark):
+    from diagnosisextraction_ml_spark.operators.dedup import duplicated_gram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),     # shares the 3-gram window with doc 2
+            (2, "a b c d e f"),     # exact copy → all grams duplicated
+            (3, "q r s t u v"),     # unique → zero duplicated grams
+            (4, "a b c x y z"),     # shares exactly the "a b c" gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicated_gram_stats(docs, n=3).collect()}
+    # docs 1/2: 4 distinct 3-grams each, all shared with the copy
+    assert out[1]["n_grams"] == 4 and out[1]["dup_fraction"] == 1.0
+    assert out[2]["dup_fraction"] == 1.0
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_fraction"] == 0.0
+    # doc 4: only "a b c" (1 of 4 grams) occurs elsewhere
+    assert out[4]["n_grams"] == 4 and out[4]["n_dup_grams"] == 1
+    assert out[4]["dup_fraction"] == 0.25
+
+
+def test_duplicated_gram_stats_flags_injected_copies(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from diagnosisextraction_ml_spark.operators.dedup import duplicated_gram_stats
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    copies = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    out = duplicated_gram_stats(docs.unionByName(copies), n=5)
+    # every injected copy (and its source) is fully duplicated
+    full = out.filter(F.col("dup_fraction") == 1.0).count()
+    n_copies = copies.count()
+    assert full >= 2 * n_copies

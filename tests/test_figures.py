@@ -238,3 +238,19 @@ def patient_df_figures(spark):
         spark, "/root/reference/sample_data/autocorrect_dummydata.csv"
     )
     return binarize_label(df, "Outcome", "label").persist()
+
+
+def test_metric_sweep_figure():
+    from diagnosisextraction_ml_spark.functions.figures import plot_metric_sweep
+
+    series = {
+        "SVM": [(0.5, 0.95), (0.2, 0.92), (0.1, 0.88), (0.05, 0.81)],
+        "WordMatching": [(0.5, 0.83), (0.2, 0.80), (0.1, 0.77), (0.05, 0.71)],
+    }
+    png = plot_metric_sweep(series, xlabel="PREVALENCE")
+    assert png == plot_metric_sweep(series, xlabel="PREVALENCE")
+    img = decode_png(png)
+    assert img.shape == (480, 640, 3)
+    flat = img.reshape(-1, 3)
+    for slot in (0, 1):
+        assert (flat == _rgb(PALETTE[slot])).all(axis=1).any()
