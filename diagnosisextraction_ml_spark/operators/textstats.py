@@ -505,3 +505,55 @@ def value_histogram(
         .orderBy("bin")
     )
     return out
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Vocabulary-coverage curve by frequency cutoff — the tokenizer-prep
+    decision table: for every distinct token count ``c``, the vocabulary
+    size and corpus coverage you get by keeping all tokens with count
+    ≥ c (coverage = 1 − OOV rate under that cutoff).
+
+    Grouping by *distinct count* (not token rank) makes the cumulative
+    curve deterministic under ties; the cumsum runs on the curve
+    engine's two-level bucketed machinery
+    (:func:`..operators.evaluate._bucketed_cumsum` — no global window,
+    no single-partition Exchange), so the plan scales like every other
+    curve in the repo. Token counting itself is one map-side-combined
+    groupBy; the per-count table is Zipf-tiny.
+
+    Output: (min_count, n_words, cum_vocab, cum_occurrences, coverage)
+    ordered by min_count descending in value (cumulatives run from the
+    most frequent tokens down).
+    """
+    from diagnosisextraction_ml_spark.operators.evaluate import _bucketed_cumsum
+
+    toks = F.explode(
+        F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
+    ).alias("word")
+    wc = df.select(toks).groupBy("word").agg(F.count("*").alias("c"))
+    per_count = wc.groupBy("c").agg(F.count("*").alias("n_words")).select(
+        F.col("c").alias("min_count"),
+        F.col("n_words"),
+        (F.col("c") * F.col("n_words")).cast("double").alias("occurrences"),
+    ).withColumn("n_words_d", F.col("n_words").cast("double"))
+    cum = _bucketed_cumsum(
+        per_count,
+        "min_count",
+        {"n_words_d": "cum_vocab_d", "occurrences": "cum_occ_d"},
+        descending=True,
+        n_buckets=n_buckets,
+        score_range=(0.0, 1e6),
+    )
+    return cum.select(
+        "min_count",
+        "n_words",
+        F.col("cum_vocab_d").cast("long").alias("cum_vocab"),
+        F.col("cum_occ_d").cast("long").alias("cum_occurrences"),
+        (F.col("cum_occ_d").cast("long") / F.col("__tot_occurrences").cast("long")).alias(
+            "coverage"
+        ),
+    )

@@ -1791,3 +1791,29 @@ register("dedup_dup_gram_stats", _dup_gram_sql())(
         _dup_union(spark, sf_dir), "text", "doc_id", n=5
     )
 )
+
+
+# ===========================================================================
+# Vocabulary coverage by frequency cutoff (tokenizer-prep curve)
+# ===========================================================================
+
+def _vocab_coverage_sql() -> str:
+    toks = _toks_sql("lower(text)")
+    return f"""
+    WITH tok AS (SELECT unnest({toks}) AS w FROM documents),
+    wc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    per AS (SELECT c AS min_count, COUNT(*) AS n_words,
+                   c * COUNT(*) AS occurrences
+            FROM wc GROUP BY c)
+    SELECT min_count, n_words,
+           CAST(SUM(n_words) OVER (ORDER BY min_count DESC) AS BIGINT) AS cum_vocab,
+           CAST(SUM(occurrences) OVER (ORDER BY min_count DESC) AS BIGINT) AS cum_occurrences,
+           CAST(SUM(occurrences) OVER (ORDER BY min_count DESC) AS BIGINT)
+             / CAST(SUM(occurrences) OVER () AS BIGINT) AS coverage
+    FROM per
+    """
+
+
+register("vocab_coverage_curve", _vocab_coverage_sql())(
+    lambda spark, sf_dir: textstats.vocab_coverage(_t(spark, sf_dir, "documents"))
+)

@@ -241,3 +241,29 @@ def test_value_histogram_is_total_on_scores(spark, sf_dir):
     lhist = value_histogram(scored, "n_tok", 0.0, 400.0, n_bins=20).collect()
     assert sum(r["n"] for r in lhist) == docs.count()
     assert len(lhist) >= 3
+
+
+def test_vocab_coverage_hand_case(spark):
+    from diagnosisextraction_ml_spark.operators.textstats import vocab_coverage
+
+    # counts: the=4, a=2, b=2, x=1  → per-count: {4:(1 word, 4 occ),
+    # 2:(2 words, 4 occ), 1:(1 word, 1 occ)}, total 9 occurrences
+    docs = spark.createDataFrame(
+        [(1, "the a the b"), (2, "the a the b x")], "doc_id long, text string"
+    )
+    rows = {r["min_count"]: r for r in vocab_coverage(docs).collect()}
+    assert set(rows) == {4, 2, 1}
+    assert rows[4]["n_words"] == 1 and rows[4]["cum_vocab"] == 1
+    assert rows[4]["cum_occurrences"] == 4 and rows[4]["coverage"] == 4 / 9
+    assert rows[2]["cum_vocab"] == 3 and rows[2]["coverage"] == 8 / 9
+    assert rows[1]["cum_vocab"] == 4 and rows[1]["coverage"] == 1.0
+
+
+def test_vocab_coverage_partitioning_invariant(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators.textstats import vocab_coverage
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, vocab_coverage(docs).collect()))
+    b = sorted(map(tuple, vocab_coverage(docs.repartition(11)).collect()))
+    assert a == b
