@@ -1817,3 +1817,21 @@ def _vocab_coverage_sql() -> str:
 register("vocab_coverage_curve", _vocab_coverage_sql())(
     lambda spark, sf_dir: textstats.vocab_coverage(_t(spark, sf_dir, "documents"))
 )
+
+
+# ===========================================================================
+# BPE tokenizer (train + fertility stats) — rows-only: merge learning is
+# inherently sequential (each merge reshapes the next pair counts), so
+# there is no SQL twin; determinism is pinned by tests instead
+# (lexicographic tie-breaks → identical merges at any partitioning).
+# ===========================================================================
+
+def _bpe_stats(spark, sf_dir):
+    from diagnosisextraction_ml_spark.functions import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    model = bpe.learn_bpe(docs, n_merges=100)
+    return bpe.bpe_token_stats(docs, model["merges"])
+
+
+register("bpe_token_stats", None)(_bpe_stats)
