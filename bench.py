@@ -100,7 +100,10 @@ def main() -> int:
         "sf": sf,
     }
     if errors:
+        # A partial total is NOT comparable to a full round's total —
+        # flag it so a silently failing query can't read as a speedup.
         out["errors"] = errors
+        out["partial"] = True
     print(json.dumps(out))
     return 0
 

@@ -77,6 +77,14 @@ def fit_token_logodds(
     the grand totals are aggregated from it (not from a re-scan), then
     broadcast back onto the bucket rows. ``weight_micro`` is the
     α-smoothed log-odds in integer micro-nats.
+
+    Fit is EAGER: the ≤n_buckets-row weight table is materialized (all
+    arithmetic still runs in Spark expressions, so values stay
+    engine-exact vs the SQL oracle) and returned as a local relation,
+    and the cached counts are unpersisted before returning — repeated
+    fits (CV folds, long-lived sessions) leave nothing in the storage
+    layer. The local weight table broadcasts for free in downstream
+    scoring joins.
     """
     tok = _token_buckets(df, text_col, id_col, n_buckets, extra=[label_col])
     b = tok.select(F.col("bucket"), F.col(label_col).cast("long").alias("pos"))
@@ -98,9 +106,16 @@ def fit_token_logodds(
         - F.log(F.col("neg_n") + F.lit(alpha))
         + F.log(F.col("neg_tot") + F.lit(ab))
     )
-    return counts.crossJoin(F.broadcast(totals)).select(
+    weights = counts.crossJoin(F.broadcast(totals)).select(
         "bucket",
         F.round(F.lit(1_000_000) * w, 0).cast("long").alias("weight_micro"),
+    )
+    try:
+        rows = [(r["bucket"], r["weight_micro"]) for r in weights.collect()]
+    finally:
+        counts.unpersist()
+    return df.sparkSession.createDataFrame(
+        rows, schema="bucket BIGINT, weight_micro BIGINT"
     )
 
 

@@ -1820,18 +1820,99 @@ register("vocab_coverage_curve", _vocab_coverage_sql())(
 
 
 # ===========================================================================
-# BPE tokenizer (train + fertility stats) — rows-only: merge learning is
-# inherently sequential (each merge reshapes the next pair counts), so
-# there is no SQL twin; determinism is pinned by tests instead
-# (lexicographic tie-breaks → identical merges at any partitioning).
+# BPE tokenizer (fertility stats under a frozen merge table) — hash-exact.
+#
+# Production tokenizers are trained ONCE and then applied everywhere; the
+# registry entry mirrors that: a 40-merge table learned offline (from the
+# sf0.001 documents corpus, `learn_bpe(n_merges=40)` — byte-deterministic
+# by the lexicographic tie-break) is frozen below as a literal, and BOTH
+# engines replay the same rank-greedy application. The DuckDB twin drives
+# the per-word merge loop with a recursive CTE over symbol arrays: each
+# step finds the lowest-rank adjacent pair (leftmost on ties — exactly
+# `apply_bpe_word`'s scan) and splices it, until no learnable pair
+# remains. Training itself (the sequential driver loop) is pinned by
+# tests/test_bpe.py, incl. byte-equivalence to the textbook full-rescan
+# algorithm on seeded random vocabularies.
 # ===========================================================================
+
+# learn_bpe(sf0.001 documents, n_merges=40) — frozen 2026-08-14.
+FIXED_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r</w>"), ("o", "w</w>"), ("o", "r"), ("l", "u"), ("i", "n"),
+    ("a", "r"), ("p", "ar"), ("e", "r"), ("a", "s"), ("t", "o"),
+    ("a", "t"), ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"),
+    ("c", "o"), ("co", "lu"), ("colu", "m"), ("colum", "n</w>"),
+    ("d", "ow</w>"), ("in", "dow</w>"), ("w", "indow</w>"),
+    ("d", "er</w>"), ("or", "der</w>"), ("or", "t</w>"),
+    ("s", "ort</w>"), ("par", "t</w>"), ("u", "p</w>"), ("a", "g"),
+    ("ag", "g</w>"), ("a", "lu"), ("alu", "e</w>"), ("v", "alue</w>"),
+    ("in", "e</w>"), ("l", "ine</w>"), ("e", "y</w>"), ("k", "ey</w>"),
+    ("i", "n</w>"), ("j", "o"), ("jo", "in</w>"), ("er", "g"),
+]
+
+
+def _bpe_stats_sql() -> str:
+    toks = _toks_sql("coalesce(lower(text), '')")
+    rank_values = ", ".join(
+        f"({_sq(a)}, {_sq(b)}, {i})" for i, (a, b) in enumerate(FIXED_BPE_MERGES)
+    )
+    return f"""
+    WITH RECURSIVE
+    ranks(a, b, rnk) AS (VALUES {rank_values}),
+    doc_words AS (
+      SELECT doc_id, unnest({toks}) AS word FROM documents
+    ),
+    words AS (SELECT DISTINCT word FROM doc_words),
+    init AS (
+      SELECT word,
+             list_transform(range(1, len(word) + 1),
+               i -> CASE WHEN i = len(word) THEN word[i] || '</w>'
+                         ELSE word[i] END) AS syms,
+             0 AS it
+      FROM words WHERE word <> ''
+    ),
+    bpe AS (
+      SELECT word, syms, it FROM init
+      UNION ALL
+      SELECT word,
+             syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms,
+             it + 1 AS it
+      FROM (
+        SELECT word, syms, it,
+               arg_min(i, br * 1000000 + i) AS bi, min(br) AS bestr
+        FROM (
+          SELECT p.word, p.syms, p.it, t.i,
+                 CAST(coalesce(r.rnk, 1000000) AS BIGINT) AS br
+          FROM bpe p
+          CROSS JOIN UNNEST(range(1, len(p.syms))) AS t(i)
+          LEFT JOIN ranks r ON r.a = p.syms[t.i] AND r.b = p.syms[t.i + 1]
+        )
+        GROUP BY word, syms, it
+      )
+      WHERE bestr < 1000000
+    ),
+    word_tok AS (
+      SELECT word, len(arg_max(syms, it)) AS n_tok FROM bpe GROUP BY word
+    ),
+    per_doc AS (
+      SELECT dw.doc_id,
+             SUM(wt.n_tok) AS nb, COUNT(*) AS nw
+      FROM doc_words dw JOIN word_tok wt USING (word)
+      GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.nb, 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(coalesce(p.nw, 0) AS BIGINT) AS n_ws_tokens,
+           CAST(coalesce(p.nb, 0) AS BIGINT)
+             / CAST(greatest(coalesce(p.nw, 0), 1) AS BIGINT) AS tokens_per_word
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
 
 def _bpe_stats(spark, sf_dir):
     from diagnosisextraction_ml_spark.functions import bpe
 
     docs = _t(spark, sf_dir, "documents")
-    model = bpe.learn_bpe(docs, n_merges=100)
-    return bpe.bpe_token_stats(docs, model["merges"])
+    return bpe.bpe_token_stats(docs, FIXED_BPE_MERGES)
 
 
-register("bpe_token_stats", None)(_bpe_stats)
+register("bpe_token_stats", _bpe_stats_sql())(_bpe_stats)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 
 def write_pipe_csv(
@@ -167,9 +168,14 @@ def write_training_shards(
     - one ``repartition`` onto the shard id, then a directory-partition
       write (``shard=K/``) — exactly one file per shard, so downstream
       loaders get uniformly-sized, addressable shards;
-    - ``sort_within`` additionally sorts rows by key inside each shard,
-      making file *contents* byte-reproducible, which is what corpus
-      versioning / diffing needs.
+    - ``sort_within`` additionally sorts rows inside each shard by key
+      plus ALL remaining columns as tie-breaks, making file contents
+      byte-reproducible even when ``key_col`` has duplicates (a sort on
+      the key alone would leave the order among equal keys
+      engine-dependent). Columns whose types Spark cannot sort (maps)
+      are skipped as tie-breaks; if every row of a shard is fully
+      identical on the sortable columns, any residual order among those
+      duplicate rows is immaterial to content equality.
 
     ``n_shards`` may be given directly, or derived from
     ``target_rows_per_shard`` (costs one count pass — at scale, pass
@@ -187,7 +193,21 @@ def write_training_shards(
     shard = (md5_hash64(F.col(key_col).cast("string")) % F.lit(n_shards)).cast("int")
     out = df.withColumn("shard", shard).repartition(n_shards, F.col("shard"))
     if sort_within:
-        out = out.sortWithinPartitions("shard", key_col)
+        def _orderable(dt) -> bool:
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return _orderable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(_orderable(f.dataType) for f in dt.fields)
+            return True
+
+        sortable = [
+            f.name
+            for f in df.schema.fields
+            if f.name != key_col and _orderable(f.dataType)
+        ]
+        out = out.sortWithinPartitions("shard", key_col, *sortable)
     writer = out.write.mode(mode).partitionBy("shard")
     if compression:
         writer = writer.option("compression", compression)
