@@ -1916,3 +1916,35 @@ def _bpe_stats(spark, sf_dir):
 
 
 register("bpe_token_stats", _bpe_stats_sql())(_bpe_stats)
+
+
+# The max_vocab cap on the BPE word-count pass is a *count-threshold*
+# cut (rank-K count computed from the Zipf-tiny per-count histogram;
+# boundary ties kept) — never a global orderBy().limit(K), whose
+# TakeOrderedAndProject ships every partition's top-K to one merge
+# point. The SQL twin derives the same cutoff relationally: cutoff =
+# max n whose descending-cumulative word count reaches K.
+_BPE_VOCAB_K = 20
+
+
+def _vocab_cut_sql() -> str:
+    toks = _toks_sql("coalesce(lower(text), '')")
+    return f"""
+    WITH tok AS (SELECT unnest({toks}) AS word FROM documents),
+    wc AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY word),
+    hist AS (SELECT n, COUNT(*) AS w FROM wc GROUP BY n),
+    cum AS (SELECT n, SUM(w) OVER (ORDER BY n DESC) AS cum_words FROM hist),
+    cut AS (SELECT max(n) AS c FROM cum WHERE cum_words >= {_BPE_VOCAB_K})
+    SELECT word, n FROM wc
+    WHERE n >= coalesce((SELECT c FROM cut), 0)
+    """
+
+
+def _vocab_cut(spark, sf_dir):
+    from diagnosisextraction_ml_spark.functions import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.corpus_word_counts(docs, "text", max_vocab=_BPE_VOCAB_K)
+
+
+register("bpe_vocab_threshold_cut", _vocab_cut_sql())(_vocab_cut)

@@ -130,6 +130,35 @@ def test_lsh_collapse_exact_is_output_identical(spark):
         assert on == off and len(on) > 0
 
 
+def test_lsh_max_bucket_drops_hot_bucket_keeps_rest(spark):
+    """Adversarial hot bucket: near-identical docs (distinct trailing
+    token, so collapse_exact cannot collapse them) all land in the same
+    LSH bucket. max_bucket must drop exactly that clique's pairs while
+    unrelated small-bucket pairs survive — the documented web-dedup
+    guard that keeps the pair expansion bounded at 100 TB."""
+    body = " ".join(f"common{j}" for j in range(30))
+    hot = [(i, f"{body} uniq{i}") for i in range(8)]
+    other = [
+        (100, "zeb yak xis wov vun um tol sog rif qep"),
+        (101, "zeb yak xis wov vun um tol sog rif qex"),  # near-dup of 100
+    ]
+    df = spark.createDataFrame(hot + other, "doc_id long, text string")
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, k=16, bands=4, max_bucket=10_000).collect()
+    }
+    hot_pairs = {(a, b) for a in range(8) for b in range(8) if a < b}
+    assert hot_pairs <= uncapped and (100, 101) in uncapped
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, k=16, bands=4, max_bucket=4).collect()
+    }
+    assert capped & hot_pairs == set()  # hot clique dropped entirely
+    assert (100, 101) in capped  # small buckets unaffected
+
+
 def test_connected_components_chain_clique_and_convergence(spark):
     """Chain + clique resolve to min-id components; singletons absent;
     keep_canonical keeps one survivor per cluster plus singletons; a

@@ -1,7 +1,9 @@
 """Scale-up generator: replicate a testdata sf directory N× with key remaps.
 
-Usage: python tools/gen_sf.py [src_dir] [dst_dir] [factor]
-Defaults: /root/testdata/sf0.1 /tmp/sf1 10
+Usage: python tools/gen_sf.py [src_dir] [dst_dir] [factor] [tables]
+Defaults: /root/testdata/sf0.1 /tmp/sf1 10 (all tables)
+``tables`` is an optional comma-separated subset (e.g. ``documents``)
+for scale points that only exercise part of the schema.
 
 Each copy i shifts every entity key by i·STRIDE (consistently across
 fact/dim tables, so joins stay referentially intact: copy i's lineitem
@@ -37,6 +39,7 @@ def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import functions as F
@@ -47,12 +50,16 @@ def main() -> int:
     spark = get_spark("gen-sf")
     os.makedirs(dst, exist_ok=True)
     for t in FIXED:
+        if only is not None and t not in only:
+            continue
         spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
             f"{dst}/{t}.parquet"
         )
         print(f"{t}: copied")
     int_max = {"integer": 2**31 - 1, "long": 2**63 - 1, "short": 2**15 - 1}
     for t, keys in KEY_COLS.items():
+        if only is not None and t not in only:
+            continue
         # load_table normalizes events' TIMESTAMP(NANOS) to micros —
         # the generated copy is then plainly readable
         base = load_table(spark, src, t)
