@@ -1948,3 +1948,113 @@ def _vocab_cut(spark, sf_dir):
 
 
 register("bpe_vocab_threshold_cut", _vocab_cut_sql())(_vocab_cut)
+
+
+# ===========================================================================
+# Count-min sketch (mergeable frequency sketch) — heavy-hitter estimates.
+#
+# The sketch is built with the engine's cross-engine md5 cell hash, so
+# the DuckDB twin constructs the bit-identical depth×width grid and the
+# min-over-rows estimates are hash-exact (every estimate >= the true
+# count by construction — the classic CMS guarantee, here *verified*
+# per token by carrying the exact count alongside).
+# ===========================================================================
+
+def _cms_sql(depth: int = 4, width: int = 8192, k: int = 50) -> str:
+    toks = _toks_sql("lower(text)")
+    cell = md5_hash64_sql("concat(CAST(t.r AS VARCHAR), ':', token)")
+    return f"""
+    WITH tok AS (SELECT unnest({toks}) AS token FROM documents),
+    counts AS (SELECT token, COUNT(*) AS exact_n FROM tok GROUP BY token),
+    top AS (SELECT token, exact_n FROM counts
+            ORDER BY exact_n DESC, token LIMIT {k}),
+    cells AS (
+      SELECT t.r AS cms_row, ({cell}) % {width} AS cms_col,
+             COUNT(*) AS cnt
+      FROM tok CROSS JOIN range({depth}) t(r)
+      GROUP BY 1, 2
+    )
+    SELECT top.token, top.exact_n,
+           min(coalesce(c.cnt, 0)) AS cms_est
+    FROM top CROSS JOIN range({depth}) t(r)
+    LEFT JOIN cells c
+      ON c.cms_row = t.r
+     AND c.cms_col = ({cell}) % {width}
+    GROUP BY top.token, top.exact_n
+    """
+
+
+def _cms_heavy(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators import sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = sketch.cms_build(docs)
+    exact_top = (
+        docs.select(F.explode(textstats.ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+        .limit(50)
+    )
+    return sketch.cms_estimate(sk, exact_top).select(
+        "token", "exact_n", "cms_est"
+    )
+
+
+register("sketch_cms_heavy_hitters", _cms_sql())(_cms_heavy)
+
+
+# ===========================================================================
+# Keyed-snapshot upsert (MERGE INTO / SCD-1) — incremental latest-state.
+#
+# The Spark side exercises the *incremental* path: a snapshot is built
+# from the historical 80% of events (event_id % 5 != 4), then the
+# remaining batch is upserted into it — two groupBy+max(struct) hash
+# aggregations, no windows. The composition is associative, so the
+# result equals the one-shot arg-max over all events, which is what
+# the SQL twin states directly (row_number is fine for the oracle;
+# the Spark plan deliberately avoids the per-key sort).
+# ===========================================================================
+
+_UPSERT_PAYLOAD = ["event_type", "value"]
+
+
+def _upsert_sql() -> str:
+    return """
+    SELECT user_id,
+           CAST(ts AS TIMESTAMP) AS last_ts,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """
+
+
+def _upsert_state(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators.upsert import upsert_latest
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.filter(F.col("event_id") % 5 != 4)
+    batch = ev.filter(F.col("event_id") % 5 == 4)
+    snapshot = upsert_latest(
+        hist.limit(0), hist, ["user_id"], ["ts"], ["event_id"], _UPSERT_PAYLOAD
+    )
+    merged = upsert_latest(
+        snapshot, batch, ["user_id"], ["ts"], ["event_id"], _UPSERT_PAYLOAD
+    )
+    return merged.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+register("upsert_latest_state", _upsert_sql())(_upsert_state)

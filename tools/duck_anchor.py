@@ -1,0 +1,88 @@
+"""DuckDB anchor — time the HEADLINE queries' oracle SQL on one machine.
+
+BASELINE.md publishes no reference runtimes, so the driver-sanctioned
+performance anchor is DuckDB executing the *same* oracle SQL over the
+*same* parquet files bench.py times Spark on. This tool makes that
+anchor reproducible instead of an ad-hoc session measurement: it
+registers the sf-dir parquet tables as views (the same way the
+driver's correctness gate does), runs every HEADLINE query that has an
+oracle twin, and prints one JSON line mirroring bench.py's shape.
+
+Usage: python tools/duck_anchor.py [sf_dir] [threads]
+Defaults: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1; threads = all.
+Queries without an oracle twin (rows-only entries) are skipped and
+listed in the output so totals are comparable query-for-query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> int:
+    import duckdb
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    con = duckdb.connect()
+    if len(sys.argv) > 2:
+        con.execute(f"SET threads={int(sys.argv[2])}")
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    from bench import HEADLINE
+    from diagnosisextraction_ml_spark.plans.queries import oracle_sql
+
+    oracles = oracle_sql()
+    timings: dict[str, float] = {}
+    skipped: list[str] = []
+    errors: dict[str, str] = {}
+    for name in HEADLINE:
+        sql = oracles.get(name)
+        if sql is None:
+            skipped.append(name)
+            continue
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        timings[name] = round(time.time() - t0, 3)
+        print(json.dumps({"query": name, "sec": timings[name]}), flush=True)
+
+    out = {
+        "metric": "duckdb_anchor_total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf_dir": sf_dir,
+    }
+    if skipped:
+        out["skipped_no_oracle"] = skipped
+    if errors:
+        out["errors"] = errors
+        out["partial"] = True
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
