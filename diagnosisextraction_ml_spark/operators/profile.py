@@ -1,0 +1,113 @@
+"""Data-quality profiling — per-column stats and expectation checks.
+
+North-star extension (no reference counterpart): before a 100 TB
+corpus is trusted, a pipeline profiles it — null rates, distinct
+cardinalities, ranges — and gates on expectations ("ship only if
+null_frac(text) < 0.1%"). Both passes below are single-scan
+aggregations, the cheapest possible shape:
+
+- :func:`profile_columns` computes every column's stats in ONE
+  aggregate over ONE scan (all measures are algebraic, so map-side
+  combine reduces each task to a single row before the 1-row
+  Exchange). Exact ``count_distinct`` over many high-cardinality
+  columns widens the partial state; callers profiling wide fact
+  tables at full scale can flip ``approx=True`` to HyperLogLog++
+  state (constant size, Spark's `approx_count_distinct`) — the
+  default stays exact because exact is oracle-checkable.
+- :func:`check_expectations` evaluates boolean rules as
+  ``sum(case when ...)`` counters in the same single-scan shape and
+  returns one row per rule — composing a CI gate is a ``filter`` on
+  the violation count.
+
+Output is long-form (one row per column / rule), not wide-form: long
+survives schema evolution (a new column is a new row, not a new
+output column) and keeps the result a stable driver-size relation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], approx: bool = False
+) -> DataFrame:
+    """One row per column: count, nulls, distincts, min/max (as strings).
+
+    min/max are cast to string so heterogeneous column types fit one
+    long-form schema; numeric consumers re-cast. All counters are
+    exact 64-bit ints (``approx=False``) so the relation is
+    engine-reproducible.
+    """
+    cols = list(cols)
+    distinct = (
+        (lambda c: F.approx_count_distinct(c)) if approx else (lambda c: F.count_distinct(F.col(c)))
+    )
+    aggs: list[Column] = []
+    for c in cols:
+        aggs.append(
+            F.struct(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.col(c)).alias("n_nonnull"),
+                distinct(c).alias("n_distinct"),
+                F.min(F.col(c)).cast("string").alias("min_val"),
+                F.max(F.col(c)).cast("string").alias("max_val"),
+            ).alias(c)
+        )
+    row = df.agg(*aggs)
+    # one row -> one row per column, via an explode of literal structs
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("column"), F.col(c).alias("s"))
+            for c in cols
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.column").alias("column"),
+            F.col("p.s.n_rows").alias("n_rows"),
+            F.col("p.s.n_nonnull").alias("n_nonnull"),
+            (F.col("p.s.n_rows") - F.col("p.s.n_nonnull")).alias("n_null"),
+            F.col("p.s.n_distinct").alias("n_distinct"),
+            F.col("p.s.min_val").alias("min_val"),
+            F.col("p.s.max_val").alias("max_val"),
+        )
+    )
+
+
+def check_expectations(
+    df: DataFrame, rules: Mapping[str, Column]
+) -> DataFrame:
+    """Evaluate named boolean rules in one scan.
+
+    ``rules`` maps rule name → boolean Column that should hold for
+    every row. Output: (rule, n_rows, n_violations, pass) — a rule
+    with null predicate result counts as a violation (nulls are
+    exactly the rows one forgot to think about).
+    """
+    names = list(rules)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name in names:
+        ok = F.coalesce(rules[name].cast("boolean"), F.lit(False))
+        aggs.append(
+            F.sum(F.when(~ok, 1).otherwise(0)).cast("long").alias(name)
+        )
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"), F.col(name).alias("n_violations")
+            )
+            for name in names
+        ]
+    )
+    return row.select(F.col("__n").alias("n_rows"), F.explode(pairs).alias("p")).select(
+        F.col("p.rule").alias("rule"),
+        F.col("n_rows"),
+        F.col("p.n_violations").alias("n_violations"),
+        (F.col("p.n_violations") == 0).alias("pass"),
+    )

@@ -2058,3 +2058,120 @@ def _upsert_state(spark, sf_dir):
 
 
 register("upsert_latest_state", _upsert_sql())(_upsert_state)
+
+
+# ===========================================================================
+# Data-quality profiling (single-scan column stats + expectation gate).
+#
+# Long-form output (one row per column / per rule) so the relation is
+# stable under schema evolution. Columns profiled here are ints and
+# strings only — min/max stringification of floats/timestamps differs
+# between engines and stays out of the oracle surface.
+# ===========================================================================
+
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+    SELECT '{c}' AS "column", COUNT(*) AS n_rows, COUNT({c}) AS n_nonnull,
+           COUNT(*) - COUNT({c}) AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_val,
+           CAST(MAX({c}) AS VARCHAR) AS max_val
+    FROM documents""")
+    return " UNION ALL ".join(parts)
+
+
+def _profile(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators.profile import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "documents"), _PROFILE_COLS)
+
+
+register("qc_profile_documents", _profile_sql())(_profile)
+
+
+_QC_RULES_SQL = {
+    "orderkey_not_null": "o_orderkey IS NOT NULL",
+    "totalprice_positive": "o_totalprice > 0",
+    "status_in_domain": "o_orderstatus IN ('O', 'F', 'P')",
+}
+
+
+def _expectations_sql() -> str:
+    parts = []
+    for name, pred in _QC_RULES_SQL.items():
+        parts.append(f"""
+    SELECT '{name}' AS rule, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN NOT coalesce({pred}, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           SUM(CASE WHEN NOT coalesce({pred}, FALSE) THEN 1 ELSE 0 END) = 0 AS pass
+    FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+def _expectations(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators.profile import check_expectations
+
+    orders = _t(spark, sf_dir, "orders")
+    rules = {
+        "orderkey_not_null": F.col("o_orderkey").isNotNull(),
+        "totalprice_positive": F.col("o_totalprice") > 0,
+        "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+    }
+    return check_expectations(orders, rules)
+
+
+register("qc_expectations_orders", _expectations_sql())(_expectations)
+
+
+# ===========================================================================
+# Continuous aggregate — incremental hourly rollup maintenance.
+#
+# Spark side exercises the INCREMENTAL path: the historical 80% of
+# events is rolled up into a state table, the remaining batch is
+# rolled up alone and monoid-merged in — history never rescanned at
+# event grain. Because every measure is a commutative monoid (count +
+# DECIMAL-exact sum/min/max), the merged state equals the one-shot
+# recompute the SQL twin states directly.
+# ===========================================================================
+
+def _rollup_sql() -> str:
+    v = "CAST(value AS DECIMAL(18,6))"
+    return f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM({v}) AS DOUBLE) AS sum_value,
+           CAST(MIN({v}) AS DOUBLE) AS min_value,
+           CAST(MAX({v}) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+def _rollup_incremental(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators.rollup import (
+        hourly_rollup,
+        merge_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.filter(F.col("event_id") % 5 != 4)
+    batch = ev.filter(F.col("event_id") % 5 == 4)
+    state = hourly_rollup(hist)
+    merged = merge_rollup(state, hourly_rollup(batch))
+    return merged.select(
+        "window_start",
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+register("rollup_incremental_hourly", _rollup_sql())(_rollup_incremental)

@@ -1,0 +1,113 @@
+"""QC profiling and continuous-rollup maintenance."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pyspark.sql.functions as F
+import pytest
+
+from diagnosisextraction_ml_spark.operators.profile import (
+    check_expectations,
+    profile_columns,
+)
+from diagnosisextraction_ml_spark.operators.rollup import (
+    hourly_rollup,
+    merge_rollup,
+)
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    rows = [
+        (1, "a", 10),
+        (2, "a", None),
+        (3, None, 30),
+        (3, "b", 30),
+    ]
+    return spark.createDataFrame(rows, "k long, s string, v long")
+
+
+def test_profile_columns(spark, tbl):
+    prof = {r.column: r for r in profile_columns(tbl, ["k", "s", "v"]).collect()}
+    assert prof["k"].n_rows == 4 and prof["k"].n_null == 0
+    assert prof["k"].n_distinct == 3
+    assert (prof["k"].min_val, prof["k"].max_val) == ("1", "3")
+    assert prof["s"].n_null == 1 and prof["s"].n_distinct == 2
+    assert prof["v"].n_null == 1 and prof["v"].min_val == "10"
+
+
+def test_profile_approx_mode_runs(spark, tbl):
+    # approx=True swaps exact distinct for HLL++ — schema identical
+    exact = profile_columns(tbl, ["k"]).collect()[0]
+    approx = profile_columns(tbl, ["k"], approx=True).collect()[0]
+    assert approx.n_rows == exact.n_rows
+    assert approx.n_distinct > 0
+
+
+def test_expectations(spark, tbl):
+    out = {
+        r.rule: r
+        for r in check_expectations(
+            tbl,
+            {
+                "k_positive": F.col("k") > 0,
+                "s_not_null": F.col("s").isNotNull(),
+                "v_over_20": F.col("v") > 20,
+            },
+        ).collect()
+    }
+    assert out["k_positive"].n_violations == 0 and out["k_positive"]["pass"]
+    assert out["s_not_null"].n_violations == 1 and not out["s_not_null"]["pass"]
+    # null predicate counts as violation (v is NULL on one row)
+    assert out["v_over_20"].n_violations == 2
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = []
+    for i in range(200):
+        rows.append(
+            (i, dt.datetime(2024, 1, 1, i % 5, i % 60), "t" + str(i % 3), float(i) / 7)
+        )
+    return spark.createDataFrame(rows, "event_id long, ts timestamp, et string, value double")
+
+
+def _grain(df):
+    return {
+        (r.window_start, r.et): (r.n, r.sum_value, r.min_value, r.max_value)
+        for r in df.collect()
+    }
+
+
+def test_rollup_merge_equals_recompute(spark, ev):
+    a = ev.filter(F.col("event_id") % 3 == 0)
+    b = ev.filter(F.col("event_id") % 3 != 0)
+    merged = merge_rollup(
+        hourly_rollup(a, dims=["et"]), hourly_rollup(b, dims=["et"]), dims=["et"]
+    )
+    oneshot = hourly_rollup(ev, dims=["et"])
+    assert _grain(merged) == _grain(oneshot)
+
+
+def test_rollup_merge_associative_three_way(spark, ev):
+    parts = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    left = merge_rollup(
+        merge_rollup(
+            hourly_rollup(parts[0], dims=["et"]),
+            hourly_rollup(parts[1], dims=["et"]),
+            dims=["et"],
+        ),
+        hourly_rollup(parts[2], dims=["et"]),
+        dims=["et"],
+    )
+    assert _grain(left) == _grain(hourly_rollup(ev, dims=["et"]))
+
+
+def test_rollup_sums_are_exact_decimal(spark, ev):
+    # the state table carries DECIMAL sums — exact and associative
+    out = hourly_rollup(ev, dims=["et"])
+    assert dict(out.dtypes)["sum_value"] == "decimal(30,6)"
+    row = out.filter((F.col("et") == "t0")).orderBy("window_start").first()
+    assert isinstance(row.sum_value, Decimal)

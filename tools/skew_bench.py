@@ -58,12 +58,20 @@ def _spark() -> SparkSession:
     )
 
 
-def _time(label: str, df: DataFrame) -> float:
-    t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
-    wall = round(time.time() - t0, 2)
-    print(json.dumps({"case": label, "sec": wall}), flush=True)
-    return wall
+def _time(label: str, df: DataFrame, repeats: int = 2) -> float:
+    # min over repeats: the first execution of a query shape pays
+    # codegen/footer warmup, which otherwise biases whichever case
+    # happens to run first (observed: it made "uniform" look 4x slower
+    # than the identical-shape "skewed" twin).
+    best = None
+    for _ in range(repeats):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        best = wall if best is None else min(best, wall)
+    best = round(best, 2)
+    print(json.dumps({"case": label, "sec": best, "repeats": repeats}), flush=True)
+    return best
 
 
 # ---------------------------------------------------------------------------
@@ -185,19 +193,25 @@ def main() -> int:
         )
     # uncapped only on skewed (uniform has no big buckets; capped==uncapped)
     results["lsh_uncapped_skewed"] = _time(
-        "lsh_uncapped_skewed", minhash_lsh_pairs(read["docs_skewed"], max_bucket=1 << 40)
+        "lsh_uncapped_skewed",
+        minhash_lsh_pairs(read["docs_skewed"], max_bucket=1 << 40),
+        repeats=1,  # ~200s; the 10x effect needs no min-of-2
     )
 
     # 3. quality classifier train+score on uniform vs hot-token corpus
     for data in ("uniform", "skewed"):
         df = read[f"ldocs_{data}"]
-        t0 = time.time()
-        w = fit_token_logodds(df, "is_pos")  # eager
-        scored = score_token_logodds(df, w)
-        scored.write.format("noop").mode("overwrite").save()
-        wall = round(time.time() - t0, 2)
-        print(json.dumps({"case": f"quality_fit_score_{data}", "sec": wall}), flush=True)
-        results[f"quality_fit_score_{data}"] = wall
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            w = fit_token_logodds(df, "is_pos")  # eager
+            scored = score_token_logodds(df, w)
+            scored.write.format("noop").mode("overwrite").save()
+            wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+        best = round(best, 2)
+        print(json.dumps({"case": f"quality_fit_score_{data}", "sec": best, "repeats": 2}), flush=True)
+        results[f"quality_fit_score_{data}"] = best
 
     # Markdown summary for PERF.md
     def r(a: str, b: str) -> str:
