@@ -709,3 +709,84 @@ def duplicated_gram_stats(
             (F.col("n_dup_grams") / F.col("n_grams")).alias("dup_fraction"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring span REMOVAL — cut every word ``n``-gram span
+    that occurs ``min_count``+ times in the corpus out of the text
+    (the surgical variant of Lee et al.'s dedup: instead of dropping a
+    document for containing duplicated text, drop just the duplicated
+    spans; :func:`duplicated_gram_stats` measures, this removes).
+
+    Semantics: positional (not distinct) lowercased whitespace
+    ``n``-grams; a gram occurring ``min_count`` or more times in the
+    whole corpus (across documents or repeated within one) marks its
+    ``n`` token positions covered; covered tokens are deleted and the
+    survivors re-joined with single spaces. Overlapping duplicated
+    grams merge naturally (position-set union). Documents shorter
+    than ``n`` tokens are never cut.
+
+    Scale design — text never shuffles:
+    - gram hashing is per-partition projection (arrays_zip of shifted
+      slices, one 60-bit md5 per position);
+    - the only corpus-wide exchanges carry (gram_hash) for the
+      frequency count and (id, position int) pairs for the covered
+      sets — 8-16 bytes/row, map-side combined;
+    - the covered-position array joins back to the ORIGINAL doc row
+      (hash join on the id; only docs that actually contain duplicated
+      spans have a right side), and the cut itself is a native
+      two-arg ``filter`` lambda over the token array — no pandas UDF,
+      no token-level shuffle, whole-stage codegen end to end.
+
+    Output: (id, n_tokens int, n_removed int, cleaned_text) for every
+    input document.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+
+    sz = F.size(F.col("__toks"))
+    zipped = F.arrays_zip(*[F.slice(F.col("__toks"), i + 1, sz) for i in range(n)])
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.slice(zipped, 1, sz - n + 1),
+            lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_grams = base.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    ).select(F.col(id_col), "pos", md5_hash64(F.col("gram")).alias("gram_hash"))
+
+    freq = pos_grams.groupBy("gram_hash").agg(F.count(F.lit(1)).alias("c"))
+    dup_pos = pos_grams.join(
+        freq.filter(F.col("c") >= min_count), "gram_hash"
+    ).select(F.col(id_col), "pos")
+
+    covered = (
+        dup_pos.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("p"),
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("p")).alias("__cov"))
+    )
+
+    joined = base.join(covered, id_col, "left")
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: F.col("__cov").isNull() | ~F.array_contains(F.col("__cov"), i),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        F.coalesce(F.size("__cov"), F.lit(0)).alias("n_removed"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )

@@ -2175,3 +2175,46 @@ def _rollup_incremental(spark, sf_dir):
 
 
 register("rollup_incremental_hourly", _rollup_sql())(_rollup_incremental)
+
+
+# ===========================================================================
+# Exact duplicated-span removal (surgical Lee-et-al dedup) — cut every
+# corpus-duplicated word n-gram span out of the text instead of
+# dropping whole documents. Runs on the dup-injected corpus so spans
+# actually exist at sf0.01; hash-exact end to end (positions are ints,
+# gram identity is the cross-engine md5, and the final cut is the same
+# position-set filter in both engines — note DuckDB's two-arg lambda
+# index is 1-based where Spark's is 0-based, hence the i - 1).
+# ===========================================================================
+
+def _span_removal_sql(n: int = 13, min_count: int = 2) -> str:
+    toks = _toks_sql("lower(text)")
+    gram_hash = md5_hash64_sql(f"array_to_string(t[u.i+1:u.i+{n}], ' ')")
+    return f"""
+    WITH corpus AS ({_DUP_UNION_SQL}),
+    ct AS (SELECT doc_id, {toks} AS t FROM corpus),
+    gr AS (
+      SELECT ct.doc_id, CAST(u.i AS BIGINT) AS pos, {gram_hash} AS gram_hash
+      FROM ct CROSS JOIN UNNEST(range(0, greatest(len(t) - {n - 1}, 0))) u(i)
+    ),
+    freq AS (SELECT gram_hash, COUNT(*) AS c FROM gr GROUP BY 1),
+    dup AS (SELECT doc_id, pos FROM gr JOIN freq USING (gram_hash)
+            WHERE c >= {min_count}),
+    cov AS (SELECT DISTINCT doc_id, pos + v.o AS p
+            FROM dup CROSS JOIN UNNEST(range({n})) v(o)),
+    covs AS (SELECT doc_id, list_sort(list(p)) AS ps FROM cov GROUP BY doc_id)
+    SELECT ct.doc_id,
+           CAST(len(t) AS INT) AS n_tokens,
+           CAST(coalesce(len(ps), 0) AS INT) AS n_removed,
+           coalesce(array_to_string(
+             list_filter(t, (x, i) -> ps IS NULL OR NOT list_contains(ps, i - 1)),
+             ' '), '') AS cleaned_text
+    FROM ct LEFT JOIN covs USING (doc_id)
+    """
+
+
+register("dedup_span_removal", _span_removal_sql())(
+    lambda spark, sf_dir: dedup.remove_duplicated_spans(
+        _dup_union(spark, sf_dir), "text", "doc_id", n=13
+    )
+)

@@ -1,0 +1,89 @@
+"""Duplicated-span removal — semantics, overlap merge, invariance."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from diagnosisextraction_ml_spark.operators.dedup import remove_duplicated_spans
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # docs 1 and 2 share the 3-gram "x y z" (plus doc 1 continues
+        # "z w": overlap of covered [2,5) with gram at pos 2? no —
+        # only "x y z" is duplicated)
+        (1, "a b x y z w q"),
+        (2, "c d x y z e f"),
+        # doc 3 repeats a 3-gram within itself: both occurrences cut
+        (3, "p q r s p q r t"),
+        # doc 4 shorter than n: never cut
+        (4, "x y"),
+        # doc 5 unique text: untouched
+        (5, "one two three four five"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def cleaned(corpus):
+    return {
+        r.doc_id: r
+        for r in remove_duplicated_spans(corpus, n=3, min_count=2).collect()
+    }
+
+
+def test_cross_doc_span_cut(cleaned):
+    # "x y z" at positions 2-4 in both docs
+    assert cleaned[1].cleaned_text == "a b w q"
+    assert cleaned[1].n_removed == 3
+    assert cleaned[2].cleaned_text == "c d e f"
+
+
+def test_within_doc_repeat_cut(cleaned):
+    # "p q r" occurs at pos 0 and 4 -> covered {0,1,2, 4,5,6}
+    assert cleaned[3].cleaned_text == "s t"
+    assert cleaned[3].n_removed == 6
+
+
+def test_short_and_unique_docs_untouched(cleaned):
+    assert cleaned[4].cleaned_text == "x y" and cleaned[4].n_removed == 0
+    assert cleaned[5].cleaned_text == "one two three four five"
+    assert cleaned[5].n_removed == 0
+
+
+def test_overlapping_spans_merge(spark):
+    # "a b c d" in both docs: grams "a b c" and "b c d" both duplicated
+    # -> covered {0,1,2,3}, removed once each, not double-counted
+    df = spark.createDataFrame(
+        [(1, "a b c d x"), (2, "y a b c d")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, n=3).collect()}
+    assert out[1].cleaned_text == "x" and out[1].n_removed == 4
+    assert out[2].cleaned_text == "y" and out[2].n_removed == 4
+
+
+def test_normalization_lowercase_ws(spark):
+    # case-insensitive match, whitespace collapsed in output
+    df = spark.createDataFrame(
+        [(1, "Foo  Bar Baz tail"), (2, "foo bar BAZ other")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, n=3).collect()}
+    assert out[1].cleaned_text == "tail"
+    assert out[2].cleaned_text == "other"
+
+
+def test_partitioning_invariance(spark, corpus):
+    a = sorted(map(tuple, remove_duplicated_spans(corpus.coalesce(1), n=3).collect()))
+    b = sorted(
+        map(tuple, remove_duplicated_spans(corpus.repartition(7), n=3).collect())
+    )
+    assert a == b
+
+
+def test_every_doc_present(spark, corpus, cleaned):
+    assert set(cleaned) == {1, 2, 3, 4, 5}
+    for r in cleaned.values():
+        assert r.n_tokens >= r.n_removed >= 0
