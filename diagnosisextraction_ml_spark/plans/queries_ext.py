@@ -2218,3 +2218,102 @@ register("dedup_span_removal", _span_removal_sql())(
         _dup_union(spark, sf_dir), "text", "doc_id", n=13
     )
 )
+
+
+# ===========================================================================
+# Named corpus filters — Gopher quality rules & C4 line cleaning.
+# Pure single-projection operators; twins are the same closed-form
+# arithmetic (exact int counts, IEEE ratios) in DuckDB.
+# ===========================================================================
+
+def _gopher_sql() -> str:
+    toks = _toks_sql("lower(text)")
+    t = "coalesce(text, '')"
+    sw = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {t} AS t, {_toks_sql(f"lower({t})")} AS toks,
+             list_filter(string_split_regex({t}, '\\n'), l -> trim(l) != '') AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             greatest(len(lines), 1) AS n_lines,
+             list_sum(list_transform(toks, w -> len(w))) AS word_chars,
+             len(t) - len(replace(t, '#', '')) AS n_hash,
+             (len(t) - len(replace(t, '...', ''))) / 3 AS n_ellipsis,
+             len(list_filter(lines, l -> regexp_matches(trim(l), '^[-\\*•]'))) AS bullet_lines,
+             len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS ellipsis_lines,
+             len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+             len(list_filter(toks, w -> list_contains({sw}, w))) AS stop_hits
+      FROM base
+    ),
+    r AS (
+      SELECT doc_id,
+             CAST(n_words AS INT) AS n_words,
+             n_words >= 50 AS ok_min_words,
+             n_words <= 100000 AS ok_max_words,
+             coalesce(word_chars, 0) / greatest(n_words, 1) >= 3.0
+               AND coalesce(word_chars, 0) / greatest(n_words, 1) <= 10.0
+               AS ok_mean_word_len,
+             (n_hash + n_ellipsis) / greatest(n_words, 1) <= 0.1 AS ok_symbol_ratio,
+             bullet_lines / n_lines <= 0.9 AS ok_bullet_lines,
+             ellipsis_lines / n_lines <= 0.3 AS ok_ellipsis_lines,
+             alpha_words / greatest(n_words, 1) >= 0.8 AS ok_alpha_words,
+             stop_hits >= 2 AS ok_stopwords
+      FROM m
+    )
+    SELECT *,
+           ok_min_words AND ok_max_words AND ok_mean_word_len
+             AND ok_symbol_ratio AND ok_bullet_lines AND ok_ellipsis_lines
+             AND ok_alpha_words AND ok_stopwords AS gopher_pass
+    FROM r
+    """
+
+
+def _gopher(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators.corpus_filters import (
+        gopher_quality_flags,
+    )
+
+    out = gopher_quality_flags(_t(spark, sf_dir, "documents"))
+    return out.withColumn("n_words", F.col("n_words").cast("int"))
+
+
+register("filter_gopher_rules", _gopher_sql())(_gopher)
+
+
+def _c4_sql() -> str:
+    t = "coalesce(text, '')"
+    keep = (
+        "(ends_with(trim(l), '.') OR ends_with(trim(l), '!') "
+        "OR ends_with(trim(l), '?') OR ends_with(trim(l), '\"') "
+        "OR ends_with(trim(l), chr(39))) "
+        "AND NOT contains(lower(trim(l)), 'lorem ipsum') "
+        "AND NOT contains(lower(trim(l)), '{') "
+        "AND len(list_filter(string_split_regex(trim(l), '\\s+'), x -> x != '')) >= 3"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex({t}, '\\n'), l -> trim(l) != '') AS lines
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(len(list_filter(lines, l -> {keep})) AS INT) AS n_kept_lines,
+           coalesce(array_to_string(
+             list_transform(list_filter(lines, l -> {keep}), l -> trim(l)),
+             chr(10)), '') AS cleaned_text
+    FROM base
+    """
+
+
+def _c4(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators.corpus_filters import c4_clean_lines
+
+    return c4_clean_lines(_t(spark, sf_dir, "documents"))
+
+
+register("filter_c4_lines", _c4_sql())(_c4)
