@@ -2317,3 +2317,42 @@ def _c4(spark, sf_dir):
 
 
 register("filter_c4_lines", _c4_sql())(_c4)
+
+
+# ===========================================================================
+# Mojibake repair (UTF-8 mis-decoded as windows-1252) — the web-corpus
+# analog of the reference's XML-artefact fix. The corpus is clean, so
+# the entry injects a deterministically garbled sample (derived by the
+# same first-principles encode/decode the repair map comes from) into
+# every document, repairs it, and both engines must land on the same
+# fixed text — hash-exact.
+# ===========================================================================
+
+def _mojibake_entry():
+    from diagnosisextraction_ml_spark.functions.mojibake import (
+        fix_mojibake,
+        fix_mojibake_sql,
+        make_mojibake,
+    )
+
+    clean_sample = "Café naïve “smart quotes” – dash … ‘single’ ß §2 ±3° €5"
+    garbled = make_mojibake(clean_sample)
+    gq = garbled.replace("'", "''")
+    sql = f"""
+    SELECT doc_id,
+           {fix_mojibake_sql(f"concat(coalesce(text, ''), ' ', '{gq}')")}
+             AS fixed_text
+    FROM documents
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        injected = F.concat(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(" "), F.lit(garbled)
+        )
+        return docs.select("doc_id", fix_mojibake(injected).alias("fixed_text"))
+
+    register("text_mojibake_fixed", sql)(_fn)
+
+
+_mojibake_entry()
