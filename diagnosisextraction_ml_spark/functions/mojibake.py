@@ -17,6 +17,13 @@ garble derivation does the same — e.g. "”" (U+201D, bytes E2 80 9D)
 garbles to "â€" + U+009D and is still exactly repairable. Longer
 garbles are replaced first so 3-byte sequences ("â€œ") never get
 half-eaten by a 2-byte rule.
+
+Ambiguity caveat (shared with ftfy): a text that *legitimately*
+contains a garble sequence — someone typed "Ã©" on purpose — is
+indistinguishable from damage and gets "repaired" too. Roundtrip
+``fix(garble(s)) == s`` is therefore promised exactly for inputs that
+are fixed points of the repair map (property-tested in
+tests/test_properties.py).
 """
 
 from __future__ import annotations

@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from diagnosisextraction_ml_spark.functions.stats import t_sf
@@ -80,3 +80,43 @@ def test_greedy_next_fit_bins_characterization(counts, budget):
                 counts[j] for j in range(i) if bins[j] == bins[i - 1]
             )
             assert prev_fill + counts[i] > budget
+
+
+# --- mojibake repair (pure-Python application of the same map the
+# Spark chain applies in the same order) ---
+
+from diagnosisextraction_ml_spark.functions.mojibake import (  # noqa: E402
+    MOJIBAKE_MAP,
+    _REPAIR_TARGETS,
+    make_mojibake,
+)
+
+
+def _apply_map(s: str) -> str:
+    for g, ch in MOJIBAKE_MAP:
+        s = s.replace(g, ch)
+    return s
+
+
+repairable = st.text(
+    alphabet="abc XYZ.,!?" + _REPAIR_TARGETS, min_size=0, max_size=40
+)
+
+
+@given(repairable)
+@settings(max_examples=300, deadline=None)
+def test_mojibake_roundtrip_property(s):
+    # Inherent ambiguity caveat (same as ftfy): a text that itself
+    # contains a garble sequence ("Ã©" typed literally) is
+    # indistinguishable from damage, so roundtrip is only promised for
+    # inputs that are fixed points of the repair map.
+    assume(_apply_map(s) == s)
+    assert _apply_map(make_mojibake(s)) == s
+
+
+@given(st.text(alphabet="abcdefgh 0123456789.,", min_size=0, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_mojibake_ascii_fixed_point(s):
+    # pure-ASCII text garbles to itself and repairs to itself
+    assert make_mojibake(s) == s
+    assert _apply_map(s) == s
