@@ -40,7 +40,8 @@ def profile_columns(
     min/max are cast to string so heterogeneous column types fit one
     long-form schema; numeric consumers re-cast. All counters are
     exact 64-bit ints (``approx=False``) so the relation is
-    engine-reproducible.
+    engine-reproducible. ``cols`` must be simple top-level names (they
+    are reused as struct-field aliases).
     """
     cols = list(cols)
     distinct = (
@@ -87,9 +88,15 @@ def check_expectations(
     ``rules`` maps rule name → boolean Column that should hold for
     every row. Output: (rule, n_rows, n_violations, pass) — a rule
     with null predicate result counts as a violation (nulls are
-    exactly the rows one forgot to think about).
+    exactly the rows one forgot to think about). Rule names become
+    intermediate column aliases, so the output-schema names are
+    reserved.
     """
     names = list(rules)
+    reserved = {"__n", "rule", "n_rows", "n_violations", "pass"}
+    bad = reserved.intersection(names)
+    if bad:
+        raise ValueError(f"reserved rule names: {sorted(bad)}")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name in names:
         ok = F.coalesce(rules[name].cast("boolean"), F.lit(False))

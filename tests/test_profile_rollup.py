@@ -111,3 +111,11 @@ def test_rollup_sums_are_exact_decimal(spark, ev):
     assert dict(out.dtypes)["sum_value"] == "decimal(30,6)"
     row = out.filter((F.col("et") == "t0")).orderBy("window_start").first()
     assert isinstance(row.sum_value, Decimal)
+
+
+def test_expectations_reserved_names(spark, tbl):
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="reserved"):
+        check_expectations(tbl, {"n_rows": F.col("k") > 0})
