@@ -119,3 +119,117 @@ def cms_estimate(
         joined.groupBy(*others)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+# ===========================================================================
+# HyperLogLog — mergeable distinct-count sketch (Flajolet et al. 2007).
+#
+# The second classic corpus-scale sketch beside count-min: estimate the
+# number of DISTINCT keys per group in one pass with 2^p fixed-size
+# registers per group, no matter how many rows or how many distinct
+# values. Like the CMS, the register table is a commutative monoid
+# (merge = element-wise max), so ``groupBy(group, reg).max(rho)``
+# builds it with map-side combine and the Exchange carries at most
+# ``groups × 2^p`` rows regardless of input size — the exact
+# ``count(distinct key)`` twin must shuffle every distinct key.
+#
+# Determinism: the key hash is the engine's md5_hash64 (60 bits), so
+# register index, rank, and the final estimate are bit-identical in
+# Spark and the DuckDB oracle. The rank (position of the lowest-order
+# set... highest set bit) is computed from exact integer arithmetic:
+# ``floor(log2(w))`` corrected by two pow-of-2 comparisons so a 1-ulp
+# libm wobble at exact powers of two cannot shift the bucket.
+# ===========================================================================
+
+HLL_P = 9
+HLL_M = 512  # 2^HLL_P registers
+_HLL_W_BITS = 60 - HLL_P  # remaining hash bits feeding the rank
+_HLL_RHO_MAX = _HLL_W_BITS + 1  # rank when w == 0
+_POW2_52 = 4503599627370496  # 2^52, exact in double and BIGINT
+
+
+def _bitlen_exact(w: Column) -> Column:
+    """floor(log2(w)) + 1 for w > 0, with ulp-proof correction.
+
+    ``log2`` is correctly rounded to double, which is exact enough to
+    land within ±1 of the true floor; the two pow-of-2 comparisons
+    (exact for exponents ≤ 51) pin it. Same three-step dance in the
+    oracle SQL → identical integers in both engines.
+    """
+    b = F.floor(F.log2(w.cast("double"))).cast("long")
+    b = F.when(F.pow(F.lit(2.0), b.cast("double")) > w, b - 1).otherwise(b)
+    b = F.when(F.pow(F.lit(2.0), (b + 1).cast("double")) <= w, b + 1).otherwise(b)
+    return b + 1
+
+
+def hll_registers(
+    df: DataFrame, key: Column, group_cols: list[str]
+) -> DataFrame:
+    """One-pass register table: (group..., hll_reg, rho_max).
+
+    ``key`` must be a string column/expression. Output is ≤
+    ``|groups| × HLL_M`` rows with map-side combine — constant shuffle
+    volume per group at any input size.
+    """
+    h = md5_hash64(key)
+    reg = (F.col("_hll_h") % F.lit(HLL_M)).alias("hll_reg")
+    w = F.expr(f"_hll_h DIV {HLL_M}")
+    # rank = leading zeros of the 51-bit w, plus one = 52 - bitlen(w).
+    # greatest(w, 1) keeps log2's argument positive on the w = 0 rows the
+    # WHEN discards — mirrored in the oracle SQL, where log2(0) raises.
+    rho = (
+        F.when(w == 0, F.lit(_HLL_RHO_MAX))
+        .otherwise(F.lit(_HLL_RHO_MAX) - _bitlen_exact(F.greatest(w, F.lit(1))))
+    ).alias("rho")
+    return (
+        df.select(*group_cols, h.alias("_hll_h"))
+        .select(*group_cols, reg, rho)
+        .groupBy(*group_cols, "hll_reg")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Collapse a register table to (group..., hll_est bigint).
+
+    The harmonic sum Σ 2^-M_j is carried as the EXACT integer
+    Σ 2^(52-M_j) (every term a dyadic rational over the common
+    denominator 2^52; ≤ 512·2^52 < 2^62 — no overflow, no float
+    accumulation order to worry about). Registers never hit contribute
+    2^52 each. One float multiply-divide chain at the end is written
+    identically on both engines; the small-range (linear counting)
+    correction applies below 2.5·m when empty registers remain.
+    """
+    alpha = 0.7213 / (1.0 + 1.079 / float(HLL_M))
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(52) - F.col("rho_max")).cast("double")).cast(
+                "long"
+            )
+        ).alias("s2_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    v0 = F.lit(HLL_M) - F.col("n_regs")
+    s2_tot = (F.col("s2_present") + v0 * F.lit(_POW2_52)).cast("double")
+    e_raw = (
+        F.lit(alpha * HLL_M * HLL_M) * F.lit(float(_POW2_52)) / s2_tot
+    )
+    # greatest(v0, 1): the branch is only selected when v0 > 0, but both
+    # engines evaluate eagerly and DuckDB raises on ln of a division by 0.
+    e_lc = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / F.greatest(v0, F.lit(1)).cast("double")
+    )
+    est = (
+        F.when((e_raw <= F.lit(2.5 * HLL_M)) & (v0 > 0), F.round(e_lc, 0))
+        .otherwise(F.round(e_raw, 0))
+        .cast("long")
+        .alias("hll_est")
+    )
+    return agg.select(*group_cols, est)
+
+
+def hll_distinct(
+    df: DataFrame, key: Column, group_cols: list[str]
+) -> DataFrame:
+    """(group..., hll_est) — approximate COUNT(DISTINCT key) per group."""
+    return hll_estimate(hll_registers(df, key, group_cols), group_cols)

@@ -2356,3 +2356,85 @@ def _mojibake_entry():
 
 
 _mojibake_entry()
+
+
+# ===========================================================================
+# HyperLogLog distinct sketch — approximate COUNT(DISTINCT) per group.
+#
+# The oracle rebuilds the bit-identical register table from the same
+# md5 hash and replays the exact-integer harmonic sum, so the estimate
+# (an approximation of the TRUE distinct count) is itself hash-exact
+# across engines. The exact count rides along to make the accuracy
+# visible in the result.
+# ===========================================================================
+
+def _hll_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import sketch
+
+    m = sketch.HLL_M
+    rho_max = sketch._HLL_RHO_MAX
+    pow52 = sketch._POW2_52
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    a_m2 = repr(alpha * m * m)
+    hv = md5_hash64_sql("CAST(user_id AS VARCHAR)")
+    b0 = "CAST(floor(log2(CAST(greatest(w, 1) AS DOUBLE))) AS BIGINT)"
+    # CAST ... AS DOUBLE: DuckDB parses decimal-point literals as
+    # DECIMAL, whose multiplication overflows; the cast recovers the
+    # exact double the Spark side uses via F.lit(float).
+    e_raw = (
+        f"(CAST({a_m2} AS DOUBLE) * CAST({float(pow52)!r} AS DOUBLE) / "
+        f"CAST(s2_present + ({m} - n_regs) * CAST({pow52} AS BIGINT) AS DOUBLE))"
+    )
+    e_lc = (
+        f"round({float(m)!r} * ln({float(m)!r} / "
+        f"CAST(greatest({m} - n_regs, 1) AS DOUBLE)), 0)"
+    )
+    sql = f"""
+    WITH h AS (
+      SELECT event_type, {hv} AS hv FROM events
+    ), r AS (
+      SELECT event_type, hv % {m} AS reg, hv // {m} AS w FROM h
+    ), rk AS (
+      SELECT event_type, reg,
+        CASE WHEN w = 0 THEN {rho_max}
+             ELSE {rho_max} - ({b0}
+               - CASE WHEN pow(2.0, CAST({b0} AS DOUBLE)) > w THEN 1 ELSE 0 END
+               + CASE WHEN pow(2.0, CAST({b0} + 1 AS DOUBLE)) <= w THEN 1 ELSE 0 END
+               + 1)
+        END AS rho
+      FROM r
+    ), regs AS (
+      SELECT event_type, reg, MAX(rho) AS rho_max FROM rk GROUP BY 1, 2
+    ), agg AS (
+      SELECT event_type,
+             SUM(CAST(pow(2.0, 52 - rho_max) AS BIGINT)) AS s2_present,
+             COUNT(*) AS n_regs
+      FROM regs GROUP BY 1
+    ), est AS (
+      SELECT event_type,
+        CAST(CASE WHEN {e_raw} <= {2.5 * m!r} AND ({m} - n_regs) > 0
+                  THEN {e_lc} ELSE round({e_raw}, 0) END AS BIGINT) AS hll_est
+      FROM agg
+    )
+    SELECT x.event_type, x.exact_distinct, est.hll_est
+    FROM (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY 1) x
+    JOIN est USING (event_type)
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        est = sketch.hll_distinct(
+            ev, F.col("user_id").cast("string"), ["event_type"]
+        )
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_distinct")
+        )
+        return exact.join(est, "event_type").select(
+            "event_type", "exact_distinct", "hll_est"
+        )
+
+    register("sketch_hll_distinct", sql)(_fn)
+
+
+_hll_entry()

@@ -94,3 +94,66 @@ def test_cms_estimate_unseen_token_is_zero_or_collision(spark, corpus):
     [r] = sketch.cms_estimate(sk, cand).collect()
     # true count 0; estimate is >= 0 and only > 0 under cell collision
     assert r.cms_est >= 0
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # group 'small': 40 distinct keys (linear-counting branch);
+    # group 'large': 5000 distinct keys (raw-estimate branch);
+    # duplicates included to prove estimate depends on the SET only.
+    rows = [("small", f"s{i % 40}") for i in range(200)]
+    rows += [("large", f"l{i}") for i in range(5000)]
+    return spark.createDataFrame(rows, "g string, k string")
+
+
+def test_hll_accuracy_both_branches(spark, keyed):
+    est = {
+        r.g: r.hll_est
+        for r in sketch.hll_distinct(keyed, F.col("k"), ["g"]).collect()
+    }
+    # m=512 registers → ~1.04/sqrt(512) ≈ 4.6% std error; allow 3 sigma.
+    assert abs(est["small"] - 40) / 40 < 0.15
+    assert abs(est["large"] - 5000) / 5000 < 0.15
+
+
+def test_hll_duplicates_are_free(spark, keyed):
+    once = keyed.dropDuplicates(["g", "k"])
+    a = sorted(sketch.hll_distinct(keyed, F.col("k"), ["g"]).collect())
+    b = sorted(sketch.hll_distinct(once, F.col("k"), ["g"]).collect())
+    assert a == b
+
+
+def test_hll_register_merge_is_union(spark, keyed):
+    """Monoid law: max-merge of two halves' registers == whole's registers."""
+    left = keyed.filter(F.length("k") <= 2)
+    right = keyed.filter(F.length("k") > 2)
+    whole = sketch.hll_registers(keyed, F.col("k"), ["g"])
+    merged = (
+        sketch.hll_registers(left, F.col("k"), ["g"])
+        .unionByName(sketch.hll_registers(right, F.col("k"), ["g"]))
+        .groupBy("g", "hll_reg")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_hll_rho_exact_on_crafted_hashes(spark):
+    """The ulp-corrected bitlen must be exact at powers of two."""
+    # Build rows whose md5 hash we don't control — instead check the
+    # bitlen helper directly over every power of two in the w range.
+    df = spark.range(0, 51).select(
+        F.col("id").alias("e"),
+        F.pow(F.lit(2.0), F.col("id").cast("double")).cast("long").alias("w"),
+    )
+    got = df.select(
+        "e", (sketch._bitlen_exact(F.col("w")) - 1).alias("b")
+    ).collect()
+    for r in got:
+        assert r.b == r.e, r
