@@ -233,3 +233,81 @@ def hll_distinct(
 ) -> DataFrame:
     """(group..., hll_est) — approximate COUNT(DISTINCT key) per group."""
     return hll_estimate(hll_registers(df, key, group_cols), group_cols)
+
+
+# ===========================================================================
+# Bloom filter — mergeable set-membership sketch (Bloom 1970).
+#
+# The day-2 dedup primitive: build a fixed-size bit array over a
+# corpus's content fingerprints once, then probe each incoming batch
+# against it with NO join against the corpus itself. "No" answers are
+# certain (zero false negatives); "maybe" answers are confirmed by the
+# exact incremental-dedup path — so the bloom acts as a cheap prefilter
+# that lets the overwhelmingly-new majority of a batch skip the
+# anti-join entirely.
+#
+# Scale shape: the filter is ``BLOOM_BITS/32`` packed words built by
+# ``groupBy(word).agg(bit_or(mask))`` — a commutative monoid (merge =
+# bitwise OR), map-side combined, constant shuffle volume at any corpus
+# size, and small enough to broadcast to every probe task. Bit
+# positions come from md5 (functions/hashing.py), so the DuckDB oracle
+# constructs the bit-identical filter.
+#
+# 32-bit words (not 64): masks stay in [1, 2^31] — positive in BIGINT
+# on both engines, so no sign-bit/overflow divergence to reason about.
+# ===========================================================================
+
+BLOOM_BITS = 65536  # m: power of two, 2 KiB packed
+BLOOM_K = 7  # hash functions; FPR ≈ (1 - e^{-kn/m})^k
+_BLOOM_WORD = 32
+
+
+def _bloom_cells(key: Column) -> Column:
+    """Array of BLOOM_K (word, mask) structs for ``key``."""
+    cells = []
+    for i in range(BLOOM_K):
+        pos = md5_hash64(F.concat(F.lit(f"{i}:"), key)) % F.lit(BLOOM_BITS)
+        cells.append(
+            F.struct(
+                (pos / F.lit(_BLOOM_WORD)).cast("long").alias("bloom_word"),
+                F.pow(F.lit(2.0), (pos % F.lit(_BLOOM_WORD)).cast("double"))
+                .cast("long")
+                .alias("mask"),
+            )
+        )
+    return F.array(*cells)
+
+
+def bloom_build(df: DataFrame, key: Column) -> DataFrame:
+    """(bloom_word, bloom_bits) — ≤ BLOOM_BITS/32 rows, OR-mergeable."""
+    return (
+        df.select(F.explode(_bloom_cells(key)).alias("c"))
+        .groupBy(F.col("c.bloom_word").alias("bloom_word"))
+        .agg(F.bit_or(F.col("c.mask")).alias("bloom_bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame, bloom: DataFrame, key: Column, out_col: str = "bloom_maybe"
+) -> DataFrame:
+    """df + ``out_col`` boolean: False = certainly absent, True = maybe.
+
+    Each row expands to its BLOOM_K cells, left-joins the broadcast
+    filter on the word index, and ANDs the per-cell bit tests back
+    together — one narrow broadcast join, no shuffle of ``df`` beyond
+    the groupBy on its own columns.
+    """
+    cols = df.columns
+    expanded = df.select(
+        "*", F.explode(_bloom_cells(key)).alias("c")
+    ).select(
+        *cols,
+        F.col("c.bloom_word").alias("bloom_word"),
+        F.col("c.mask").alias("mask"),
+    )
+    joined = expanded.join(F.broadcast(bloom), ["bloom_word"], "left")
+    hit = (
+        F.coalesce(F.col("bloom_bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+        == F.col("mask")
+    )
+    return joined.groupBy(*cols).agg(F.bool_and(hit).alias(out_col))

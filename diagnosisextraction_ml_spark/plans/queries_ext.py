@@ -2438,3 +2438,82 @@ def _hll_entry() -> None:
 
 
 _hll_entry()
+
+
+# ===========================================================================
+# Bloom-filter membership probe — day-2 dedup prefilter.
+#
+# Build the filter over every document fingerprint, then probe a
+# synthetic day-2 batch containing each fifth document twice: once
+# verbatim (a re-crawl — MUST come back maybe=true, blooms have no
+# false negatives) and once with a novel suffix (fresh content —
+# comes back false unless it false-positives, ~1e-8 at n=500/m=65536/
+# k=7). The oracle rebuilds the bit-identical filter with the same md5
+# positions, so even a false positive would match cross-engine.
+# ===========================================================================
+
+def _bloom_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import sketch
+
+    m_bits = sketch.BLOOM_BITS
+    k = sketch.BLOOM_K
+    word = sketch._BLOOM_WORD
+    pos = md5_hash64_sql("concat(CAST(i AS VARCHAR), ':', fp)")
+    sql = f"""
+    WITH corpus AS (
+      SELECT md5(coalesce(text, '')) AS fp FROM documents
+    ), build_pos AS (
+      SELECT ({pos}) % {m_bits} AS p
+      FROM corpus CROSS JOIN range({k}) t(i)
+    ), words AS (
+      SELECT p // {word} AS bloom_word,
+             bit_or(CAST(pow(2.0, p % {word}) AS BIGINT)) AS bloom_bits
+      FROM build_pos GROUP BY 1
+    ), batch AS (
+      SELECT doc_id, 'recrawl' AS kind, md5(coalesce(text, '')) AS fp
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, 'novel' AS kind,
+             md5(concat(coalesce(text, ''), ' v2-', CAST(doc_id AS VARCHAR)))
+      FROM documents WHERE doc_id % 5 = 0
+    ), probe_pos AS (
+      SELECT doc_id, kind, fp, ({pos}) % {m_bits} AS p
+      FROM batch CROSS JOIN range({k}) t(i)
+    ), checks AS (
+      SELECT doc_id, kind,
+             (coalesce(w.bloom_bits, 0) & CAST(pow(2.0, p % {word}) AS BIGINT))
+               = CAST(pow(2.0, p % {word}) AS BIGINT) AS hit
+      FROM probe_pos LEFT JOIN words w ON w.bloom_word = p // {word}
+    )
+    SELECT doc_id, kind, bool_and(hit) AS bloom_maybe
+    FROM checks GROUP BY doc_id, kind
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+        bloom = sketch.bloom_build(docs, fp)
+        fifth = docs.filter(F.col("doc_id") % 5 == 0)
+        batch = fifth.select(
+            "doc_id", F.lit("recrawl").alias("kind"), fp.alias("fp")
+        ).unionByName(
+            fifth.select(
+                "doc_id",
+                F.lit("novel").alias("kind"),
+                F.md5(
+                    F.concat(
+                        F.coalesce(F.col("text"), F.lit("")),
+                        F.lit(" v2-"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ).alias("fp"),
+            )
+        )
+        return sketch.bloom_probe(batch, bloom, F.col("fp")).select(
+            "doc_id", "kind", "bloom_maybe"
+        )
+
+    register("sketch_bloom_probe", sql)(_fn)
+
+
+_bloom_entry()

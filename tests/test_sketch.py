@@ -157,3 +157,54 @@ def test_hll_rho_exact_on_crafted_hashes(spark):
     ).collect()
     for r in got:
         assert r.b == r.e, r
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def members(spark):
+    return spark.range(0, 2000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+
+
+def test_bloom_no_false_negatives(spark, members):
+    bloom = sketch.bloom_build(members, F.col("k"))
+    probed = sketch.bloom_probe(members, bloom, F.col("k")).collect()
+    assert len(probed) == 2000
+    assert all(r.bloom_maybe for r in probed)
+
+
+def test_bloom_fpr_sane(spark, members):
+    bloom = sketch.bloom_build(members, F.col("k"))
+    novel = spark.range(0, 2000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("k")
+    )
+    probed = sketch.bloom_probe(novel, bloom, F.col("k")).collect()
+    fp = sum(1 for r in probed if r.bloom_maybe)
+    # n=2000, m=65536, k=7 → theoretical FPR ≈ 2.8e-4; allow 1%.
+    assert fp <= 20, fp
+
+
+def test_bloom_or_merge_is_union(spark, members):
+    """Monoid law: bitwise-OR merge of two halves == bloom of the union."""
+    left = members.filter(F.col("k") < "key-1")
+    right = members.filter(F.col("k") >= "key-1")
+    whole = sketch.bloom_build(members, F.col("k"))
+    merged = (
+        sketch.bloom_build(left, F.col("k"))
+        .unionByName(sketch.bloom_build(right, F.col("k")))
+        .groupBy("bloom_word")
+        .agg(F.bit_or("bloom_bits").alias("bloom_bits"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_bloom_filter_is_small(spark, members):
+    bloom = sketch.bloom_build(members, F.col("k"))
+    assert bloom.count() <= sketch.BLOOM_BITS // 32
