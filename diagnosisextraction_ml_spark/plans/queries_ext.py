@@ -2517,3 +2517,84 @@ def _bloom_entry() -> None:
 
 
 _bloom_entry()
+
+
+# ===========================================================================
+# BM25 retrieval — top-k documents per query over the inverted index.
+#
+# idf goes to integer micro-nats straight out of ln; each term's score
+# is a single exactly-rounded double chain (same association order in
+# both engines) rounded to integer micro-units; per-doc sums are then
+# integer-exact. Ties carry (score desc, doc_id asc).
+# ===========================================================================
+
+_BM25_QUERIES = [
+    ("q1", "join"),
+    ("q1", "hash"),
+    ("q1", "agg"),
+    ("q2", "stream"),
+    ("q2", "window"),
+    ("q2", "slow"),
+    ("q3", "customer"),
+    ("q3", "order"),
+    ("q3", "value"),
+]
+
+
+def _bm25_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import search
+
+    k1, b = search.BM25_K1, search.BM25_B
+
+    def dbl(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    toks = _toks_sql("coalesce(lower(text), '')")
+    qvals = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+    sql = f"""
+    WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+    postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+    qt(query_id, term) AS (VALUES {qvals}),
+    idf AS (
+      SELECT query_id, qt.term,
+        CAST(round(CAST(1000000.0 AS DOUBLE) * ln(
+          (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + {dbl(0.5)})
+          / (CAST(df AS DOUBLE) + {dbl(0.5)}) + {dbl(1.0)}), 0) AS BIGINT)
+          AS idf_micro
+      FROM qt JOIN dfreq ON dfreq.term = qt.term CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT query_id, p.doc_id,
+        CAST(round(
+          (CAST(idf_micro AS DOUBLE)
+             * (CAST(tf AS DOUBLE) * {dbl(1.0 + k1)}))
+          / (CAST(tf AS DOUBLE) + {dbl(k1)} * ({dbl(1.0 - b)}
+               + {dbl(b)} * (CAST(d.dl AS DOUBLE)
+                   / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        , 0) AS BIGINT) AS s
+      FROM postings p
+      JOIN idf ON idf.term = p.term
+      JOIN dl d ON d.doc_id = p.doc_id
+      CROSS JOIN stats
+    ),
+    agg AS (SELECT query_id, doc_id, SUM(s) AS score_micro
+            FROM scored GROUP BY 1, 2)
+    SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, score_micro
+    FROM (SELECT query_id, doc_id, score_micro,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_micro DESC, doc_id) AS rnk
+          FROM agg) r
+    WHERE rnk <= 10
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return search.bm25_topk(docs, _BM25_QUERIES, k=10)
+
+    register("search_bm25_topk", sql)(_fn)
+
+
+_bm25_entry()
