@@ -1,0 +1,163 @@
+"""Language identification — trained char-n-gram Naive Bayes as algebra.
+
+North-star extension (the reference corpus is monolingual Dutch; a
+training-data pipeline needs per-document language ID before any
+language-specific filter). This is the classic fastText/CLD-family
+recipe reduced to its relational core: character trigram profiles per
+language, add-one-smoothed multinomial scoring, argmax over languages.
+Like the quality classifier (operators/quality_model.py) it trains AND
+scores as pure DataFrame algebra with integer micro-nat weights, so
+the DuckDB oracle replays both phases hash-exactly.
+
+Decomposition (B = hash buckets, L = languages):
+
+- **Train** (one labeled-corpus pass): explode char trigrams →
+  ``C(lang, bucket)`` counts (≤ L·B rows, map-side combined) and
+  per-language totals ``T(lang)``. Weights: ``lp(lang,b) =
+  ln((C+1)/(T+B))``; stored as the *delta* against the unseen-bucket
+  floor ``lp0(lang) = ln(1/(T+B))`` so scoring never needs the dense
+  L×B matrix — absent (lang, bucket) pairs contribute exactly 0.
+- **Score**: ``score(doc, lang) = n_tri(doc)·lp0(lang) + Σ_b
+  n_b·(lp(lang,b) − lp0(lang))`` — algebraically identical to the full
+  multinomial log-likelihood. The Σ term is an inner join of the
+  document's bucket counts against the sparse model (broadcast — the
+  model is ≤ L·B rows by construction, independent of corpus size);
+  the base term is a broadcast join against the L-row totals table on
+  a constant key (equi-join, not a cartesian). Argmax is a
+  row_number window partitioned by document, ties broken lang-asc.
+- **Integer-exact**: micro-nat weights are integers the moment they
+  leave ``ln``; every score is then integer arithmetic — identical in
+  any accumulation order and across engines.
+
+At 100 TB: the model is fixed-size whatever the corpus; scoring is one
+broadcast join + one groupBy(doc, lang) shuffle whose width is L× the
+document count of *matched* buckets. Documents with no trigrams (len
+< n) are unclassifiable and drop out — the composed pipelines treat
+absence as "unknown".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from diagnosisextraction_ml_spark.functions.hashing import md5_hash64
+
+LANGID_N = 3
+LANGID_BUCKETS = 4096
+
+
+def _grams_expr(n: int = LANGID_N) -> Column:
+    """All char n-grams of the projected ``_lid_t`` column.
+
+    The CASE guard matters: Spark's ``sequence(1, 0)`` counts *down*
+    ([1, 0]), so short texts must never reach the transform. The
+    oracle SQL carries the same guard (DuckDB's range would just be
+    empty, but the branches stay mirrored).
+    """
+    return F.expr(
+        f"CASE WHEN length(_lid_t) >= {n} THEN "
+        f"transform(sequence(1, length(_lid_t) - {n - 1}),"
+        f" i -> substring(_lid_t, i, {n})) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def _bucket_counts(
+    df: DataFrame, text_col: str, keys: list[str], n_buckets: int
+) -> DataFrame:
+    """(keys..., lid_bucket, nb) — trigram bucket multiplicities."""
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        df.select(*keys, t.alias("_lid_t"))
+        .select(*keys, F.explode(_grams_expr()).alias("g"))
+        .select(*keys, (md5_hash64(F.col("g")) % F.lit(n_buckets)).alias("lid_bucket"))
+        .groupBy(*keys, "lid_bucket")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+
+
+def _lp_micro(num: Column, den: Column) -> Column:
+    """round(1e6 · ln(num/den)) as long — the engine's micro-nat quantum."""
+    return F.round(F.lit(1_000_000.0) * F.log(num / den), 0).cast("long")
+
+
+def fit_langid(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    n_buckets: int = LANGID_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """(model, base): sparse per-(lang, bucket) deltas + per-lang floor.
+
+    model: (lang, lid_bucket, adj_micro) where adj_micro =
+    lp(lang,b) − lp0(lang) ≥ 0; base: (lang, lp0_micro).
+    """
+    cb = _bucket_counts(df, text_col, [label_col], n_buckets).withColumnRenamed(
+        "nb", "c"
+    )
+    tot = cb.groupBy(label_col).agg(F.sum("c").alias("t"))
+    den = F.col("t").cast("double") + F.lit(float(n_buckets))
+    base = tot.select(
+        label_col, _lp_micro(F.lit(1.0), den).alias("lp0_micro")
+    )
+    model = (
+        cb.join(tot, [label_col])
+        .select(
+            label_col,
+            "lid_bucket",
+            (
+                _lp_micro(F.col("c").cast("double") + F.lit(1.0), den)
+                - _lp_micro(F.lit(1.0), den)
+            ).alias("adj_micro"),
+        )
+    )
+    return model, base
+
+
+def score_langid(
+    df: DataFrame,
+    model: DataFrame,
+    base: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    n_buckets: int = LANGID_BUCKETS,
+) -> DataFrame:
+    """(id, pred_lang, score_micro) — argmax language per document.
+
+    Documents with no char n-grams drop out (unclassifiable).
+    """
+    dg = _bucket_counts(df, text_col, [id_col], n_buckets)
+    ntri = dg.groupBy(id_col).agg(F.sum("nb").alias("n_tri"))
+    adj = (
+        dg.join(F.broadcast(model), ["lid_bucket"])
+        .groupBy(id_col, label_col)
+        .agg(F.sum(F.col("nb") * F.col("adj_micro")).alias("adj_sum"))
+    )
+    one = F.lit(1).alias("j")
+    scores = (
+        ntri.select("*", one)
+        .join(F.broadcast(base.select("*", one)), ["j"])
+        .join(adj, [id_col, label_col], "left")
+        .select(
+            id_col,
+            label_col,
+            (
+                F.col("n_tri") * F.col("lp0_micro")
+                + F.coalesce(F.col("adj_sum"), F.lit(0))
+            ).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc(label_col)
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            F.col(label_col).alias("pred_lang"),
+            "score_micro",
+        )
+    )

@@ -2598,3 +2598,95 @@ def _bm25_entry() -> None:
 
 
 _bm25_entry()
+
+
+# ===========================================================================
+# Language-ID: char-trigram Naive Bayes, trained AND scored in-query.
+#
+# Train on the 4/5 of documents with doc_id % 5 != 0 (labels from the
+# lang column), predict the held-out fifth. The oracle replays both
+# phases — counts, micro-nat weights, sparse-delta scoring, argmax —
+# so the prediction table is hash-exact. (The synthetic corpus's text
+# does not actually vary by lang, so accuracy here is chance; the unit
+# tests prove discrimination on a fixture with real per-language
+# character distributions. This entry pins the cross-engine algebra.)
+# ===========================================================================
+
+def _langid_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import langid
+
+    nb = langid.LANGID_BUCKETS
+    n = langid.LANGID_N
+    grams = (
+        f"CASE WHEN length(t) >= {n} THEN "
+        f"list_transform(range(1, length(t) - {n - 2}), i -> substr(t, i, {n})) "
+        f"ELSE [] END"
+    )
+    bkt = md5_hash64_sql("g") + f" % {nb}"
+    lp0 = (
+        f"CAST(round(CAST(1000000.0 AS DOUBLE) * "
+        f"ln(CAST(1.0 AS DOUBLE) / (CAST(t AS DOUBLE) + CAST({float(nb)!r} AS DOUBLE))), 0) AS BIGINT)"
+    )
+    lpc = (
+        f"CAST(round(CAST(1000000.0 AS DOUBLE) * "
+        f"ln((CAST(c AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(t AS DOUBLE) + CAST({float(nb)!r} AS DOUBLE))), 0) AS BIGINT)"
+    )
+    sql = f"""
+    WITH train AS (
+      SELECT lang, lower(coalesce(text, '')) AS t FROM documents
+      WHERE doc_id % 5 <> 0
+    ), tg AS (
+      SELECT lang, unnest({grams}) AS g FROM train
+    ), cb AS (
+      SELECT lang, {bkt} AS b, COUNT(*) AS c FROM tg GROUP BY 1, 2
+    ), tot AS (
+      SELECT lang, SUM(c) AS t FROM cb GROUP BY 1
+    ), base AS (
+      SELECT lang, {lp0} AS lp0_micro FROM tot
+    ), model AS (
+      SELECT cb.lang, b, ({lpc}) - ({lp0}) AS adj_micro
+      FROM cb JOIN tot ON tot.lang = cb.lang
+    ), test AS (
+      SELECT doc_id, lang AS true_lang, lower(coalesce(text, '')) AS t
+      FROM documents WHERE doc_id % 5 = 0
+    ), dgrams AS (
+      SELECT doc_id, unnest({grams}) AS g FROM test
+    ), dg AS (
+      SELECT doc_id, {bkt} AS b, COUNT(*) AS nb FROM dgrams GROUP BY 1, 2
+    ), ntri AS (
+      SELECT doc_id, SUM(nb) AS n_tri FROM dg GROUP BY 1
+    ), adj AS (
+      SELECT doc_id, model.lang, SUM(nb * adj_micro) AS adj_sum
+      FROM dg JOIN model ON model.b = dg.b GROUP BY 1, 2
+    ), scores AS (
+      SELECT ntri.doc_id, base.lang,
+             ntri.n_tri * base.lp0_micro + coalesce(adj.adj_sum, 0) AS score_micro
+      FROM ntri CROSS JOIN base
+      LEFT JOIN adj ON adj.doc_id = ntri.doc_id AND adj.lang = base.lang
+    ), pred AS (
+      SELECT doc_id, lang, score_micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_micro DESC, lang) AS rn
+      FROM scores
+    )
+    SELECT test.doc_id, test.true_lang, pred.lang AS pred_lang,
+           pred.score_micro
+    FROM test JOIN pred ON pred.doc_id = test.doc_id AND rn = 1
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        train = docs.filter(F.col("doc_id") % 5 != 0)
+        test = docs.filter(F.col("doc_id") % 5 == 0)
+        model, base = langid.fit_langid(train)
+        preds = langid.score_langid(test, model, base)
+        return test.select(
+            "doc_id", F.col("lang").alias("true_lang")
+        ).join(preds, ["doc_id"]).select(
+            "doc_id", "true_lang", "pred_lang", "score_micro"
+        )
+
+    register("langid_char_ngram", sql)(_fn)
+
+
+_langid_entry()
