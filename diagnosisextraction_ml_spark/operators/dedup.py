@@ -790,3 +790,73 @@ def remove_duplicated_spans(
         F.coalesce(F.size("__cov"), F.lit(0)).alias("n_removed"),
         F.array_join(kept, " ").alias("cleaned_text"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-cluster semantic dedup.
+
+    Exact near-duplicate removal compares *surface* fingerprints; this
+    removes *semantic* duplicates — documents whose embeddings are
+    nearly parallel even when their text differs. The SemDeDup recipe:
+    k-means-cluster the embeddings, then inside each cluster mark every
+    item whose cosine to some LOWER-id cluster-mate reaches ``tau``
+    (the lowest id of each semantic group survives — same canonical-
+    keep rule as the exact-dedup path).
+
+    Plan shape: clustering is the deterministic
+    :func:`~.similarity.kmeans_centroids` (broadcast centroid
+    literals, one shuffle per Lloyd iteration); the within-cluster
+    comparison is an equi-join on the cluster id — never a crossJoin —
+    so the pair count is Σ n_c², the SemDeDup cost model. At 100 TB,
+    ``k`` scales with the corpus (n/1000-ish) to keep clusters
+    bounded, exactly as the paper prescribes; the id-ordered predicate
+    halves the join fan-out, and only (id, vec, cluster) triples ever
+    shuffle.
+
+    Determinism: cosine rounded to 1e-6 *before* the threshold
+    comparison, so the kept-set is bit-identical cross-engine (the
+    dedup_semantic oracle replays clustering AND the pair scan).
+
+    Output: (id, cluster, is_dup) — one row per input embedding.
+    """
+    from diagnosisextraction_ml_spark.operators.similarity import (
+        cosine_expr,
+        kmeans_centroids,
+        nearest_centroid_expr,
+    )
+
+    cents = kmeans_centroids(emb, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        nearest_centroid_expr(F.col(vec_col), cents).alias("cluster"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__a_id"), F.col(vec_col).alias("__a_v"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__b_id"), F.col(vec_col).alias("__b_v"), "cluster"
+    )
+    dup = (
+        a.join(b, ["cluster"])
+        .filter(F.col("__a_id") > F.col("__b_id"))
+        .filter(
+            F.round(cosine_expr(F.col("__a_v"), F.col("__b_v")), 6)
+            >= F.lit(tau)
+        )
+        .select(F.col("__a_id").alias(id_col))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return assigned.join(dup, [id_col], "left").select(
+        F.col(id_col),
+        "cluster",
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+    )

@@ -866,16 +866,17 @@ def _sim_ivf_assign(spark, sf_dir):
     )
 
 
-def _ivf_sql(k: int = 8, iters: int = 2) -> str:
-    """DuckDB twin of the *iterative* k-means IVF pipeline, unrolled.
+def _kmeans_assign_cte(k: int = 8, iters: int = 2) -> str:
+    """Shared unrolled-k-means WITH-block: ends at fin(vec_id, ev, cidx).
 
-    Every step of kmeans_centroids is deterministic arithmetic, so even
-    the iterative algorithm oracle-checks: hash-ordered init, per-
-    iteration argmin-cosine assignment (ties → lowest centroid index,
-    matching array_position-of-array_min), per-(cluster, dim) mean as
+    DuckDB twin of the *iterative* kmeans_centroids + final assignment.
+    Every step is deterministic arithmetic, so even the iterative
+    algorithm oracle-checks: hash-ordered init, per-iteration
+    argmin-cosine assignment (ties → lowest centroid index, matching
+    array_position-of-array_min), per-(cluster, dim) mean as
     DECIMAL(27,12)-exact sum cast to double over count (the exact
     expression the Spark side computes), empty clusters keeping their
-    previous centroid. Two Lloyd iterations = two unrolled CTE blocks.
+    previous centroid. Reused by sim_ivf_assign and dedup_semantic.
     """
     h = md5_hash64_sql("CAST(vec_id AS VARCHAR)")
     cos = (
@@ -909,13 +910,19 @@ def _ivf_sql(k: int = 8, iters: int = 2) -> str:
              FROM {prev} p LEFT JOIN {mv} v ON p.cidx = v.cidx)"""
         )
     final = f"""
-    fin AS (SELECT vec_id, cidx FROM (
-              SELECT e.vec_id, c.cidx,
+    fin AS (SELECT vec_id, ev, cidx FROM (
+              SELECT e.vec_id, e.ev, c.cidx,
                      row_number() OVER (PARTITION BY e.vec_id
                                         ORDER BY 1.0 - ({cos}) ASC, c.cidx ASC) AS rn
-              FROM emb e CROSS JOIN c{iters} c) WHERE rn = 1)
-    SELECT cidx AS cluster, count(*) AS n FROM fin GROUP BY cidx"""
+              FROM emb e CROSS JOIN c{iters} c) WHERE rn = 1)"""
     return "WITH" + ",".join(blocks) + "," + final
+
+
+def _ivf_sql(k: int = 8, iters: int = 2) -> str:
+    return (
+        _kmeans_assign_cte(k, iters)
+        + "\n    SELECT cidx AS cluster, count(*) AS n FROM fin GROUP BY cidx"
+    )
 
 
 register("sim_ivf_assign", _ivf_sql())(_sim_ivf_assign)
@@ -2690,3 +2697,43 @@ def _langid_entry() -> None:
 
 
 _langid_entry()
+
+
+# ===========================================================================
+# SemDeDup — semantic dedup inside k-means clusters (Abbas et al. 2023).
+#
+# Reuses the unrolled-k-means CTE (same k/iters as sim_ivf_assign) and
+# replays the within-cluster pair scan with the same 1e-6-rounded
+# cosine, so clustering AND the kept-set are hash-exact cross-engine.
+# ===========================================================================
+
+def _semdedup_entry(tau: float = 0.4) -> None:
+    from diagnosisextraction_ml_spark.operators import dedup as _dd
+
+    cos_ab = (
+        "list_dot_product(a.ev, b.ev)"
+        " / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev)))"
+    )
+    sql = (
+        _kmeans_assign_cte(k=8, iters=2)
+        + f""",
+    dup AS (
+      SELECT DISTINCT a.vec_id
+      FROM fin a JOIN fin b
+        ON a.cidx = b.cidx AND a.vec_id > b.vec_id
+      WHERE round({cos_ab}, 6) >= CAST({tau!r} AS DOUBLE)
+    )
+    SELECT f.vec_id, f.cidx AS cluster,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM fin f LEFT JOIN dup d ON d.vec_id = f.vec_id
+    """
+    )
+
+    def _fn(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        return _dd.semantic_dedup(emb, k=8, iters=2, tau=tau)
+
+    register("dedup_semantic", sql)(_fn)
+
+
+_semdedup_entry()

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+from diagnosisextraction_ml_spark.operators import dedup
 from diagnosisextraction_ml_spark.operators.dedup import (
     dedup_exact,
     embedding_near_dup_pairs,
@@ -291,3 +292,71 @@ def test_duplicated_gram_stats_flags_injected_copies(spark, sf_dir):
     full = out.filter(F.col("dup_fraction") == 1.0).count()
     n_copies = copies.count()
     assert full >= 2 * n_copies
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic_dedup)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def planted_embeddings(spark):
+    import math
+
+    rows = []
+    # 3 well-separated directions; per direction 4 members: one anchor,
+    # two near-parallel copies (tiny angular jitter), one far outlier
+    # rotated toward the next axis (cosine ~0.7 < tau=0.95).
+    for d in range(3):
+        base = [0.0] * 6
+        base[2 * d] = 1.0
+        for m, eps in enumerate([0.0, 0.01, 0.02]):
+            v = list(base)
+            v[2 * d + 1] = eps
+            rows.append((d * 10 + m, [float(x) for x in v]))
+        far = list(base)
+        far[(2 * d + 2) % 6] = 1.0  # 45° away
+        rows.append((d * 10 + 5, [float(x) / math.sqrt(2.0) for x in far]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_keeps_lowest_id_per_group(spark, planted_embeddings):
+    out = dedup.semantic_dedup(
+        planted_embeddings, k=3, iters=2, tau=0.95
+    ).collect()
+    flags = {r.vec_id: r.is_dup for r in out}
+    assert len(flags) == 12
+    for d in range(3):
+        assert flags[d * 10 + 0] is False  # anchor (lowest id) survives
+        assert flags[d * 10 + 1] is True  # near-parallel copies marked
+        assert flags[d * 10 + 2] is True
+        assert flags[d * 10 + 5] is False  # 45°-away outlier kept
+
+
+def test_semantic_dedup_groups_share_cluster(spark, planted_embeddings):
+    out = dedup.semantic_dedup(
+        planted_embeddings, k=3, iters=2, tau=0.95
+    ).collect()
+    cl = {r.vec_id: r.cluster for r in out}
+    for d in range(3):
+        assert cl[d * 10] == cl[d * 10 + 1] == cl[d * 10 + 2]
+
+
+def test_semantic_dedup_partitioning_invariant(spark, planted_embeddings):
+    a = sorted(
+        map(
+            tuple,
+            dedup.semantic_dedup(
+                planted_embeddings.repartition(5), k=3, iters=2, tau=0.95
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup.semantic_dedup(
+                planted_embeddings.coalesce(1), k=3, iters=2, tau=0.95
+            ).collect(),
+        )
+    )
+    assert a == b
