@@ -860,3 +860,96 @@ def semantic_dedup(
         "cluster",
         F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Exact Jaccard-join via prefix filtering (Chaudhuri/Xiao et al.).
+
+    The third candidate-generation strategy beside the probabilistic
+    LSH bands and the doc-freq-capped inverted index — and the only
+    one that is *exact-complete*: every pair with ``J ≥ t`` is
+    guaranteed found, with no tuning knob that trades recall.
+
+    Principle: order each document's shingles by a global rarity order
+    (document frequency asc, shingle asc); if ``J(x,y) ≥ t`` then
+    ``|x∩y| ≥ ceil(t·|x|)``, so x cannot avoid exposing a shared
+    shingle within its first ``|x| − ceil(t·|x|) + 1`` rarest shingles
+    — candidates need only join on PREFIX postings. Rare-first
+    ordering makes those postings short by construction (a shingle
+    shared by half the corpus lands at the back of every prefix and
+    almost never *in* one), which is exactly the hot-key defense the
+    capped index buys with approximation — here it falls out of the
+    math with zero loss.
+
+    Plan shape: dfreq groupBy (map-side combined) + per-DOC window
+    (partitioned by id — never a global rank; the rarity order is used
+    as a sort key, not materialized) + prefix self-equi-join on the
+    shingle with the size-ratio prune ``num·max(|x|,|y|) ≤
+    den·min(|x|,|y|)`` + verify join counting the true intersection
+    only for surviving candidates.
+
+    The threshold is the exact rational ``num/den`` and the accept
+    test is integer cross-multiplication — no float compare anywhere;
+    the reported jaccard is one exactly-rounded division.
+
+    Output: (id_a, id_b, n_common, jaccard) with id_a < id_b.
+    """
+    num, den = threshold_num, threshold_den
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("shingle"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sizes, [id_col])
+    )
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.col("sz") - F.expr(f"({num} * sz + {den - 1}) DIV {den}") + F.lit(1)
+    ).select(F.col(id_col), "shingle", "sz")
+
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("sz").alias("sz_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("sz").alias("sz_b")
+    )
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.lit(num) * F.greatest("sz_a", "sz_b")
+            <= F.lit(den) * F.least("sz_a", "sz_b")
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        .distinct()
+    )
+    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cands.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    return (
+        inter.filter(F.lit(den) * F.col("n_common") >= F.lit(num) * union_sz)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(F.col("n_common") / union_sz, 6).alias("jaccard"),
+        )
+    )

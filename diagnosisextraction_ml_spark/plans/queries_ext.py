@@ -2737,3 +2737,57 @@ def _semdedup_entry(tau: float = 0.4) -> None:
 
 
 _semdedup_entry()
+
+
+# ===========================================================================
+# Prefix-filter exact Jaccard join — the exact-complete candidate path
+# (vs the probabilistic LSH bands and the doc-freq-capped index).
+# Threshold is the rational 1/2; accept test is integer cross-multiply.
+# ===========================================================================
+
+def _prefix_jaccard_sql(num: int = 1, den: int = 2) -> str:
+    toks = _toks_sql("lower(text)")
+    grams = (
+        "list_distinct([array_to_string(t[i+1:i+3], ' ') "
+        "for i in range(0, greatest(len(t)-3, 0)+1)])"
+    )
+    return f"""
+    WITH corpus AS ({_DUP_UNION_SQL}),
+    tt AS (SELECT doc_id, {toks} AS t FROM corpus),
+    sh AS (SELECT doc_id, unnest({grams}) AS shingle FROM tt),
+    shf AS (SELECT doc_id, shingle FROM sh WHERE shingle != ''),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+    dfreq AS (SELECT shingle, count(*) AS fdf FROM shf GROUP BY 1),
+    ranked AS (
+      SELECT shf.doc_id, shf.shingle, sz,
+             row_number() OVER (PARTITION BY shf.doc_id
+                                ORDER BY fdf ASC, shf.shingle ASC) AS rn
+      FROM shf JOIN dfreq USING (shingle) JOIN sizes USING (doc_id)),
+    prefix AS (
+      SELECT doc_id, shingle, sz FROM ranked
+      WHERE rn <= sz - (({num} * sz + {den - 1}) // {den}) + 1),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sz AS sz_a, b.sz AS sz_b
+      FROM prefix a JOIN prefix b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE {num} * greatest(a.sz, b.sz) <= {den} * least(a.sz, b.sz)),
+    inter AS (
+      SELECT c.id_a, c.id_b, c.sz_a, c.sz_b, count(*) AS n_common
+      FROM cands c
+      JOIN shf a ON a.doc_id = c.id_a
+      JOIN shf b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, n_common,
+           round(n_common / (sz_a + sz_b - n_common), 6) AS jaccard
+    FROM inter
+    WHERE {den} * n_common >= {num} * (sz_a + sz_b - n_common)
+    """
+
+
+register("dedup_prefix_jaccard_pairs", _prefix_jaccard_sql())(
+    lambda spark, sf_dir: dedup.prefix_filter_jaccard_pairs(
+        _dup_union(spark, sf_dir), "text", "doc_id", n=3,
+        threshold_num=1, threshold_den=2,
+    )
+)

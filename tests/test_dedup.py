@@ -360,3 +360,65 @@ def test_semantic_dedup_partitioning_invariant(spark, planted_embeddings):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter exact Jaccard join
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_jaccard_hand_case(spark):
+    rows = [
+        (1, "a b c d e f"),     # shingles: abc bcd cde def (4)
+        (2, "a b c d e zz"),    # abc bcd cde "d e zz" → overlap 3, union 5
+        (3, "x y z w v u"),     # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.jaccard)
+        for r in dedup.prefix_filter_jaccard_pairs(
+            df, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    assert got == {(1, 2): (3, 0.6)}
+
+
+def test_prefix_jaccard_complete_vs_uncapped_index(spark):
+    """Exact-completeness: identical result set to the uncapped
+    inverted-index join at the same threshold."""
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pf = sorted(
+        map(
+            tuple,
+            dedup.prefix_filter_jaccard_pairs(
+                docs, threshold_num=1, threshold_den=2
+            ).collect(),
+        )
+    )
+    ex = sorted(
+        map(
+            tuple,
+            dedup.ngram_jaccard_pairs(
+                docs, threshold=0.5, max_doc_freq=None
+            )
+            .select("id_a", "id_b", "n_common", "jaccard")
+            .collect(),
+        )
+    )
+    assert pf == ex
+
+
+def test_prefix_jaccard_threshold_is_exact_rational(spark):
+    # J exactly at the threshold boundary must be INCLUDED (>=),
+    # decided by integer cross-multiplication, not float rounding.
+    rows = [
+        (1, "a b c d e"),       # 3 shingles: abc bcd cde
+        (2, "a b c d zz"),      # abc bcd + "c d zz" → overlap 2, union 4 → J=0.5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.prefix_filter_jaccard_pairs(
+        df, threshold_num=1, threshold_den=2
+    ).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 0.5)]
