@@ -124,3 +124,152 @@ def score_bigram_logprob(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated trigram model (Jelinek-Mercer smoothing)
+# ---------------------------------------------------------------------------
+
+JM_L3 = 0.5
+JM_L2 = 0.3
+JM_L1 = 0.2
+
+
+def _trigram_buckets(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, b1, b2, b3) — one row per adjacent token triple (hashed)."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    with_toks = df.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    n = F.size("toks")
+    triples = F.arrays_zip(
+        F.slice(F.col("toks"), 1, n - 2).alias("w1"),
+        F.slice(F.col("toks"), 2, n - 2).alias("w2"),
+        F.slice(F.col("toks"), 3, n - 2).alias("w3"),
+    )
+    exploded = with_toks.select(F.col(id_col), F.explode(triples).alias("p"))
+    return exploded.select(
+        F.col(id_col),
+        (md5_hash64(F.col("p.w1")) % F.lit(n_buckets)).alias("b1"),
+        (md5_hash64(F.col("p.w2")) % F.lit(n_buckets)).alias("b2"),
+        (md5_hash64(F.col("p.w3")) % F.lit(n_buckets)).alias("b3"),
+    )
+
+
+def fit_trigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train: (trigrams, bigrams, unigrams) over hashed buckets.
+
+    Unlike the conditional bigram model (whose unigram table counts
+    only left-contexts), the interpolated model needs *stream* counts:
+    unigrams over every token, bigrams over every adjacent pair — each
+    serves both as a context denominator and a continuation numerator.
+    ``min_count`` prunes only the trigram table (the big one at web
+    scale); the lower orders are the backoff mass and stay complete.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .select((md5_hash64(F.col("w")) % F.lit(n_buckets)).alias("b1"))
+        .groupBy("b1")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    big = _bigram_buckets(df, text_col, id_col, n_buckets).groupBy(
+        "b1", "b2"
+    ).agg(F.count(F.lit(1)).alias("c_big"))
+    tri = _trigram_buckets(df, text_col, id_col, n_buckets).groupBy(
+        "b1", "b2", "b3"
+    ).agg(F.count(F.lit(1)).alias("c_tri"))
+    if min_count > 1:
+        tri = tri.filter(F.col("c_tri") >= min_count)
+    return tri, big, uni
+
+
+def score_trigram_interp(
+    df: DataFrame,
+    trigrams: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: int = 1,
+) -> DataFrame:
+    """Score: (id, n_trigrams, lp_sum, score) — interpolated mean log-prob.
+
+    Per position: ``P = λ3·C3/C2(w1,w2) + λ2·C2(w2,w3)/C1(w2) +
+    λ1·(C1(w3)+α)/(N+αB)`` — Jelinek-Mercer interpolation; a zero
+    denominator drops its term (the add-α unigram floor keeps P > 0,
+    so ln is always defined). Quantized to integer micro-nats per
+    position, integer-summed per document.
+
+    Plan: five broadcast left joins (tri, two bigram roles, two
+    unigram roles) + the 1-row totals broadcast + one partial-agg
+    shuffle keyed by id. Every model table is bucket-bounded.
+    """
+    tg = _trigram_buckets(df, text_col, id_col, n_buckets)
+    total = unigrams.agg(F.sum("c_uni").alias("n_total")).select(
+        F.lit(1).alias("j"), "n_total"
+    )
+    ctx = bigrams.select(
+        F.col("b1").alias("x1"), F.col("b2").alias("x2"),
+        F.col("c_big").alias("c_ctx"),
+    )
+    cont = bigrams.select(
+        F.col("b1").alias("y2"), F.col("b2").alias("y3"),
+        F.col("c_big").alias("c_cont"),
+    )
+    u_mid = unigrams.select(F.col("b1").alias("m2"), F.col("c_uni").alias("c_mid"))
+    u_last = unigrams.select(F.col("b1").alias("m3"), F.col("c_uni").alias("c_last"))
+    joined = (
+        tg.join(F.broadcast(trigrams), ["b1", "b2", "b3"], "left")
+        .join(
+            F.broadcast(ctx),
+            (F.col("b1") == F.col("x1")) & (F.col("b2") == F.col("x2")),
+            "left",
+        )
+        .join(
+            F.broadcast(cont),
+            (F.col("b2") == F.col("y2")) & (F.col("b3") == F.col("y3")),
+            "left",
+        )
+        .join(F.broadcast(u_mid), F.col("b2") == F.col("m2"), "left")
+        .join(F.broadcast(u_last), F.col("b3") == F.col("m3"), "left")
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(total), ["j"])
+    )
+    c_tri = F.coalesce(F.col("c_tri"), F.lit(0)).cast("double")
+    c_ctx = F.coalesce(F.col("c_ctx"), F.lit(0)).cast("double")
+    c_cont = F.coalesce(F.col("c_cont"), F.lit(0)).cast("double")
+    c_mid = F.coalesce(F.col("c_mid"), F.lit(0)).cast("double")
+    c_last = F.coalesce(F.col("c_last"), F.lit(0)).cast("double")
+    t3 = F.when(c_ctx > 0, c_tri / c_ctx).otherwise(F.lit(0.0))
+    t2 = F.when(c_mid > 0, c_cont / c_mid).otherwise(F.lit(0.0))
+    t1 = (c_last + F.lit(float(alpha))) / (
+        F.col("n_total").cast("double") + F.lit(float(alpha * n_buckets))
+    )
+    p = F.lit(JM_L3) * t3 + F.lit(JM_L2) * t2 + F.lit(JM_L1) * t1
+    lp_micro = F.round(F.lit(1_000_000.0) * F.log(p), 0).cast("long")
+    return (
+        joined.groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("n_trigrams"), F.sum(lp_micro).alias("lp_sum"))
+        .select(
+            F.col(id_col),
+            "n_trigrams",
+            "lp_sum",
+            (F.col("lp_sum") / (F.lit(1_000_000.0) * F.col("n_trigrams"))).alias(
+                "score"
+            ),
+        )
+    )

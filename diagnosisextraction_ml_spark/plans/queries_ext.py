@@ -2791,3 +2791,92 @@ register("dedup_prefix_jaccard_pairs", _prefix_jaccard_sql())(
         threshold_num=1, threshold_den=2,
     )
 )
+
+
+# ===========================================================================
+# Interpolated trigram LM (Jelinek-Mercer) — train on lang='en', score all.
+# Same doctrine as lm_bigram_logprob: md5 buckets, per-position micro-nat
+# quantization, integer sums; the three-way interpolation is a fixed-order
+# double chain, identical in both engines.
+# ===========================================================================
+
+def _lm_trigram_sql() -> str:
+    from diagnosisextraction_ml_spark.operators.lm import (
+        DEFAULT_BUCKETS,
+        JM_L1,
+        JM_L2,
+        JM_L3,
+    )
+
+    b = DEFAULT_BUCKETS
+    toks = _toks_sql("lower(text)")
+
+    def dbl(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+    uni AS (
+      SELECT {md5_hash64_sql('w')} % {b} AS b1, COUNT(*) AS c_uni
+      FROM (SELECT unnest(toks) AS w FROM t WHERE lang = 'en')
+      GROUP BY 1),
+    tot AS (SELECT SUM(c_uni) AS n_total FROM uni),
+    bg_all AS (
+      SELECT lang, {md5_hash64_sql('w1')} % {b} AS b1,
+             {md5_hash64_sql('w2')} % {b} AS b2
+      FROM (SELECT lang,
+                   unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+                   unnest(list_slice(toks, 2, len(toks))) AS w2
+            FROM t WHERE len(toks) >= 2)),
+    big AS (SELECT b1, b2, COUNT(*) AS c_big FROM bg_all
+            WHERE lang = 'en' GROUP BY 1, 2),
+    tg_all AS (
+      SELECT doc_id, lang,
+             {md5_hash64_sql('w1')} % {b} AS b1,
+             {md5_hash64_sql('w2')} % {b} AS b2,
+             {md5_hash64_sql('w3')} % {b} AS b3
+      FROM (SELECT doc_id, lang,
+                   unnest(list_slice(toks, 1, len(toks) - 2)) AS w1,
+                   unnest(list_slice(toks, 2, len(toks) - 1)) AS w2,
+                   unnest(list_slice(toks, 3, len(toks))) AS w3
+            FROM t WHERE len(toks) >= 3)),
+    tri AS (SELECT b1, b2, b3, COUNT(*) AS c_tri FROM tg_all
+            WHERE lang = 'en' GROUP BY 1, 2, 3),
+    s AS (
+      SELECT g.doc_id, COUNT(*) AS n_trigrams,
+             SUM(CAST(round({dbl(1_000_000.0)} * ln(
+               {dbl(JM_L3)} * (CASE WHEN coalesce(ctx.c_big, 0) > 0
+                 THEN CAST(coalesce(tri.c_tri, 0) AS DOUBLE)
+                      / CAST(coalesce(ctx.c_big, 0) AS DOUBLE)
+                 ELSE {dbl(0.0)} END)
+             + {dbl(JM_L2)} * (CASE WHEN coalesce(um.c_uni, 0) > 0
+                 THEN CAST(coalesce(cont.c_big, 0) AS DOUBLE)
+                      / CAST(coalesce(um.c_uni, 0) AS DOUBLE)
+                 ELSE {dbl(0.0)} END)
+             + {dbl(JM_L1)} * ((CAST(coalesce(ul.c_uni, 0) AS DOUBLE)
+                                + {dbl(1.0)})
+                 / (CAST(n_total AS DOUBLE) + {dbl(float(b))}))
+             ), 0) AS BIGINT)) AS lp_sum
+      FROM tg_all g
+      LEFT JOIN tri ON tri.b1 = g.b1 AND tri.b2 = g.b2 AND tri.b3 = g.b3
+      LEFT JOIN big ctx ON ctx.b1 = g.b1 AND ctx.b2 = g.b2
+      LEFT JOIN big cont ON cont.b1 = g.b2 AND cont.b2 = g.b3
+      LEFT JOIN uni um ON um.b1 = g.b2
+      LEFT JOIN uni ul ON ul.b1 = g.b3
+      CROSS JOIN tot
+      GROUP BY 1)
+    SELECT doc_id, n_trigrams, lp_sum,
+           lp_sum / (1000000.0 * n_trigrams) AS score
+    FROM s
+    """
+
+
+def _lm_trigram(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    tri, big, uni = lm.fit_trigram_counts(docs.filter(F.col("lang") == "en"))
+    return lm.score_trigram_interp(docs, tri, big, uni)
+
+
+register("lm_trigram_interp", _lm_trigram_sql())(_lm_trigram)

@@ -6,6 +6,7 @@ import math
 
 import pyspark.sql.functions as F
 
+from diagnosisextraction_ml_spark.operators import lm
 from diagnosisextraction_ml_spark.operators.lm import (
     fit_bigram_counts,
     score_bigram_logprob,
@@ -102,3 +103,89 @@ def test_reference_language_scores_higher(spark, sf_dir):
         .collect()
     }
     assert means[True] > means[False]
+
+
+# ---------------------------------------------------------------------------
+# Interpolated trigram LM
+# ---------------------------------------------------------------------------
+
+
+def _py_trigram_score(train_texts, score_text, n_buckets=lm.DEFAULT_BUCKETS):
+    """Independent dict-based model replaying the same bucketed JM mix."""
+    import hashlib
+    import math
+
+    def bkt(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % n_buckets
+
+    uni, big, tri = {}, {}, {}
+    n_total = 0
+    for txt in train_texts:
+        ws = [bkt(w) for w in txt.lower().split()]
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+            n_total += 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+        for a, b, c in zip(ws, ws[1:], ws[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+    ws = [bkt(w) for w in score_text.lower().split()]
+    lp_sum, n_tri = 0, 0
+    for a, b, c in zip(ws, ws[1:], ws[2:]):
+        t3 = tri.get((a, b, c), 0) / big[(a, b)] if big.get((a, b)) else 0.0
+        t2 = big.get((b, c), 0) / uni[b] if uni.get(b) else 0.0
+        t1 = (uni.get(c, 0) + 1.0) / (n_total + n_buckets)
+        p = lm.JM_L3 * t3 + lm.JM_L2 * t2 + lm.JM_L1 * t1
+        lp_sum += round(1e6 * math.log(p))
+        n_tri += 1
+    return n_tri, lp_sum
+
+
+def test_trigram_matches_python_model(spark):
+    train = [
+        "the cat sat on the mat",
+        "the cat ran on the mat",
+        "a dog sat on a log",
+    ]
+    probe = "the cat sat on a log please"
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id long, text string"
+    )
+    pdf = spark.createDataFrame([(99, probe)], "doc_id long, text string")
+    tri, big, uni = lm.fit_trigram_counts(tdf)
+    got = lm.score_trigram_interp(pdf, tri, big, uni).collect()[0]
+    n_tri, lp_sum = _py_trigram_score(train, probe)
+    assert (got.n_trigrams, got.lp_sum) == (n_tri, lp_sum)
+
+
+def test_trigram_prefers_in_domain_text(spark):
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "zzz qqq www eee rrr"),
+        ],
+        "doc_id long, text string",
+    )
+    tri, big, uni = lm.fit_trigram_counts(train)
+    scores = {
+        r.doc_id: r.score
+        for r in lm.score_trigram_interp(probe, tri, big, uni).collect()
+    }
+    assert scores[1] > scores[2]
+
+
+def test_trigram_short_docs_drop_out(spark):
+    train = spark.createDataFrame(
+        [(0, "a b c d e")], "doc_id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, None), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    tri, big, uni = lm.fit_trigram_counts(train)
+    got = {r.doc_id for r in lm.score_trigram_interp(probe, tri, big, uni).collect()}
+    assert got == {4}
