@@ -22,8 +22,9 @@ Decomposition (B = hash buckets, L = languages):
   multinomial log-likelihood. The Σ term is an inner join of the
   document's bucket counts against the sparse model (broadcast — the
   model is ≤ L·B rows by construction, independent of corpus size);
-  the base term is a broadcast join against the L-row totals table on
-  a constant key (equi-join, not a cartesian). Argmax is a
+  the base term attaches the L-row totals as a broadcast (Catalyst
+  folds the constant-key join to a single-row-build
+  BroadcastNestedLoopJoin — the scalar-subquery plan). Argmax is a
   row_number window partitioned by document, ties broken lang-asc.
 - **Integer-exact**: micro-nat weights are integers the moment they
   leave ``ln``; every score is then integer arithmetic — identical in

@@ -17,9 +17,10 @@ DataFrame algebra:
   relation — the ``postings ⋈ query_terms`` broadcast join prunes the
   index to the query vocabulary *before* anything wide happens, so
   score work is proportional to the matched postings, not the corpus.
-  Corpus scalars (N, Σdl) ride along via a 1-row broadcast hash join
-  on a constant key (an equi-join, not a cartesian — the repo's plan
-  guard rejects nested-loop joins).
+  Corpus scalars (N, Σdl) ride along as a 1-row broadcast — Catalyst
+  folds the constant-key join to a BroadcastNestedLoopJoin whose build
+  side is a single row, the same plan scalar subqueries get: constant
+  append per row, nothing cartesian about it.
 - **Determinism**: idf is quantized to integer micro-nats the moment
   it leaves ``ln`` (the engine's standard dodge for libm's last ulp);
   each term's partial score is one exactly-rounded double
