@@ -1,0 +1,141 @@
+"""Funnel conversion & cohort retention — ordered-event analytics.
+
+North-star extensions over the events stream (no reference
+counterpart — the reference has no temporal data at all): the two
+standard product-analytics queries that exercise *order-dependent*
+temporal semantics beyond what plain windows/sessionization
+(streaming/events.py) cover.
+
+- **Funnel**: how many users performed step₁, then step₂ *after*
+  step₁, then step₃ after step₂ … optionally all within a horizon of
+  their step₁ time. The sequential "after" makes this a chain of
+  per-user min-aggregates, NOT a simple pivot: each step's earliest
+  *qualifying* time depends on the previous step's. Each link is one
+  equi-join on user_id + one groupBy(user_id) — both keyed the same,
+  so at scale the chain is a sequence of co-partitioned shuffles of
+  (user, timestamp) pairs only; event payloads never travel.
+- **Cohort retention**: bucket users by first-seen week, count who
+  returns k weeks later. Two aggregates and one join, all keyed by
+  user or by (cohort, offset) — the grid output is tiny by
+  construction (weeks × weeks).
+
+Determinism: pure timestamp comparisons and integer counts; the only
+division is retention/conversion = exact-integer count ratios (one
+exactly-rounded double each — hash-safe cross-engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    horizon_hours: int | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step_idx, step, users, conv_from_prev) — ordered funnel counts.
+
+    A user counts for step i iff they have an event of ``steps[i]`` at
+    or after their earliest qualifying time for step i−1 (and, with
+    ``horizon_hours``, no later than that many hours after their step-0
+    entry). ``conv_from_prev`` is users_i / users_{i-1} (1.0 for the
+    first step).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_prev"))
+        .withColumn("t0", F.col("t_prev"))
+    )
+    per_step = [cur.select(user_col, "t_prev", "t0")]
+    for step in steps[1:]:
+        nxt = events.filter(F.col(type_col) == step).select(
+            user_col, F.col(ts_col).alias("t_ev")
+        )
+        j = nxt.join(per_step[-1], [user_col]).filter(
+            F.col("t_ev") >= F.col("t_prev")
+        )
+        if horizon_hours is not None:
+            j = j.filter(
+                F.col("t_ev")
+                <= F.col("t0") + F.expr(f"INTERVAL {horizon_hours} HOURS")
+            )
+        cur = j.groupBy(user_col, "t0").agg(F.min("t_ev").alias("t_prev"))
+        per_step.append(cur.select(user_col, "t_prev", "t0"))
+
+    counts = None
+    for i, (step, df) in enumerate(zip(steps, per_step)):
+        row = df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(i).alias("step_idx"), F.lit(step).alias("step"), "users"
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    prev = counts.select(
+        (F.col("step_idx") + 1).alias("step_idx"),
+        F.col("users").alias("prev_users"),
+    )
+    return (
+        counts.join(prev, ["step_idx"], "left")
+        .select(
+            "step_idx",
+            "step",
+            "users",
+            F.when(F.col("prev_users").isNull(), F.lit(1.0))
+            .when(F.col("prev_users") == 0, F.lit(0.0))
+            .otherwise(F.col("users") / F.col("prev_users"))
+            .alias("conv_from_prev"),
+        )
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """(cohort_week, week_offset, users, retention) — weekly cohorts.
+
+    cohort_week = Monday of the user's first event; a user is retained
+    at offset k if they have any event in cohort_week + k weeks.
+    retention divides by the cohort's size (its offset-0 count — every
+    user is active in their own first week by construction).
+    """
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    activity = events.select(
+        user_col, F.date_trunc("week", F.col(ts_col)).alias("act_week")
+    ).distinct()
+    grid = (
+        activity.join(first, [user_col])
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.col("act_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / F.lit(7)
+            )
+            .cast("int")
+            .alias("week_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+    size = grid.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("users").alias("cohort_size")
+    )
+    return grid.join(size, ["cohort_week"]).select(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        "week_offset",
+        "users",
+        (F.col("users") / F.col("cohort_size")).alias("retention"),
+    )

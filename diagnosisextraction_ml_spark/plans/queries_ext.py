@@ -2880,3 +2880,95 @@ def _lm_trigram(spark, sf_dir):
 
 
 register("lm_trigram_interp", _lm_trigram_sql())(_lm_trigram)
+
+
+# ===========================================================================
+# Funnel conversion + cohort retention — ordered-event analytics.
+# Pure timestamp comparisons and exact-integer count ratios.
+# ===========================================================================
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_HORIZON_H = 72
+
+
+def _funnel_sql() -> str:
+    steps, hh = _FUNNEL_STEPS, _FUNNEL_HORIZON_H
+    blocks = [
+        f"""
+    s0 AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_prev,
+                  MIN(CAST(ts AS TIMESTAMP)) AS t0
+           FROM events WHERE event_type = '{steps[0]}' GROUP BY user_id)"""
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        blocks.append(
+            f"""
+    s{i} AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_prev,
+                    p.t0
+             FROM events e JOIN s{i - 1} p ON p.user_id = e.user_id
+             WHERE e.event_type = '{step}'
+               AND CAST(e.ts AS TIMESTAMP) >= p.t_prev
+               AND CAST(e.ts AS TIMESTAMP) <= p.t0 + INTERVAL '{hh} hours'
+             GROUP BY e.user_id, p.t0)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS step_idx, '{s}' AS step, "
+        f"(SELECT COUNT(*) FROM s{i}) AS users"
+        for i, s in enumerate(steps)
+    )
+    return (
+        "WITH" + ",".join(blocks) + f""",
+    counts AS ({unions})
+    SELECT c.step_idx, c.step, c.users,
+           CASE WHEN p.users IS NULL THEN CAST(1.0 AS DOUBLE)
+                WHEN p.users = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE c.users / p.users END AS conv_from_prev
+    FROM counts c LEFT JOIN counts p ON p.step_idx = c.step_idx - 1
+    """
+    )
+
+
+def _funnel_fn(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel.funnel_conversion(
+        ev, _FUNNEL_STEPS, horizon_hours=_FUNNEL_HORIZON_H
+    )
+
+
+register("events_funnel_conversion", _funnel_sql())(_funnel_fn)
+
+
+def _cohort_sql() -> str:
+    return """
+    WITH first AS (
+      SELECT user_id, date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS act_week
+      FROM events
+    ), grid AS (
+      SELECT cohort_week,
+             CAST(date_diff('day', CAST(cohort_week AS DATE),
+                            CAST(act_week AS DATE)) // 7 AS INTEGER)
+               AS week_offset,
+             COUNT(*) AS users
+      FROM activity JOIN first USING (user_id)
+      GROUP BY 1, 2
+    ), sz AS (
+      SELECT cohort_week, users AS cohort_size FROM grid WHERE week_offset = 0
+    )
+    SELECT g.cohort_week, g.week_offset, g.users,
+           g.users / s.cohort_size AS retention
+    FROM grid g JOIN sz s ON s.cohort_week = g.cohort_week
+    """
+
+
+def _cohort_fn(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel.cohort_retention(ev)
+
+
+register("events_cohort_retention", _cohort_sql())(_cohort_fn)
