@@ -162,6 +162,25 @@ def _bitlen_exact(w: Column) -> Column:
     return b + 1
 
 
+def hll_reg_rho() -> tuple[Column, Column]:
+    """(hll_reg, rho) expressions over a projected ``_hll_h`` column.
+
+    Shared by the batch builder below and the streaming twin
+    (streaming/events.py windowed_distinct_registers) so the register
+    arithmetic cannot drift between modes.
+    """
+    reg = (F.col("_hll_h") % F.lit(HLL_M)).alias("hll_reg")
+    w = F.expr(f"_hll_h DIV {HLL_M}")
+    # rank = leading zeros of the 51-bit w, plus one = 52 - bitlen(w).
+    # greatest(w, 1) keeps log2's argument positive on the w = 0 rows the
+    # WHEN discards — mirrored in the oracle SQL, where log2(0) raises.
+    rho = (
+        F.when(w == 0, F.lit(_HLL_RHO_MAX))
+        .otherwise(F.lit(_HLL_RHO_MAX) - _bitlen_exact(F.greatest(w, F.lit(1))))
+    ).alias("rho")
+    return reg, rho
+
+
 def hll_registers(
     df: DataFrame, key: Column, group_cols: list[str]
 ) -> DataFrame:
@@ -172,15 +191,7 @@ def hll_registers(
     volume per group at any input size.
     """
     h = md5_hash64(key)
-    reg = (F.col("_hll_h") % F.lit(HLL_M)).alias("hll_reg")
-    w = F.expr(f"_hll_h DIV {HLL_M}")
-    # rank = leading zeros of the 51-bit w, plus one = 52 - bitlen(w).
-    # greatest(w, 1) keeps log2's argument positive on the w = 0 rows the
-    # WHEN discards — mirrored in the oracle SQL, where log2(0) raises.
-    rho = (
-        F.when(w == 0, F.lit(_HLL_RHO_MAX))
-        .otherwise(F.lit(_HLL_RHO_MAX) - _bitlen_exact(F.greatest(w, F.lit(1))))
-    ).alias("rho")
+    reg, rho = hll_reg_rho()
     return (
         df.select(*group_cols, h.alias("_hll_h"))
         .select(*group_cols, reg, rho)

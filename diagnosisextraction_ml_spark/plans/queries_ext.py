@@ -2375,7 +2375,14 @@ _mojibake_entry()
 # visible in the result.
 # ===========================================================================
 
-def _hll_entry() -> None:
+def _hll_sql(group_exprs: list[tuple[str, str]]) -> str:
+    """Full HLL-estimate-vs-exact SQL for arbitrary group keys.
+
+    ``group_exprs``: [(alias, SQL expr over events), ...]. Generated
+    from the same constants as operators/sketch.py so the two sides
+    cannot drift; used by sketch_hll_distinct and the streaming twin's
+    batch oracle.
+    """
     from diagnosisextraction_ml_spark.operators import sketch
 
     m = sketch.HLL_M
@@ -2396,13 +2403,17 @@ def _hll_entry() -> None:
         f"round({float(m)!r} * ln({float(m)!r} / "
         f"CAST(greatest({m} - n_regs, 1) AS DOUBLE)), 0)"
     )
-    sql = f"""
+    sel = ", ".join(f"{expr} AS {a}" for a, expr in group_exprs)
+    keys = ", ".join(a for a, _ in group_exprs)
+    on = " AND ".join(f"x.{a} = est.{a}" for a, _ in group_exprs)
+    xkeys = ", ".join(f"x.{a}" for a, _ in group_exprs)
+    return f"""
     WITH h AS (
-      SELECT event_type, {hv} AS hv FROM events
+      SELECT {sel}, {hv} AS hv FROM events
     ), r AS (
-      SELECT event_type, hv % {m} AS reg, hv // {m} AS w FROM h
+      SELECT {keys}, hv % {m} AS reg, hv // {m} AS w FROM h
     ), rk AS (
-      SELECT event_type, reg,
+      SELECT {keys}, reg,
         CASE WHEN w = 0 THEN {rho_max}
              ELSE {rho_max} - ({b0}
                - CASE WHEN pow(2.0, CAST({b0} AS DOUBLE)) > w THEN 1 ELSE 0 END
@@ -2411,23 +2422,27 @@ def _hll_entry() -> None:
         END AS rho
       FROM r
     ), regs AS (
-      SELECT event_type, reg, MAX(rho) AS rho_max FROM rk GROUP BY 1, 2
+      SELECT {keys}, reg, MAX(rho) AS rho_max FROM rk GROUP BY ALL
     ), agg AS (
-      SELECT event_type,
+      SELECT {keys},
              SUM(CAST(pow(2.0, 52 - rho_max) AS BIGINT)) AS s2_present,
              COUNT(*) AS n_regs
-      FROM regs GROUP BY 1
+      FROM regs GROUP BY ALL
     ), est AS (
-      SELECT event_type,
+      SELECT {keys},
         CAST(CASE WHEN {e_raw} <= {2.5 * m!r} AND ({m} - n_regs) > 0
                   THEN {e_lc} ELSE round({e_raw}, 0) END AS BIGINT) AS hll_est
       FROM agg
     )
-    SELECT x.event_type, x.exact_distinct, est.hll_est
-    FROM (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
-          FROM events GROUP BY 1) x
-    JOIN est USING (event_type)
+    SELECT {xkeys}, x.exact_distinct, est.hll_est
+    FROM (SELECT {sel}, COUNT(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY ALL) x
+    JOIN est ON {on}
     """
+
+
+def _hll_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import sketch
 
     def _fn(spark, sf_dir):
         ev = _t(spark, sf_dir, "events")
@@ -2441,7 +2456,34 @@ def _hll_entry() -> None:
             "event_type", "exact_distinct", "hll_est"
         )
 
-    register("sketch_hll_distinct", sql)(_fn)
+    register("sketch_hll_distinct", _hll_sql([("event_type", "event_type")]))(_fn)
+
+    def _hourly(spark, sf_dir):
+        """Batch twin of streaming.windowed_distinct_registers: the same
+        register expressions run under readStream with a watermark (the
+        register table is a max-monoid, so streaming state is ≤
+        groups×512 rows and the stream≡batch law holds exactly)."""
+        ev = _t(spark, sf_dir, "events").withColumn(
+            "window_start", F.date_trunc("hour", F.col("ts"))
+        )
+        keys = ["window_start", "event_type"]
+        est = sketch.hll_distinct(ev, F.col("user_id").cast("string"), keys)
+        exact = ev.groupBy(*keys).agg(
+            F.countDistinct("user_id").alias("exact_distinct")
+        )
+        return exact.join(est, keys).select(
+            *keys, "exact_distinct", "hll_est"
+        )
+
+    register(
+        "stream_hourly_distinct",
+        _hll_sql(
+            [
+                ("window_start", "date_trunc('hour', CAST(ts AS TIMESTAMP))"),
+                ("event_type", "event_type"),
+            ]
+        ),
+    )(_hourly)
 
 
 _hll_entry()

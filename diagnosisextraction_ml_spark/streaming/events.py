@@ -220,3 +220,51 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def windowed_distinct_registers(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming HLL: per-window approximate-distinct register table.
+
+    The HyperLogLog register table (operators/sketch.py) is a
+    max-monoid, which is exactly what Structured Streaming's
+    incremental aggregation needs: state per (window, type) is bounded
+    at 512 registers no matter how many events or distinct keys the
+    window sees, and late data folds in with the same ``max`` that
+    batch uses — so stream ≡ batch holds bit-exactly (pinned by
+    tests/test_streaming.py against the ``stream_hourly_distinct``
+    batch twin). Collapse to estimates downstream with
+    :func:`~..operators.sketch.hll_estimate` over
+    (window_start, ``type_col``).
+
+    Output: (window_start, window_end, type, hll_reg, rho_max).
+    """
+    from diagnosisextraction_ml_spark.functions.hashing import md5_hash64
+    from diagnosisextraction_ml_spark.operators.sketch import hll_reg_rho
+
+    h = md5_hash64(F.col(key_col).cast("string"))
+    reg, rho = hll_reg_rho()
+    base = (
+        _with_event_time(events, "ts")
+        .withWatermark("ts", watermark)
+        .select(F.col("ts"), F.col(type_col), h.alias("_hll_h"))
+        .select(F.col("ts"), F.col(type_col), reg, rho)
+    )
+    return (
+        base.groupBy(
+            F.window("ts", window).alias("w"), F.col(type_col), F.col("hll_reg")
+        )
+        .agg(F.max("rho").alias("rho_max"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            type_col,
+            "hll_reg",
+            "rho_max",
+        )
+    )

@@ -291,3 +291,46 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     want = {(r["l_event_id"], r["r_event_id"]) for r in batch.collect()}
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
+    """Stream ≡ batch for the HLL register table (max-monoid state),
+    and the estimates collapsed from streamed registers equal the
+    batch hll_distinct estimates exactly."""
+    from diagnosisextraction_ml_spark.operators import sketch
+    from diagnosisextraction_ml_spark.streaming.events import (
+        windowed_distinct_registers,
+    )
+
+    path, schema = _events_dir(spark, sf_dir, tmp_path)
+    stream = read_events_stream(spark, path, schema, max_files_per_trigger=2)
+    regs = windowed_distinct_registers(stream, window="1 hour", watermark="2 hours")
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql(
+        "SELECT window_start, event_type, hll_reg, rho_max FROM hll_regs"
+    )
+
+    ev = spark.read.parquet(path).withColumn(
+        "window_start", F.date_trunc("hour", F.col("ts"))
+    )
+    batch_regs = sketch.hll_registers(
+        ev, F.col("user_id").cast("string"), ["window_start", "event_type"]
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch_regs.collect())
+    )
+
+    est_stream = sketch.hll_estimate(streamed, ["window_start", "event_type"])
+    est_batch = sketch.hll_distinct(
+        ev, F.col("user_id").cast("string"), ["window_start", "event_type"]
+    )
+    assert sorted(map(tuple, est_stream.collect())) == sorted(
+        map(tuple, est_batch.collect())
+    )
