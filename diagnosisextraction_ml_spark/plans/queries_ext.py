@@ -3014,3 +3014,35 @@ def _cohort_fn(spark, sf_dir):
 
 
 register("events_cohort_retention", _cohort_sql())(_cohort_fn)
+
+
+# ===========================================================================
+# Z-order (Morton) codes — the write-time clustering key, oracle-exact.
+# The layout effect (files-opened pruning on both dimensions) is pinned
+# by tests/test_zorder.py; this entry pins the bit arithmetic itself.
+# ===========================================================================
+
+def _zorder_entry() -> None:
+    from diagnosisextraction_ml_spark.sources import zorder
+
+    bits = zorder.ZBITS
+    a_sql = f"user_id % {1 << bits}"
+    b_sql = f"CAST(abs(floor(value)) AS BIGINT) % {1 << bits}"
+    sql = f"""
+    SELECT event_id,
+           ({zorder.morton_code_sql(a_sql, b_sql, bits)}) AS z
+    FROM events
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        a = F.col("user_id") % F.lit(1 << bits)
+        b = F.abs(F.floor(F.col("value"))).cast("long") % F.lit(1 << bits)
+        return ev.select(
+            "event_id", zorder.morton_code(a, b, bits).alias("z")
+        )
+
+    register("zorder_morton_codes", sql)(_fn)
+
+
+_zorder_entry()
