@@ -458,3 +458,98 @@ def dequantize_embeddings(
         "embedding_deq",
         F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
     )
+
+
+def srp_embed_text(
+    docs: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Text → dense vector: hashed TF-IDF under a signed random projection.
+
+    A from-scratch featurizer that turns raw documents into the
+    ``(id, embedding)`` shape the ANN / SemDeDup stack consumes —
+    no external model needed. Each dimension k is the ±1-signed sum of
+    the document's TF-IDF weights (``sign(token, k)`` from md5 — the
+    SimHash construction, kept real-valued instead of thresholded), a
+    Johnson-Lindenstrauss-style projection whose cosines approximate
+    TF-IDF cosines at dim ≫ ln(n).
+
+    Exactness doctrine: idf is micro-nat-quantized the moment it
+    leaves ``ln``; every component is then the INTEGER
+    Σ tf·idf_micro·(±1) — order-independent, overflow-safe
+    (≤ ~1e11 ≪ 2^63), bit-identical cross-engine. The vector is cast
+    to double only at the boundary so downstream cosine code sees the
+    usual array<double>.
+
+    Plan: token counts groupBy + vocabulary-sized dfreq groupBy +
+    dim-way explode → groupBy(id, k) partial-first sum → one
+    array_sort(collect_list) assembly per doc. N rides along as the
+    single-row scalar broadcast.
+
+    Output: (id, embedding array<double>) — docs with no tokens drop.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    tc = (
+        docs.select(F.col(id_col), F.explode(toks).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dfreq = tc.groupBy("w").agg(F.count(F.lit(1)).alias("dfr"))
+    ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit(1).alias("j"), "n_docs"
+    )
+    idf_micro = F.round(
+        F.lit(1_000_000.0)
+        * (
+            F.log(
+                (F.lit(1.0) + F.col("n_docs").cast("double"))
+                / (F.lit(1.0) + F.col("dfr").cast("double"))
+            )
+            + F.lit(1.0)
+        ),
+        0,
+    ).cast("long")
+    weighted = (
+        tc.join(dfreq, ["w"])
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(ndocs), ["j"])
+        .select(id_col, "w", (F.col("c") * idf_micro).alias("wt"))
+    )
+    dims = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    (
+                        F.lit(1)
+                        - F.lit(2)
+                        * (
+                            md5_hash64(F.concat(F.lit(f"{k}:"), F.col("w")))
+                            % F.lit(2)
+                        )
+                    ).alias("s"),
+                )
+                for k in range(dim)
+            ]
+        )
+    ).alias("d")
+    proj = (
+        weighted.select(id_col, "wt", dims)
+        .select(
+            id_col,
+            F.col("d.k").alias("k"),
+            (F.col("wt") * F.col("d.s")).alias("v"),
+        )
+        .groupBy(id_col, "k")
+        .agg(F.sum("v").alias("v"))
+    )
+    return proj.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("k"), F.col("v")))),
+            lambda x: x.getField("v").cast("double"),
+        ).alias("embedding")
+    )

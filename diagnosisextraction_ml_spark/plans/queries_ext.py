@@ -866,8 +866,14 @@ def _sim_ivf_assign(spark, sf_dir):
     )
 
 
-def _kmeans_assign_cte(k: int = 8, iters: int = 2) -> str:
+def _kmeans_assign_cte(
+    k: int = 8, iters: int = 2, emb_body: str | None = None
+) -> str:
     """Shared unrolled-k-means WITH-block: ends at fin(vec_id, ev, cidx).
+
+    ``emb_body``: optional SELECT producing (vec_id, ev DOUBLE[]) —
+    defaults to the embeddings table; the text-SemDeDup pipeline passes
+    its SRP-projection CTE instead.
 
     DuckDB twin of the *iterative* kmeans_centroids + final assignment.
     Every step is deterministic arithmetic, so even the iterative
@@ -883,9 +889,11 @@ def _kmeans_assign_cte(k: int = 8, iters: int = 2) -> str:
         "list_dot_product(e.ev, c.cv)"
         " / (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(c.cv, c.cv)))"
     )
+    if emb_body is None:
+        emb_body = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings"
     blocks = [
         f"""
-    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    emb AS ({emb_body}),
     c0 AS (SELECT CAST(row_number() OVER (ORDER BY {h} ASC, vec_id ASC) AS INT) - 1 AS cidx,
                   ev AS cv
            FROM emb
@@ -3046,3 +3054,73 @@ def _zorder_entry() -> None:
 
 
 _zorder_entry()
+
+
+# ===========================================================================
+# Text → SRP embedding → SemDeDup, end-to-end on raw documents.
+# The SRP projection is integer-exact (tf·idf_micro·±1 sums), so the
+# full chain — featurize, iterative k-means, within-cluster cosine —
+# replays hash-exactly in the oracle. Injected exact dups project to
+# identical vectors (cosine 1.0) and must come back is_dup=true.
+# ===========================================================================
+
+def _text_semdedup_entry(dim: int = 16, tau: float = 0.99) -> None:
+    from diagnosisextraction_ml_spark.operators import dedup as _dd
+    from diagnosisextraction_ml_spark.operators import similarity as _sim
+
+    toks = _toks_sql("lower(text)")
+    sgn = md5_hash64_sql("concat(CAST(t.k AS VARCHAR), ':', w)")
+    idf = (
+        "CAST(round(CAST(1000000.0 AS DOUBLE) * "
+        "(ln((CAST(1.0 AS DOUBLE) + CAST(n_docs AS DOUBLE)) "
+        "/ (CAST(1.0 AS DOUBLE) + CAST(dfr AS DOUBLE))) "
+        "+ CAST(1.0 AS DOUBLE)), 0) AS BIGINT)"
+    )
+    pre = f"""
+    corpus2 AS ({_DUP_UNION_SQL}),
+    srp_tc AS (SELECT doc_id, w, COUNT(*) AS c
+               FROM (SELECT doc_id, unnest({toks}) AS w FROM corpus2)
+               GROUP BY 1, 2),
+    srp_df AS (SELECT w, COUNT(*) AS dfr FROM srp_tc GROUP BY 1),
+    srp_n AS (SELECT COUNT(*) AS n_docs FROM corpus2),
+    srp_w AS (SELECT doc_id, srp_tc.w, srp_tc.c * {idf} AS wt
+              FROM srp_tc JOIN srp_df ON srp_df.w = srp_tc.w
+              CROSS JOIN srp_n),
+    srp_proj AS (SELECT doc_id, t.k, SUM(wt * (1 - 2 * ({sgn} % 2))) AS v
+                 FROM srp_w CROSS JOIN range({dim}) t(k) GROUP BY 1, 2),"""
+    emb_body = (
+        "SELECT doc_id AS vec_id, list(CAST(v AS DOUBLE) ORDER BY k) AS ev "
+        "FROM srp_proj GROUP BY doc_id"
+    )
+    cte = _kmeans_assign_cte(k=8, iters=2, emb_body=emb_body)
+    cte = cte.replace("WITH", "WITH" + pre, 1)
+    cos_ab = (
+        "list_dot_product(a.ev, b.ev)"
+        " / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev)))"
+    )
+    sql = (
+        cte
+        + f""",
+    dup AS (
+      SELECT DISTINCT a.vec_id
+      FROM fin a JOIN fin b
+        ON a.cidx = b.cidx AND a.vec_id > b.vec_id
+      WHERE round({cos_ab}, 6) >= CAST({tau!r} AS DOUBLE)
+    )
+    SELECT f.vec_id, f.cidx AS cluster,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM fin f LEFT JOIN dup d ON d.vec_id = f.vec_id
+    """
+    )
+
+    def _fn(spark, sf_dir):
+        corpus = _dup_union(spark, sf_dir)
+        emb = _sim.srp_embed_text(corpus, dim=dim).withColumnRenamed(
+            "doc_id", "vec_id"
+        )
+        return _dd.semantic_dedup(emb, k=8, iters=2, tau=tau)
+
+    register("pipeline_text_semdedup", sql)(_fn)
+
+
+_text_semdedup_entry()

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+from diagnosisextraction_ml_spark.operators import similarity
 from diagnosisextraction_ml_spark.operators.similarity import (
     brute_force_topk,
     lsh_bucketed_topk,
@@ -175,3 +176,75 @@ def test_int8_quantization_zero_vector_safe(spark):
     rows = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
     assert rows[1]["scale"] == 0.0 and rows[1]["q"] == [0, 0, 0]
     assert rows[2]["q"][1] == -127  # max-magnitude element hits the rail
+
+
+# ---------------------------------------------------------------------------
+# SRP text featurizer
+# ---------------------------------------------------------------------------
+
+
+def test_srp_identical_texts_identical_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, "spark join hash"), (2, "spark join hash"), (3, "totally other words")],
+        "doc_id long, text string",
+    )
+    vecs = {r.doc_id: r.embedding for r in similarity.srp_embed_text(df).collect()}
+    assert vecs[1] == vecs[2]
+    assert vecs[1] != vecs[3]
+    assert len(vecs[1]) == 16
+
+
+def test_srp_cosine_tracks_text_similarity(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely unrelated vocabulary entirely disjoint tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import math
+
+    vecs = {r.doc_id: r.embedding for r in similarity.srp_embed_text(df).collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+
+    assert cos(vecs[1], vecs[2]) > cos(vecs[1], vecs[3])
+
+
+def test_srp_empty_docs_drop(spark):
+    df = spark.createDataFrame(
+        [(1, "some text"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in similarity.srp_embed_text(df).collect()}
+    assert got == {1}
+
+
+def test_srp_partitioning_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} shared word") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        (r.doc_id, tuple(r.embedding))
+        for r in similarity.srp_embed_text(df.repartition(8)).collect()
+    )
+    b = sorted(
+        (r.doc_id, tuple(r.embedding))
+        for r in similarity.srp_embed_text(df.coalesce(1)).collect()
+    )
+    assert a == b
+
+
+def test_srp_feeds_semantic_dedup_end_to_end(spark):
+    from diagnosisextraction_ml_spark.operators import dedup
+
+    rows = [(i, f"unique document number {i} with words w{i} x{i}") for i in range(20)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # 5 exact copies
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = similarity.srp_embed_text(df).withColumnRenamed("doc_id", "vec_id")
+    out = {r.vec_id: r.is_dup for r in
+           dedup.semantic_dedup(emb, k=4, iters=2, tau=0.99).collect()}
+    for i in range(5):
+        assert out[100 + i] is True   # copy flagged
+        assert out[i] is False        # original kept
