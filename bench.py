@@ -45,6 +45,11 @@ HEADLINE = [
     # added round 6 — train+score hashed quality classifier (two corpus
     # passes + broadcast join); totals before r06 cover 17 queries.
     "quality_token_logodds",
+    # added round 7 session 2 — the new sketch/search/dedup paths;
+    # totals before then cover 18 queries (compare like-for-like).
+    "sketch_hll_distinct",
+    "search_bm25_topk",
+    "dedup_prefix_jaccard_pairs",
 ]
 
 # Every headline name must exist in the registry — a typo here would

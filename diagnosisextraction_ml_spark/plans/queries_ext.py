@@ -2835,10 +2835,15 @@ def _prefix_jaccard_sql(num: int = 1, den: int = 2) -> str:
     """
 
 
-register("dedup_prefix_jaccard_pairs", _prefix_jaccard_sql())(
+# Registered at t = 4/5: prefix filtering is the high-threshold tool
+# (prefix length ≈ (1-t)·|x| — at t=0.5 on a homogeneous corpus the
+# prefix is half the document and candidates explode quadratically; at
+# 0.8 it is the rarest fifth and the join stays sparse). The t=0.5
+# equivalence-to-uncapped-index law is still test-pinned at sf0.001.
+register("dedup_prefix_jaccard_pairs", _prefix_jaccard_sql(4, 5))(
     lambda spark, sf_dir: dedup.prefix_filter_jaccard_pairs(
         _dup_union(spark, sf_dir), "text", "doc_id", n=3,
-        threshold_num=1, threshold_den=2,
+        threshold_num=4, threshold_den=5,
     )
 )
 
