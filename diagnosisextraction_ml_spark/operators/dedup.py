@@ -799,6 +799,7 @@ def semantic_dedup(
     tau: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    method: str = "expr",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-cluster semantic dedup.
 
@@ -812,17 +813,29 @@ def semantic_dedup(
 
     Plan shape: clustering is the deterministic
     :func:`~.similarity.kmeans_centroids` (broadcast centroid
-    literals, one shuffle per Lloyd iteration); the within-cluster
-    comparison is an equi-join on the cluster id — never a crossJoin —
-    so the pair count is Σ n_c², the SemDeDup cost model. At 100 TB,
-    ``k`` scales with the corpus (n/1000-ish) to keep clusters
-    bounded, exactly as the paper prescribes; the id-ordered predicate
-    halves the join fan-out, and only (id, vec, cluster) triples ever
-    shuffle.
+    literals, one shuffle per Lloyd iteration); the final assignment is
+    computed ONCE and persisted (the k cosine argmin is the expensive
+    expression — without the persist both sides of the pair join would
+    recompute it). At 100 TB, ``k`` scales with the corpus (n/1000-ish)
+    to keep clusters bounded, exactly as the paper prescribes; the
+    id-ordered predicate halves the pair fan-out, and only (id, vec,
+    cluster) triples ever shuffle.
 
-    Determinism: cosine rounded to 1e-6 *before* the threshold
-    comparison, so the kept-set is bit-identical cross-engine (the
-    dedup_semantic oracle replays clustering AND the pair scan).
+    Two pair-scan engines (the repo's parity-path/scale-path pattern,
+    cf. operators/evaluate.py):
+
+    - ``method="expr"`` (default, oracle parity): equi-join on the
+      cluster id + per-pair cosine expression, rounded to 1e-6 before
+      the threshold compare — bit-identical to the DuckDB replay
+      (dedup_semantic / pipeline_text_semdedup oracles). Higher-order
+      array lambdas are interpreted, so per-pair cost is real: right
+      for oracle-scale and modest clusters.
+    - ``method="numpy"`` (scale path): applyInPandas per cluster, the
+      pair scan as blocked BLAS matmuls (measured ~40× at sf1 k=80 —
+      PERF.md). Same tau on the same 1e-6-rounded cosines; float
+      summation order differs from the sequential expression, so
+      exact-tie boundary cases could in principle differ — the fixture
+      tests pin equality of both engines on planted data.
 
     Output: (id, cluster, is_dup) — one row per input embedding.
     """
@@ -833,11 +846,17 @@ def semantic_dedup(
     )
 
     cents = kmeans_centroids(emb, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    # localCheckpoint (eager): the k-cosine argmin is the expensive
+    # expression — materialize it exactly once and cut the lineage, so
+    # neither pair-join side recomputes it and no persisted entry is
+    # left behind for the caller to clean up.
     assigned = emb.select(
         F.col(id_col),
         F.col(vec_col),
         nearest_centroid_expr(F.col(vec_col), cents).alias("cluster"),
-    )
+    ).localCheckpoint()
+    if method == "numpy":
+        return _semantic_dedup_pairs_numpy(assigned, tau, vec_col, id_col)
     a = assigned.select(
         F.col(id_col).alias("__a_id"), F.col(vec_col).alias("__a_v"), "cluster"
     )
@@ -953,3 +972,47 @@ def prefix_filter_jaccard_pairs(
             F.round(F.col("n_common") / union_sz, 6).alias("jaccard"),
         )
     )
+
+
+def _semantic_dedup_pairs_numpy(
+    assigned: DataFrame, tau: float, vec_col: str, id_col: str
+) -> DataFrame:
+    """Scale-path pair scan: per-cluster blocked BLAS cosine matrix.
+
+    Arrow-batched applyInPandas; each cluster group normalizes its
+    vectors once and walks the pair matrix in 2048-row blocks, so peak
+    memory is O(block · cluster) not O(cluster²). Cosines are rounded
+    to 1e-6 before the tau compare — the same quantization as the
+    expression path.
+    """
+    import pandas as pd
+
+    out_schema = f"{id_col} long, cluster int, is_dup boolean"
+
+    def scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        v = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+        n = len(pdf)
+        dup = np.zeros(n, dtype=bool)
+        if n > 1:
+            norms = np.sqrt((v * v).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            nv = v / norms[:, None]
+            block = 2048
+            for s in range(0, n, block):
+                e = min(s + block, n)
+                sims = np.round(nv[s:e] @ nv.T, 6)
+                for r in range(s, e):
+                    if r > 0 and (sims[r - s, :r] >= tau).any():
+                        dup[r] = True
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster": pdf["cluster"],
+                "is_dup": dup,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(scan, out_schema)

@@ -179,8 +179,19 @@ def kmeans_centroids(
         )
         centroids = [[float(v) for v in r[vec_col]] for r in init]
         for _ in range(iters):
-            assigned = frontier.select(
+            # Two stages with a localCheckpoint barrier between them:
+            # in a single select, the k-cosine argmin lands in a
+            # Project ABOVE the Generate (and CollapseProject undoes
+            # any manual split), so the expensive expression would be
+            # re-evaluated once per EXPLODED row — a dim× blowup
+            # (measured 17× at k=80/dim=64). The checkpoint pins the
+            # assignment to one evaluation per input row.
+            labeled = frontier.select(
                 nearest_centroid_expr(F.col(vec_col), centroids).alias("cluster"),
+                F.col(vec_col),
+            ).localCheckpoint()
+            assigned = labeled.select(
+                "cluster",
                 F.posexplode(F.col(vec_col)).alias("dim", "x"),
             )
             # decimal-exact SUM (order-independent), then one double

@@ -422,3 +422,23 @@ def test_prefix_jaccard_threshold_is_exact_rational(spark):
         df, threshold_num=1, threshold_den=2
     ).collect()
     assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 0.5)]
+
+
+def test_semantic_dedup_numpy_path_matches_expr(spark, planted_embeddings):
+    a = sorted(
+        map(
+            tuple,
+            dedup.semantic_dedup(
+                planted_embeddings, k=3, iters=2, tau=0.95, method="expr"
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup.semantic_dedup(
+                planted_embeddings, k=3, iters=2, tau=0.95, method="numpy"
+            ).collect(),
+        )
+    )
+    assert a == b
