@@ -322,3 +322,102 @@ def bloom_probe(
         == F.col("mask")
     )
     return joined.groupBy(*cols).agg(F.bool_and(hit).alias(out_col))
+
+
+# ===========================================================================
+# Bottom-k sketch — a mergeable uniform sample of the DISTINCT keys
+# (Cohen & Kaplan 2007), guided by the HLL estimate so the shuffle
+# only ever carries survivors.
+#
+# The third member of the sketch family: CMS answers "how often", HLL
+# answers "how many distinct", bottom-k yields an actual deterministic
+# SAMPLE of the distinct keys (plus its own cardinality estimate,
+# exact below k). Dedup-invariant by construction — duplicates of a
+# key share its md5, so the sample depends on the key SET only.
+#
+# The scale trick is the composition: a naive bottom-k must shuffle
+# every distinct key to rank them. Instead, a first HLL pass (constant
+# shuffle) estimates each group's cardinality n̂; only rows whose hash
+# falls below ≈ oversample·k/n̂ of the hash space survive the map-side
+# filter — the shuffle then carries ~oversample·k rows per group
+# instead of n̂. With oversample=4 the probability of losing part of
+# the true bottom-k is Chernoff-small (≈ e^{-k/3}); below k distinct
+# keys the filter keeps everything and the sample is exhaustive.
+# ===========================================================================
+
+_BK_HASH_SPACE = 1 << 60  # md5_hash64 range
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key: Column,
+    group_cols: list[str],
+    k: int = 64,
+    oversample: int = 4,
+) -> DataFrame:
+    """(group..., bk_hash, bk_rank ≤ k) — the k smallest distinct hashes.
+
+    Deterministic and mergeable: bottom-k of a union == bottom-k of
+    the concatenated samples (law pinned in tests).
+    """
+    from pyspark.sql import Window
+
+    est = hll_distinct(df, key, group_cols)
+    # threshold ≈ oversample·k/n̂ of the hash space; exact-rounded
+    # double division then round — identical in the SQL twin.
+    # least(..., H) caps the threshold at the full hash space — for
+    # groups whose estimate is below oversample·k the filter must keep
+    # everything, and the uncapped value would overflow BIGINT.
+    thr = est.select(
+        *group_cols,
+        F.least(
+            F.round(
+                F.lit(float(oversample * k)) * F.lit(float(_BK_HASH_SPACE))
+                / F.greatest(F.col("hll_est"), F.lit(1)).cast("double"),
+                0,
+            ),
+            F.lit(float(_BK_HASH_SPACE)),
+        )
+        .cast("long")
+        .alias("bk_thr"),
+    )
+    hashed = df.select(*group_cols, md5_hash64(key).alias("bk_hash"))
+    surv = (
+        hashed.join(F.broadcast(thr), group_cols)
+        .filter(F.col("bk_hash") <= F.col("bk_thr"))
+        .select(*group_cols, "bk_hash")
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("bk_hash"))
+    return (
+        surv.withColumn("bk_rank", F.row_number().over(w))
+        .filter(F.col("bk_rank") <= k)
+    )
+
+
+def bottomk_distinct_estimate(
+    sample: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """(group..., bk_est) from a bottom-k sample.
+
+    With a full sample (rank k present): n̂ = (k−1)·H/h_k where h_k is
+    the k-th smallest hash — the classic order-statistics estimator.
+    With fewer than k survivors the sample IS the distinct set and the
+    count is exact.
+    """
+    agg = sample.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.max("bk_hash").alias("h_max"),
+    )
+    est = (
+        F.when(
+            F.col("n_sample") < k, F.col("n_sample").cast("double")
+        ).otherwise(
+            F.lit(float(k - 1))
+            * F.lit(float(_BK_HASH_SPACE))
+            / F.greatest(F.col("h_max"), F.lit(1)).cast("double")
+        )
+    )
+    return agg.select(
+        *group_cols, F.round(est, 0).cast("long").alias("bk_est")
+    )

@@ -2415,8 +2415,43 @@ def _hll_sql(group_exprs: list[tuple[str, str]]) -> str:
     keys = ", ".join(a for a, _ in group_exprs)
     on = " AND ".join(f"x.{a} = est.{a}" for a, _ in group_exprs)
     xkeys = ", ".join(f"x.{a}" for a, _ in group_exprs)
+    cte = _hll_est_cte_body(sel, keys, hv, m, rho_max, e_raw, e_lc)
     return f"""
-    WITH h AS (
+    WITH {cte}
+    SELECT {xkeys}, x.exact_distinct, est.hll_est
+    FROM (SELECT {sel}, COUNT(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY ALL) x
+    JOIN est ON {on}
+    """
+
+
+def _hll_parts():
+    """(m, rho_max, pow52, e_raw, e_lc, b0) — shared literal pieces."""
+    from diagnosisextraction_ml_spark.operators import sketch
+
+    m = sketch.HLL_M
+    rho_max = sketch._HLL_RHO_MAX
+    pow52 = sketch._POW2_52
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    a_m2 = repr(alpha * m * m)
+    b0 = "CAST(floor(log2(CAST(greatest(w, 1) AS DOUBLE))) AS BIGINT)"
+    e_raw = (
+        f"(CAST({a_m2} AS DOUBLE) * CAST({float(pow52)!r} AS DOUBLE) / "
+        f"CAST(s2_present + ({m} - n_regs) * CAST({pow52} AS BIGINT) AS DOUBLE))"
+    )
+    e_lc = (
+        f"round({float(m)!r} * ln({float(m)!r} / "
+        f"CAST(greatest({m} - n_regs, 1) AS DOUBLE)), 0)"
+    )
+    return m, rho_max, pow52, e_raw, e_lc, b0
+
+
+def _hll_est_cte_body(
+    sel: str, keys: str, hv: str, m: int, rho_max: int, e_raw: str, e_lc: str
+) -> str:
+    """CTE chain h→r→rk→regs→agg→est(keys, hll_est) over events."""
+    _, _, _, _, _, b0 = _hll_parts()
+    return f"""h AS (
       SELECT {sel}, {hv} AS hv FROM events
     ), r AS (
       SELECT {keys}, hv % {m} AS reg, hv // {m} AS w FROM h
@@ -2441,12 +2476,7 @@ def _hll_sql(group_exprs: list[tuple[str, str]]) -> str:
         CAST(CASE WHEN {e_raw} <= {2.5 * m!r} AND ({m} - n_regs) > 0
                   THEN {e_lc} ELSE round({e_raw}, 0) END AS BIGINT) AS hll_est
       FROM agg
-    )
-    SELECT {xkeys}, x.exact_distinct, est.hll_est
-    FROM (SELECT {sel}, COUNT(DISTINCT user_id) AS exact_distinct
-          FROM events GROUP BY ALL) x
-    JOIN est ON {on}
-    """
+    )"""
 
 
 def _hll_entry() -> None:
@@ -3129,3 +3159,68 @@ def _text_semdedup_entry(dim: int = 16, tau: float = 0.99) -> None:
 
 
 _text_semdedup_entry()
+
+
+# ===========================================================================
+# Bottom-k distinct sample — HLL-guided survivor filter, then exact
+# rank among survivors. The oracle replays BOTH sketches end-to-end.
+# ===========================================================================
+
+def _bottomk_entry(k: int = 64, oversample: int = 4) -> None:
+    from diagnosisextraction_ml_spark.operators import sketch
+
+    m, rho_max, pow52, e_raw, e_lc, _ = _hll_parts()
+    hv = md5_hash64_sql("CAST(user_id AS VARCHAR)")
+    hll_cte = _hll_est_cte_body(
+        "event_type AS event_type", "event_type", hv, m, rho_max, e_raw, e_lc
+    )
+    hspace = float(sketch._BK_HASH_SPACE)
+    thr = (
+        f"CAST(least(round(CAST({float(oversample * k)!r} AS DOUBLE) * "
+        f"CAST({hspace!r} AS DOUBLE) / "
+        f"CAST(greatest(hll_est, 1) AS DOUBLE), 0), "
+        f"CAST({hspace!r} AS DOUBLE)) AS BIGINT)"
+    )
+    bk_est = (
+        f"CAST(round(CASE WHEN n_sample < {k} THEN CAST(n_sample AS DOUBLE) "
+        f"ELSE CAST({float(k - 1)!r} AS DOUBLE) * CAST({hspace!r} AS DOUBLE) "
+        f"/ CAST(greatest(h_max, 1) AS DOUBLE) END, 0) AS BIGINT)"
+    )
+    sql = f"""
+    WITH {hll_cte},
+    thr AS (SELECT event_type, {thr} AS bk_thr FROM est),
+    hashed AS (SELECT event_type, {hv} AS bk_hash FROM events),
+    surv AS (SELECT DISTINCT hashed.event_type, bk_hash
+             FROM hashed JOIN thr ON thr.event_type = hashed.event_type
+             WHERE bk_hash <= bk_thr),
+    ranked AS (SELECT event_type, bk_hash,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY bk_hash) AS rn
+               FROM surv),
+    agg2 AS (SELECT event_type, COUNT(*) AS n_sample, MAX(bk_hash) AS h_max
+             FROM ranked WHERE rn <= {k} GROUP BY 1),
+    bk AS (SELECT event_type, {bk_est} AS bk_est FROM agg2)
+    SELECT x.event_type, x.exact_distinct, bk.bk_est
+    FROM (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY 1) x
+    JOIN bk ON bk.event_type = x.event_type
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        samp = sketch.bottomk_sample(
+            ev, F.col("user_id").cast("string"), ["event_type"],
+            k=k, oversample=oversample,
+        )
+        est = sketch.bottomk_distinct_estimate(samp, ["event_type"], k=k)
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_distinct")
+        )
+        return exact.join(est, ["event_type"]).select(
+            "event_type", "exact_distinct", "bk_est"
+        )
+
+    register("sketch_bottomk_distinct", sql)(_fn)
+
+
+_bottomk_entry()

@@ -208,3 +208,55 @@ def test_bloom_or_merge_is_union(spark, members):
 def test_bloom_filter_is_small(spark, members):
     bloom = sketch.bloom_build(members, F.col("k"))
     assert bloom.count() <= sketch.BLOOM_BITS // 32
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sample
+# ---------------------------------------------------------------------------
+
+
+def test_bottomk_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [("g", f"k{i % 20}") for i in range(200)], "g string, k string"
+    )
+    samp = sketch.bottomk_sample(df, F.col("k"), ["g"], k=64)
+    assert samp.count() == 20  # all distinct keys survive
+    est = sketch.bottomk_distinct_estimate(samp, ["g"], k=64).collect()[0]
+    assert est.bk_est == 20  # exact below k
+
+
+def test_bottomk_estimate_accuracy(spark, keyed):
+    samp = sketch.bottomk_sample(df=keyed, key=F.col("k"), group_cols=["g"], k=64)
+    est = {
+        r.g: r.bk_est
+        for r in sketch.bottomk_distinct_estimate(samp, ["g"], k=64).collect()
+    }
+    assert est["small"] == 40  # below k → exact
+    assert abs(est["large"] - 5000) / 5000 < 0.5  # k=64 → ~12% σ; 3σ+slack
+
+
+def test_bottomk_sample_is_dedup_invariant(spark, keyed):
+    once = keyed.dropDuplicates(["g", "k"])
+    a = sorted(map(tuple, sketch.bottomk_sample(keyed, F.col("k"), ["g"], k=32).collect()))
+    b = sorted(map(tuple, sketch.bottomk_sample(once, F.col("k"), ["g"], k=32).collect()))
+    assert a == b
+
+
+def test_bottomk_merge_law(spark, keyed):
+    """bottom-k of the union == bottom-k of concatenated samples."""
+    from pyspark.sql import Window
+
+    left = keyed.filter(F.length("k") <= 2)
+    right = keyed.filter(F.length("k") > 2)
+    whole = sketch.bottomk_sample(keyed, F.col("k"), ["g"], k=32)
+    parts = sketch.bottomk_sample(left, F.col("k"), ["g"], k=32).unionByName(
+        sketch.bottomk_sample(right, F.col("k"), ["g"], k=32)
+    )
+    w = Window.partitionBy("g").orderBy(F.asc("bk_hash"))
+    merged = (
+        parts.select("g", "bk_hash")
+        .distinct()
+        .withColumn("bk_rank", F.row_number().over(w))
+        .filter(F.col("bk_rank") <= 32)
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
