@@ -63,3 +63,73 @@ def upsert_latest(
     return agg.select(
         *key_cols, *[F.col(f"__latest.{c}").alias(c) for c in picked]
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC between two keyed snapshots: added / removed / changed rows.
+
+    The day-2 companion to :func:`upsert_latest`: given yesterday's and
+    today's snapshot of the same keyed table, emit one row per key
+    whose state differs — the change feed a downstream incremental
+    consumer (or an audit log) wants. Unchanged keys are filtered out
+    before anything wide happens.
+
+    One full outer join on the key (co-partitioned shuffle, broadcast
+    when one side is small — AQE's choice); per-column comparison is a
+    null-safe equality per compare column, codegen'd, producing the
+    exact list of changed column names rather than a boolean blob.
+
+    Output: (key..., change_type in {'added','removed','changed'},
+    changed_cols array<string> — empty for added/removed).
+    """
+    key_cols = list(key_cols)
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in key_cols]
+    compare_cols = list(compare_cols)
+
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *key_cols,
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    changed = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")),
+                    F.lit(c),
+                ).otherwise(F.lit(""))
+                for c in compare_cols
+            ]
+        ),
+        lambda x: x != "",
+    )
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.size(changed) > 0, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *key_cols,
+            "change_type",
+            F.when(
+                F.col("change_type") == "changed", changed
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+    )

@@ -3224,3 +3224,66 @@ def _bottomk_entry(k: int = 64, oversample: int = 4) -> None:
 
 
 _bottomk_entry()
+
+
+# ===========================================================================
+# Snapshot diff (CDC) — added/removed/changed between two keyed
+# snapshots, with the exact changed-column list.
+# ===========================================================================
+
+def _snapshot_diff_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import upsert
+
+    sql = """
+    WITH snap_old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ), snap_new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 17 <> 0
+    ), j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new,
+             list_filter([
+               CASE WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+                    THEN 'o_orderstatus' ELSE '' END,
+               CASE WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+                    THEN 'o_totalprice' ELSE '' END
+             ], x -> x != '') AS ch
+      FROM snap_old o FULL OUTER JOIN snap_new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           CASE WHEN in_old AND in_new THEN ch
+                ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+    FROM j
+    WHERE NOT in_old OR NOT in_new OR len(ch) > 0
+    """
+
+    def _fn(spark, sf_dir):
+        orders = _t(spark, sf_dir, "orders")
+        old = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        new = orders.filter(F.col("o_orderkey") % 17 != 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + F.lit(10.0)
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        return upsert.snapshot_diff(
+            old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+        )
+
+    register("upsert_snapshot_diff", sql)(_fn)
+
+
+_snapshot_diff_entry()

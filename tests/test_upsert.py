@@ -78,3 +78,43 @@ def test_upsert_plan_shape(spark, history, batch):
     assert "Window" not in plan
     assert plan.count("Exchange") == 1
     assert "partial_max" in plan
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff (CDC)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    from diagnosisextraction_ml_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", None)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 25.0), (4, "d", None), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r.k: (r.change_type, list(r.changed_cols))
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    # 1 unchanged → absent; 4 has equal NULLs → unchanged, absent
+    assert got == {
+        2: ("changed", ["s", "v"]),
+        3: ("removed", []),
+        5: ("added", []),
+    }
+
+
+def test_snapshot_diff_respects_compare_cols(spark):
+    from diagnosisextraction_ml_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 10.0)], "k long, s string, v double")
+    new = spark.createDataFrame([(1, "a", 99.0)], "k long, s string, v double")
+    assert snapshot_diff(old, new, ["k"], ["s"]).count() == 0
+    got = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    assert [(r.k, r.change_type, list(r.changed_cols)) for r in got] == [
+        (1, "changed", ["v"])
+    ]
