@@ -583,3 +583,46 @@ def mixture_resample(
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
         .drop("__n")
     )
+
+
+def weighted_sample_es(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weight-proportional sample without replacement (Efraimidis-
+    Spirakis 2006), deterministic and single-pass.
+
+    The LLM-corpus use: subsample documents with probability ∝ a
+    quality/importance weight (A-ES: draw u ~ U(0,1] per item, keep
+    the k largest u^(1/w)). Following the repo's hashing doctrine the
+    "random" u is md5(id)-derived — (h+1)/2^60, exact in double — so
+    the sample is reproducible on any cluster, any partitioning, and
+    in the DuckDB oracle. The rank key is ln(u)/w (monotone in
+    u^(1/w)) quantized to integer micro-nats, with the id as total
+    tie-break — the one float op (ln) goes through the engine's
+    standard micro-rounding before any comparison.
+
+    One scan + a top-k (TakeOrderedAndProject: every partition ships
+    at most k rows — the documented safe top-k shape). Rows with
+    weight ≤ 0 or NULL are excluded (zero mass).
+
+    Output: (id, weight, es_score_micro), the k sampled rows.
+    """
+    h = md5_hash64(F.col(id_col).cast("string"))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    score = F.round(
+        F.lit(1_000_000.0) * F.log(u) / w, 0
+    ).cast("long")
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            score.alias("es_score_micro"),
+        )
+        .orderBy(F.desc("es_score_micro"), F.asc(id_col))
+        .limit(k)
+    )

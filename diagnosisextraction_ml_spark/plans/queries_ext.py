@@ -3287,3 +3287,33 @@ def _snapshot_diff_entry() -> None:
 
 
 _snapshot_diff_entry()
+
+
+# ===========================================================================
+# Weighted sampling (Efraimidis-Spirakis) — quality-weighted corpus
+# subsampling, md5-deterministic, micro-nat rank key.
+# ===========================================================================
+
+def _weighted_sample_entry(k: int = 50) -> None:
+    from diagnosisextraction_ml_spark.operators import prep
+
+    hv = md5_hash64_sql("CAST(doc_id AS VARCHAR)")
+    sql = f"""
+    SELECT doc_id, weight, es_score_micro FROM (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             CAST(round(CAST(1000000.0 AS DOUBLE)
+                 * ln(CAST(({hv}) + 1 AS DOUBLE) / CAST({float(1 << 60)!r} AS DOUBLE))
+                 / CAST(n_chars AS DOUBLE), 0) AS BIGINT) AS es_score_micro
+      FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+    )
+    ORDER BY es_score_micro DESC, doc_id ASC LIMIT {k}
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return prep.weighted_sample_es(docs, "n_chars", k=k)
+
+    register("prep_weighted_sample_es", sql)(_fn)
+
+
+_weighted_sample_entry()

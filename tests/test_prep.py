@@ -265,3 +265,30 @@ def test_mixture_resample_multiplicity_and_determinism(spark):
 
     again = mixture_resample(df.repartition(7), "g", "k", weights).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_es
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_es_favors_heavy_weights(spark):
+    from diagnosisextraction_ml_spark.operators.prep import weighted_sample_es
+
+    rows = [(i, 10.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample_es(df, "w", k=100).collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r.doc_id < 500)
+    assert heavy >= 70  # 10:1 weights → heavy class dominates
+
+
+def test_weighted_sample_es_deterministic_and_filters_nonpositive(spark):
+    from diagnosisextraction_ml_spark.operators.prep import weighted_sample_es
+
+    rows = [(i, float(i % 7) - 1.0) for i in range(300)]  # some ≤ 0
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = [tuple(r) for r in weighted_sample_es(df.repartition(7), "w", k=40).collect()]
+    b = [tuple(r) for r in weighted_sample_es(df.coalesce(1), "w", k=40).collect()]
+    assert a == b
+    assert all(r[1] > 0 for r in a)
