@@ -1,0 +1,111 @@
+"""Graph analytics over relational edge lists — PageRank.
+
+Complements the min-label-propagation connected components in
+``operators.dedup`` with the other canonical iterative graph kernel.
+Reference parity note: the reference pipeline has no graph operator;
+this is a north-star extension for link/citation analysis over
+training-corpus graphs (document-similarity graphs, domain graphs,
+co-occurrence graphs) where PageRank-style centrality is the standard
+quality/dedup-priority signal.
+
+Scale design:
+
+- The edge list is joined with out-degrees ONCE and persisted
+  (``localCheckpoint``) — every Lloyd-style iteration reuses the
+  materialized (src, dst, deg) relation instead of re-deriving the
+  upstream plan (same frontier discipline as ``dedup.kmeans_centroids``
+  and ``dedup.connected_components``).
+- One iteration = one shuffle join (ranks ⋈ edges on src) + one
+  hash aggregation (groupBy dst). Rank state is |V| rows of two
+  BIGINTs — never the edge payload.
+- **Exact integer arithmetic**: ranks are micro-units (1e6 = 1.0).
+  Per-edge contribution is ``rank div deg`` (integer floor), the
+  damping step is ``(85 · Σ contrib) div 100 + 150000``. Every
+  operation is exact BIGINT math, so the result is bit-identical on
+  any partitioning, any cluster size, and in the DuckDB oracle's
+  unrolled recursive CTE. (Float PageRank sums in shuffle order are
+  not reproducible; integer floor division loses <1 micro-unit per
+  edge and is.)
+- Teleport mass uses the per-node convention (Σ ranks ≈ |V|·1e6):
+  r'(v) = 0.15·1e6 + 0.85·Σ_{u→v} r(u)/deg(u). Dangling nodes
+  cannot occur on a symmetrized edge list (every node has deg ≥ 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BASE_MICRO = 1_000_000
+TELEPORT_MICRO = 150_000  # 0.15 in micro-units
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected edge list -> both directed arcs, deduplicated."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return fwd.union(
+        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    ).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact-integer PageRank over a directed edge list.
+
+    ``edges`` must already contain every arc to walk (use
+    :func:`symmetrize` for undirected graphs). Returns one row per
+    node: (node, rank_micro) where rank_micro is the damped rank in
+    micro-units after ``n_iter`` synchronous iterations from a uniform
+    1e6 start.
+    """
+    arcs = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Materialize (src, dst, deg) once; iterations reuse it.
+    arcs_deg = arcs.join(deg, "src").localCheckpoint()
+
+    nodes = (
+        arcs_deg.select(F.col("src").alias("node"))
+        .union(arcs_deg.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.select("node", F.lit(BASE_MICRO).cast("long").alias("rank_micro"))
+    ranks = ranks.localCheckpoint()
+
+    for _ in range(n_iter):
+        contrib = arcs_deg.join(ranks, arcs_deg.src == ranks.node).select(
+            F.col("dst"),
+            F.expr("rank_micro div deg").alias("contrib"),
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
+        # Nodes with no inbound arcs keep only the teleport term.
+        new_ranks = nodes.join(incoming, nodes.node == incoming.dst, "left").select(
+            F.col("node"),
+            (
+                F.lit(TELEPORT_MICRO)
+                + F.expr("85 * coalesce(s, 0L) div 100")
+            ).cast("long").alias("rank_micro"),
+        )
+        old = ranks
+        ranks = new_ranks.localCheckpoint()
+        old.unpersist()
+
+    return ranks
+
+
+def pagerank_top(
+    edges: DataFrame,
+    n_iter: int = 5,
+    k: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Top-k PageRank nodes with a total (rank desc, node asc) order."""
+    return (
+        pagerank(edges, n_iter=n_iter, src=src, dst=dst)
+        .orderBy(F.desc("rank_micro"), F.asc("node"))
+        .limit(k)
+    )

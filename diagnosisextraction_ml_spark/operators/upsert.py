@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -132,4 +132,65 @@ def snapshot_diff(
             .otherwise(F.array().cast("array<string>"))
             .alias("changed_cols"),
         )
+    )
+
+
+def scd2_history(
+    feed: DataFrame,
+    key_cols: Sequence[str],
+    state_col: str,
+    ts_col: str,
+    tiebreak_cols: Sequence[str],
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build from a change feed.
+
+    Given an append-only feed of observations (key, state, ts), collapse
+    consecutive runs of the same state per key into validity intervals —
+    the classic gaps-and-islands rewrite of a dimension history:
+
+    - ``valid_from``: first observation ts of the run,
+    - ``valid_to``: the next run's valid_from (NULL for the open/current
+      run), so intervals are half-open ``[from, to)`` and partition each
+      key's observed timeline,
+    - ``is_current``: the run with NULL valid_to.
+
+    Determinism: observations are ordered by (ts, tiebreak_cols) — at
+    equal timestamps the unique tiebreak (e.g. the feed's event id)
+    fixes which state "wins" the instant, on any partitioning.
+
+    Scale: both windows and the final aggregation share ONE partitioning
+    by key — Catalyst plans a single Exchange(key) feeding lag → cumsum
+    → groupBy. Per-key history is typically small (dimension feeds), so
+    the per-key sort is bounded; there is no unpartitioned window
+    anywhere. Output is |runs| rows, ≤ |feed|.
+    """
+    key_cols = list(key_cols)
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    run = (
+        feed.withColumn(
+            "__chg",
+            F.when(
+                F.lag(state_col).over(w).eqNullSafe(F.col(state_col)), F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "__run",
+            F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    runs = run.groupBy(*key_cols, "__run").agg(
+        F.min(state_col).alias(state_col),  # constant within the run
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(F.col("__run").asc())
+    return runs.select(
+        *key_cols,
+        F.col("__run").alias("run_id"),
+        state_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        "n_obs",
     )

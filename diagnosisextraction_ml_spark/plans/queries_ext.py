@@ -3317,3 +3317,221 @@ def _weighted_sample_entry(k: int = 50) -> None:
 
 
 _weighted_sample_entry()
+
+
+# ===========================================================================
+# PageRank — iterative graph kernel, exact-integer micro-unit ranks,
+# unrolled-CTE oracle (same doctrine as the k-means IVF oracle).
+# ===========================================================================
+
+def _pagerank_sql(n_iter: int = 5, k: int = 20) -> str:
+    parts = [
+        """
+    WITH arcs0 AS (
+      SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem
+    ), arcs AS (
+      SELECT src, dst FROM arcs0 UNION SELECT dst, src FROM arcs0
+    ), deg AS (
+      SELECT src, count(*) AS deg FROM arcs GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM arcs
+    ), r0 AS (
+      SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", r{i} AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(i.s, 0)) // 100 AS BIGINT) AS rank_micro
+      FROM nodes n LEFT JOIN (
+        SELECT a.dst AS node, sum(r.rank_micro // d.deg) AS s
+        FROM arcs a
+        JOIN r{i-1} r ON a.src = r.node
+        JOIN deg d ON a.src = d.src
+        GROUP BY a.dst
+      ) i ON n.node = i.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+           rank_micro
+    FROM r{n_iter}
+    ORDER BY rank_micro DESC, node ASC LIMIT {k}"""
+    )
+    return "".join(parts)
+
+
+def _pagerank_entry(n_iter: int = 5, k: int = 20) -> None:
+    from diagnosisextraction_ml_spark.operators import graph
+
+    def _fn(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        edges = li.select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        ).distinct()
+        top = graph.pagerank_top(graph.symmetrize(edges), n_iter=n_iter, k=k)
+        return top.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            "rank_micro",
+        )
+
+    register("graph_pagerank_top", _pagerank_sql(n_iter, k))(_fn)
+
+
+_pagerank_entry()
+
+
+# ===========================================================================
+# Entity resolution — prefix blocking + Levenshtein verify (record
+# linkage canopy pattern; in-bucket pair expansion, no self-join).
+# ===========================================================================
+
+def _er_entry(prefix_len: int = 16, max_dist: int = 1, max_block: int = 200) -> None:
+    from diagnosisextraction_ml_spark.operators import joins
+
+    sql = f"""
+    WITH t AS (
+      SELECT c_custkey AS id, c_name AS name,
+             substring(c_name, 1, {prefix_len}) AS pfx
+      FROM customer
+    ), b AS (
+      SELECT pfx, count(*) AS n FROM t GROUP BY pfx
+    )
+    SELECT a.id AS id_a, b2.id AS id_b,
+           CAST(levenshtein(a.name, b2.name) AS INTEGER) AS dist
+    FROM t a
+    JOIN t b2 ON a.pfx = b2.pfx AND b2.id > a.id
+    JOIN b ON a.pfx = b.pfx
+    WHERE b.n BETWEEN 2 AND {max_block}
+      AND levenshtein(a.name, b2.name) <= {max_dist}
+    """
+
+    def _fn(spark, sf_dir):
+        cust = _t(spark, sf_dir, "customer")
+        return joins.blocked_fuzzy_pairs(
+            cust,
+            id_col="c_custkey",
+            name_col="c_name",
+            block_cols=[],
+            prefix_len=prefix_len,
+            max_dist=max_dist,
+            max_block=max_block,
+        )
+
+    register("er_blocked_pairs", sql)(_fn)
+
+
+_er_entry()
+
+
+# ===========================================================================
+# SCD Type 2 — gaps-and-islands dimension history from a change feed.
+# ===========================================================================
+
+def _scd2_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import upsert
+
+    sql = """
+    WITH ord AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderpriority) OVER w IS NOT DISTINCT FROM o_orderpriority
+                  THEN 0 ELSE 1 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), runs0 AS (
+      SELECT *,
+             CAST(sum(chg) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      FROM ord
+    ), runs AS (
+      SELECT o_custkey, run_id,
+             min(o_orderpriority) AS o_orderpriority,
+             min(o_orderdate) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM runs0 GROUP BY o_custkey, run_id
+    )
+    SELECT o_custkey, run_id, o_orderpriority, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           lead(valid_from) OVER w2 IS NULL AS is_current,
+           n_obs
+    FROM runs
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id)
+    """
+
+    def _fn(spark, sf_dir):
+        orders = _t(spark, sf_dir, "orders")
+        return upsert.scd2_history(
+            orders.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"),
+            key_cols=["o_custkey"],
+            state_col="o_orderpriority",
+            ts_col="o_orderdate",
+            tiebreak_cols=["o_orderkey"],
+        )
+
+    register("scd2_order_priority", sql)(_fn)
+
+
+_scd2_entry()
+
+
+# ===========================================================================
+# Trailing-window anomaly detection — exact-integer z-score test over
+# the hourly event rollup ((n·x−S)² > k²·(n·Q−S²); no float variance).
+# ===========================================================================
+
+def _anomaly_entry(trailing: int = 24, min_points: int = 12, k: int = 3) -> None:
+    from diagnosisextraction_ml_spark.operators import rollup as rollup_ops
+
+    sql = f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), st AS (
+      SELECT event_type, hr, cnt,
+             sum(cnt) OVER w AS s,
+             sum(cnt * cnt) OVER w AS q,
+             CAST(count(*) OVER w AS BIGINT) AS n_win
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   RANGE BETWEEN {trailing - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, hr, cnt, n_win,
+           CAST((n_win * cnt - s) * (n_win * cnt - s) AS BIGINT) AS dev2,
+           CAST({k * k} * (n_win * q - s * s) AS BIGINT) AS bound,
+           (n_win >= {min_points}
+            AND (n_win * cnt - s) * (n_win * cnt - s)
+                > {k * k} * (n_win * q - s * s)) AS is_anomaly
+    FROM st
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        hourly = ev.groupBy(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 3600).alias("hr"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        return rollup_ops.trailing_anomaly(
+            hourly,
+            key_cols=["event_type"],
+            bucket_col="hr",
+            value_col="cnt",
+            trailing=trailing,
+            min_points=min_points,
+            k=k,
+        )
+
+    register("ts_anomaly_hourly", sql)(_fn)
+
+
+_anomaly_entry()

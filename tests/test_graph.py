@@ -1,0 +1,73 @@
+"""PageRank — hand-checked micro-graphs, conservation, determinism."""
+
+from __future__ import annotations
+
+from diagnosisextraction_ml_spark.operators import graph
+from diagnosisextraction_ml_spark.operators.graph import BASE_MICRO, TELEPORT_MICRO
+
+
+def _ranks(df):
+    return {r["node"]: r["rank_micro"] for r in df.collect()}
+
+
+def _manual_pagerank(arcs, n_iter):
+    """Reference integer PageRank (pure Python, same arithmetic)."""
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in arcs:
+        deg[s] += 1
+    nodes = {n for e in arcs for n in e}
+    r = {n: BASE_MICRO for n in nodes}
+    for _ in range(n_iter):
+        inc = defaultdict(int)
+        for s, d in arcs:
+            inc[d] += r[s] // deg[s]
+        r = {n: TELEPORT_MICRO + (85 * inc.get(n, 0)) // 100 for n in nodes}
+    return r
+
+
+def test_pagerank_matches_manual_on_triangle_plus_tail(spark):
+    # triangle 1-2-3 (undirected) with a tail 3-4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    sym = graph.symmetrize(edges)
+    arcs = [(r["src"], r["dst"]) for r in sym.collect()]
+    got = _ranks(graph.pagerank(sym, n_iter=4))
+    want = _manual_pagerank(arcs, 4)
+    assert got == want
+    # the hub (3) outranks the leaf (4)
+    assert got[3] > got[4]
+
+
+def test_pagerank_sink_node_keeps_teleport_only(spark):
+    # directed 1 -> 2: node 1 gets no inbound mass after iteration 1
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = _ranks(graph.pagerank(edges, n_iter=2))
+    assert got[1] == TELEPORT_MICRO
+    # iter 1 leaves r(1)=teleport; iter 2 forwards it damped to node 2
+    assert got[2] == TELEPORT_MICRO + (85 * TELEPORT_MICRO) // 100
+
+
+def test_pagerank_partitioning_invariant(spark):
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23 + 100) for i in range(60)], "src long, dst long"
+    )
+    sym = graph.symmetrize(edges)
+    a = _ranks(graph.pagerank(sym.repartition(1), n_iter=3))
+    b = _ranks(graph.pagerank(sym.repartition(13), n_iter=3))
+    assert a == b
+
+
+def test_pagerank_top_total_order(spark):
+    edges = graph.symmetrize(
+        spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    )
+    top = graph.pagerank_top(edges, n_iter=2, k=2).collect()
+    assert len(top) == 2
+    # rank desc, node asc
+    assert (top[0]["rank_micro"], -top[0]["node"]) >= (
+        top[1]["rank_micro"],
+        -top[1]["node"],
+    )
