@@ -1,0 +1,189 @@
+"""Market-basket analysis — co-occurrence graph, association rules,
+triangle counting.
+
+North-star extensions (no reference counterpart): the co-occurrence /
+association family every analytics engine ships (frequent pairs,
+confidence/lift rules) plus the canonical graph kernel built on the
+same edge list (triangle counting). On a training corpus the identical
+shapes power token/domain co-occurrence stats and near-dup cluster
+topology.
+
+Scale design:
+
+- **Pairs materialize in-basket, never via self-join.** Baskets
+  (items per transaction) are collected with one groupBy, then pairs
+  explode inside each basket — the same in-bucket expansion discipline
+  as LSH banding. A basket of b items yields C(b,2) pairs; the
+  ``max_basket`` cap bounds the quadratic blow-up for pathological
+  transactions (the dedup ``max_bucket`` analogue).
+- **Rules are integer algebra.** Counts (pair, item, total) are exact
+  BIGINTs; confidence and lift are emitted as *micro-unit integers*
+  via floor division ((10⁶·c_ab) div c_a), so every row is
+  bit-identical across engines and partitionings — no float division
+  drift in the oracle hash.
+- **Triangle counting uses the degree-ordering trick**: orient each
+  undirected edge from the lower-(degree, node) endpoint to the
+  higher; every triangle is counted exactly once as a directed wedge
+  a→b→c closed by a→c, and the wedge join fans out from each node's
+  *out*-degree, which the orientation bounds by O(√|E|) — the standard
+  MapReduce triangle bound (Suri & Vassilvitskii 2011), expressed as
+  two equi-joins Catalyst can shuffle-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_pairs(
+    tx: DataFrame,
+    tx_col: str,
+    item_col: str,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Distinct co-occurring item pairs per transaction (item_a < item_b).
+
+    One groupBy(tx) collects each basket (deduplicated, sorted), pairs
+    expand in-basket; baskets larger than ``max_basket`` are dropped
+    (observable: count them upstream with a groupBy if needed).
+    Output: (tx, item_a, item_b), one row per pair occurrence.
+    """
+    baskets = tx.groupBy(F.col(tx_col).alias("tx")).agg(
+        F.array_sort(F.collect_set(F.col(item_col))).alias("items")
+    )
+    capped = baskets.filter(F.size("items").between(2, max_basket))
+    return (
+        capped.select("tx", F.explode("items").alias("item_a"), "items")
+        .select(
+            "tx",
+            "item_a",
+            F.explode(F.filter("items", lambda x: x > F.col("item_a"))).alias(
+                "item_b"
+            ),
+        )
+    )
+
+
+def association_rules(
+    tx: DataFrame,
+    tx_col: str,
+    item_col: str,
+    min_pair_support: int = 2,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Pairwise association rules with integer micro-unit confidence/lift.
+
+    For each unordered frequent pair {a, b} emits BOTH directed rules
+    a→b and b→a: (antecedent, consequent, pair_count, ante_count,
+    cons_count, n_tx, conf_micro, lift_micro) where
+
+        conf_micro = (10⁶ · pair_count) div ante_count
+        lift_micro = (10⁶ · pair_count · n_tx) div (ante_count · cons_count)
+
+    — all exact BIGINT arithmetic.
+    """
+    baskets = tx.groupBy(F.col(tx_col).alias("tx")).agg(
+        F.array_sort(F.collect_set(F.col(item_col))).alias("items")
+    )
+    capped = baskets.filter(F.size("items").between(2, max_basket)).localCheckpoint()
+
+    n_tx = capped.select(F.count(F.lit(1)).alias("n_tx"))
+    item_counts = (
+        capped.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("item_count"))
+    )
+    pairs = (
+        capped.select("tx", F.explode("items").alias("item_a"), "items")
+        .select(
+            "item_a",
+            F.explode(F.filter("items", lambda x: x > F.col("item_a"))).alias(
+                "item_b"
+            ),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_support)
+    )
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "pair_count",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "pair_count",
+        )
+    )
+    ante = item_counts.select(
+        F.col("item").alias("antecedent"), F.col("item_count").alias("ante_count")
+    )
+    cons = item_counts.select(
+        F.col("item").alias("consequent"), F.col("item_count").alias("cons_count")
+    )
+    out = (
+        directed.join(F.broadcast(ante), "antecedent")
+        .join(F.broadcast(cons), "consequent")
+        .crossJoin(F.broadcast(n_tx))
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        "pair_count",
+        "ante_count",
+        "cons_count",
+        "n_tx",
+        F.expr("1000000 * pair_count div ante_count").alias("conf_micro"),
+        F.expr(
+            "1000000 * pair_count * n_tx div (ante_count * cons_count)"
+        ).alias("lift_micro"),
+    )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count of an undirected simple graph (one row).
+
+    ``edges`` is an undirected edge list (either or both directions;
+    self-loops and duplicates are removed). Orientation by
+    (degree, node) makes every triangle a single directed wedge; the
+    count is two shuffle equi-joins — no cartesian.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionByName(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    # orient low (degree, node) -> high
+    dag = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+    ).localCheckpoint()
+    e1 = dag.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = dag.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    e3 = dag.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    tris = wedges.join(e3, ["a", "c"])
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -118,3 +118,37 @@ def check_expectations(
         F.col("p.n_violations").alias("n_violations"),
         (F.col("p.n_violations") == 0).alias("pass"),
     )
+
+
+def table_checksum(
+    df: DataFrame,
+    table_name: str,
+    row_hash: Column,
+) -> DataFrame:
+    """Order-independent table fingerprint: (table, n_rows, xor-checksum).
+
+    ``row_hash`` is a deterministic per-row BIGINT (e.g.
+    ``md5_hash64(concat_ws('|', <canonical column renderings>))``); the
+    table checksum is the bitwise XOR of all row hashes plus the row
+    count. XOR is a commutative, associative, carry-free monoid, so:
+
+    - the checksum is identical at any partitioning / parallelism and
+      never overflows (unlike a sum of hashes at 10¹² rows);
+    - two tables are byte-equal iff (barring a 2⁻⁶⁰ collision) their
+      fingerprints match — the cheap cross-replica / cross-engine
+      integrity check before and after a 100 TB migration;
+    - it is *incrementally maintainable*: XOR the fingerprint of an
+      appended batch in, or a deleted batch out, without rescanning
+      history (the same day-2 story as the rollup/upsert operators).
+
+    Caller is responsible for rendering floats/timestamps canonically
+    in ``row_hash`` (e.g. price → cents BIGINT, ts → epoch micros):
+    engine-native float→string casts are NOT cross-engine stable.
+    """
+    agg = df.select(row_hash.alias("__h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("coalesce(bit_xor(__h), 0L)").alias("xor_checksum"),
+    )
+    return agg.select(
+        F.lit(table_name).alias("table_name"), "n_rows", "xor_checksum"
+    )

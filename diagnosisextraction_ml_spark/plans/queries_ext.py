@@ -3535,3 +3535,157 @@ def _anomaly_entry(trailing: int = 24, min_points: int = 12, k: int = 3) -> None
 
 
 _anomaly_entry()
+
+
+# ===========================================================================
+# Market-basket association rules + triangle counting over the same
+# co-purchase graph; order-independent table checksums.
+# ===========================================================================
+
+def _assoc_entry(min_pair_support: int = 3, max_basket: int = 64, k: int = 100) -> None:
+    from diagnosisextraction_ml_spark.operators import assoc
+
+    sql = f"""
+    WITH baskets AS (
+      SELECT l_orderkey AS tx, list_sort(list(DISTINCT l_partkey)) AS items
+      FROM lineitem GROUP BY l_orderkey
+      HAVING len(list(DISTINCT l_partkey)) BETWEEN 2 AND {max_basket}
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tx FROM baskets
+    ), ic AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS item_count
+      FROM (SELECT unnest(items) AS item FROM baskets) GROUP BY 1
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS pair_count
+      FROM (SELECT tx, unnest(items) AS item FROM baskets) a
+      JOIN (SELECT tx, unnest(items) AS item FROM baskets) b
+        ON a.tx = b.tx AND b.item > a.item
+      GROUP BY 1, 2
+      HAVING count(*) >= {min_pair_support}
+    ), directed AS (
+      SELECT item_a AS antecedent, item_b AS consequent, pair_count FROM pairs
+      UNION ALL
+      SELECT item_b, item_a, pair_count FROM pairs
+    )
+    SELECT d.antecedent, d.consequent, d.pair_count,
+           a.item_count AS ante_count, c.item_count AS cons_count, n.n_tx,
+           (1000000 * d.pair_count) // a.item_count AS conf_micro,
+           (1000000 * d.pair_count * n.n_tx) // (a.item_count * c.item_count)
+             AS lift_micro
+    FROM directed d
+    JOIN ic a ON d.antecedent = a.item
+    JOIN ic c ON d.consequent = c.item
+    CROSS JOIN n
+    ORDER BY d.pair_count DESC, conf_micro DESC, d.antecedent ASC, d.consequent ASC
+    LIMIT {k}
+    """
+
+    def _fn(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        rules = assoc.association_rules(
+            li,
+            tx_col="l_orderkey",
+            item_col="l_partkey",
+            min_pair_support=min_pair_support,
+            max_basket=max_basket,
+        )
+        return rules.orderBy(
+            F.desc("pair_count"),
+            F.desc("conf_micro"),
+            F.asc("antecedent"),
+            F.asc("consequent"),
+        ).limit(k)
+
+    register("assoc_rules_pairs", sql)(_fn)
+
+
+_assoc_entry()
+
+
+def _triangle_entry(max_basket: int = 64) -> None:
+    from diagnosisextraction_ml_spark.operators import assoc
+
+    sql = f"""
+    WITH baskets AS (
+      SELECT l_orderkey AS tx, list_sort(list(DISTINCT l_partkey)) AS items
+      FROM lineitem GROUP BY l_orderkey
+      HAVING len(list(DISTINCT l_partkey)) BETWEEN 2 AND {max_basket}
+    ), und AS (
+      SELECT DISTINCT a.item AS u, b.item AS v
+      FROM (SELECT tx, unnest(items) AS item FROM baskets) a
+      JOIN (SELECT tx, unnest(items) AS item FROM baskets) b
+        ON a.tx = b.tx AND b.item > a.item
+    ), deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS n FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY n
+    ), dag AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+      FROM und e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM dag e1 JOIN dag e2 ON e1.t = e2.s JOIN dag e3
+      ON e3.s = e1.s AND e3.t = e2.t
+    """
+
+    def _fn(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        edges = assoc.basket_pairs(
+            li, tx_col="l_orderkey", item_col="l_partkey", max_basket=max_basket
+        ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+        return assoc.triangle_count(edges)
+
+    register("graph_triangle_count", sql)(_fn)
+
+
+_triangle_entry()
+
+
+def _checksum_entry() -> None:
+    from diagnosisextraction_ml_spark.functions.hashing import md5_hash64
+    from diagnosisextraction_ml_spark.operators import profile
+
+    # canonical row renderings: ints/strings as-is, price as cents
+    # (exact: TPC-H prices are 2-decimal), dates as epoch micros
+    orders_expr = (
+        "concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), "
+        "o_orderstatus, CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS STRING), "
+        "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS STRING), o_orderpriority)"
+    )
+    orders_sql = (
+        "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+        "o_orderstatus, CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), "
+        "CAST(CAST(epoch_us(o_orderdate) AS BIGINT) AS VARCHAR), o_orderpriority)"
+    )
+    docs_expr = (
+        "concat_ws('|', CAST(doc_id AS STRING), text, lang, source, "
+        "CAST(n_chars AS STRING))"
+    )
+    docs_sql = (
+        "concat_ws('|', CAST(doc_id AS VARCHAR), text, lang, source, "
+        "CAST(n_chars AS VARCHAR))"
+    )
+    h_o = md5_hash64_sql(orders_sql)
+    h_d = md5_hash64_sql(docs_sql)
+    sql = f"""
+    SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           coalesce(bit_xor({h_o}), 0) AS xor_checksum
+    FROM orders
+    UNION ALL
+    SELECT 'documents', CAST(count(*) AS BIGINT),
+           coalesce(bit_xor({h_d}), 0)
+    FROM documents
+    """
+
+    def _fn(spark, sf_dir):
+        orders = _t(spark, sf_dir, "orders")
+        docs = _t(spark, sf_dir, "documents")
+        a = profile.table_checksum(orders, "orders", md5_hash64(F.expr(orders_expr)))
+        b = profile.table_checksum(docs, "documents", md5_hash64(F.expr(docs_expr)))
+        return a.unionByName(b)
+
+    register("qc_table_checksum", sql)(_fn)
+
+
+_checksum_entry()
