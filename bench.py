@@ -50,6 +50,11 @@ HEADLINE = [
     "sketch_hll_distinct",
     "search_bm25_topk",
     "dedup_prefix_jaccard_pairs",
+    # added round 7 session 3 — iterative graph + basket-join + windowed
+    # anomaly paths; totals before then cover 21 queries.
+    "graph_pagerank_top",
+    "assoc_rules_pairs",
+    "ts_anomaly_hourly",
 ]
 
 # Every headline name must exist in the registry — a typo here would

@@ -3373,8 +3373,11 @@ def _pagerank_entry(n_iter: int = 5, k: int = 20) -> None:
         edges = li.select(
             (F.col("l_partkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        ).distinct()
-        top = graph.pagerank_top(graph.symmetrize(edges), n_iter=n_iter, k=k)
+        )
+        # symmetrize() dedups its union, so the walk input is distinct
+        top = graph.pagerank_top(
+            graph.symmetrize(edges), n_iter=n_iter, k=k, assume_distinct=True
+        )
         return top.select(
             "node",
             F.when(F.col("node") % 2 == 0, F.lit("part"))
