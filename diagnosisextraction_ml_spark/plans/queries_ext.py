@@ -3692,3 +3692,64 @@ def _checksum_entry() -> None:
 
 
 _checksum_entry()
+
+
+# ===========================================================================
+# Boilerplate-sentence removal — C4/RefinedWeb-style recurring-sentence
+# cut. The synthetic corpus has no punctuation, so the entry first
+# sentence-ifies the text deterministically (a period every 5 words) —
+# same transformation in both engines.
+# ===========================================================================
+
+def _boilerplate_entry(min_doc_freq: int = 3, min_chars: int = 10) -> None:
+    from diagnosisextraction_ml_spark.operators import dedup as dedup_ops
+
+    h_sent = md5_hash64_sql("sent")
+    sql = f"""
+    WITH d AS (
+      SELECT doc_id AS id,
+             regexp_extract_all(
+               concat(regexp_replace(text, '(\\w+ \\w+ \\w+ \\w+ \\w+) ', '\\1. ', 'g'), '.'),
+               '[^.!?]+[.!?]', 0) AS arr
+      FROM documents
+    ), s AS (
+      SELECT id, unnest(range(0, len(arr))) AS pos, trim(unnest(arr)) AS sent
+      FROM d
+    ), hx AS (
+      SELECT id, pos, sent, {h_sent} AS h FROM s
+    ), bp AS (
+      SELECT h FROM (
+        SELECT h, count(*) AS doc_freq
+        FROM (SELECT DISTINCT h, id FROM hx WHERE length(sent) >= {min_chars})
+        GROUP BY h
+      ) WHERE doc_freq >= {min_doc_freq}
+    ), m AS (
+      SELECT x.id, x.pos, x.sent,
+             (bp.h IS NOT NULL AND length(x.sent) >= {min_chars}) AS drop_it
+      FROM hx x LEFT JOIN bp ON x.h = bp.h
+    )
+    SELECT id,
+           coalesce(
+             array_to_string(list(sent ORDER BY pos) FILTER (WHERE NOT drop_it), ' '),
+             '') AS kept_text,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(sum(CASE WHEN drop_it THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM m GROUP BY id
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        sentenced = docs.select(
+            "doc_id",
+            F.regexp_replace(
+                F.col("text"), "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. "
+            ).alias("text"),
+        )
+        return dedup_ops.remove_boilerplate_sentences(
+            sentenced, min_doc_freq=min_doc_freq, min_chars=min_chars
+        )
+
+    register("dedup_boilerplate_sentences", sql)(_fn)
+
+
+_boilerplate_entry()

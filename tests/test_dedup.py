@@ -410,6 +410,35 @@ def test_prefix_jaccard_complete_vs_uncapped_index(spark):
     assert pf == ex
 
 
+def test_prefix_jaccard_collapse_equivalence_under_duplicates(spark):
+    """collapse_exact=True must be row-identical to the uncollapsed run
+    on a duplicate-heavy corpus (incl. within-group J=1 pairs)."""
+    texts = [
+        "a b c d e f g",
+        "a b c d e zz q",
+        "x y z w v u t",
+        "a b c d e f g h",
+    ]
+    # each text appears 3x under distinct ids → 10x-multiplicity shape
+    rows = [(ti * 10 + c, t) for ti, t in enumerate(texts) for c in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = sorted(
+        map(tuple, dedup.prefix_filter_jaccard_pairs(
+            df, threshold_num=1, threshold_den=2, collapse_exact=True
+        ).collect())
+    )
+    slow = sorted(
+        map(tuple, dedup.prefix_filter_jaccard_pairs(
+            df, threshold_num=1, threshold_den=2, collapse_exact=False
+        ).collect())
+    )
+    assert fast == slow
+    # within-group pairs present with jaccard exactly 1.0
+    intra = [r for r in fast if r[0] // 10 == r[1] // 10]
+    assert len(intra) == len(texts) * 3  # C(3,2) per group
+    assert all(r[3] == 1.0 for r in intra)
+
+
 def test_prefix_jaccard_threshold_is_exact_rational(spark):
     # J exactly at the threshold boundary must be INCLUDED (>=),
     # decided by integer cross-multiplication, not float rounding.
