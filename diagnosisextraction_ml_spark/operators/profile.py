@@ -152,3 +152,43 @@ def table_checksum(
     return agg.select(
         F.lit(table_name).alias("table_name"), "n_rows", "xor_checksum"
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Hot-key skew report for a prospective join/partition key.
+
+    The planning companion to the engine's skew defenses (salted
+    group-concat, LSH ``max_bucket``, AQE skew-join): BEFORE running a
+    big join, profile the key — top-k hottest values plus the global
+    skew ratio max/mean (micro-unit integer: (10⁶·max·n_keys) div
+    n_rows). A ratio near 10⁶ means uniform; orders of magnitude above
+    means salt or cap.
+
+    One groupBy(key) with map-side combine; the single-row global
+    summary re-aggregates the per-key counts and attaches by broadcast.
+    Top-k is TakeOrderedAndProject with a (count desc, key asc) total
+    order.
+
+    Output: k rows of (key, cnt, n_rows, n_keys, skew_micro).
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    summary = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("__max"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        F.expr("1000000 * __max * n_keys div n_rows").alias("skew_micro"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(summary))
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(k)
+    )

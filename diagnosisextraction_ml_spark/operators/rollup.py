@@ -144,3 +144,59 @@ def trailing_anomaly(
         bound.cast("long").alias("bound"),
         ((F.col("n_win") >= min_points) & (dev2 > bound)).alias("is_anomaly"),
     )
+
+
+def grouped_ols_trend(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    x_col: str,
+    y_micro_col: str,
+) -> DataFrame:
+    """Per-key least-squares trend slope in exact arithmetic.
+
+    Closed-form OLS per group — slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)
+    — with every sum kept EXACT (DECIMAL(38,0) over integer inputs:
+    ``x_col`` a small-range integer such as hours-since-anchor,
+    ``y_micro_col`` the measure pre-scaled to micro-units, which makes
+    the slope micro-precise with no extra scaling). The slope is
+    emitted as a BIGINT in y-micro units per x via sign-split division
+    (``sign · (|num| div den)``) — truncation and floor agree on
+    non-negatives, so Spark's ``div`` and DuckDB's ``//`` produce the
+    same bits; a float covariance would depend on accumulation order.
+
+    Built-in ``regr_slope`` is the float path: one pass, but its result
+    varies in the last ulps with partitioning — unusable for the
+    engine's cross-engine hash gate and for byte-reproducible reports.
+
+    Scale: one groupBy with map-side combine; the five sums are the
+    entire shuffle payload per key. Keys with a degenerate x (all equal
+    → den = 0) are dropped — a trend needs ≥ 2 distinct x.
+
+    Output: key..., n_points, slope_micro.
+    """
+    key_cols = list(key_cols)
+    x = F.col(x_col).cast("decimal(38,0)")
+    y = F.col(y_micro_col).cast("decimal(38,0)")
+    agg = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    signed = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1))
+    return (
+        agg.withColumn("__num", num)
+        .withColumn("__den", den)
+        .filter(F.col("__den") != 0)
+        .select(
+            *key_cols,
+            F.col("__n").cast("long").alias("n_points"),
+            (
+                signed
+                * F.expr("CAST(abs(__num) DIV __den AS BIGINT)")
+            ).cast("long").alias("slope_micro"),
+        )
+    )

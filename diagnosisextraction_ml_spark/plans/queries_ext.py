@@ -3753,3 +3753,75 @@ def _boilerplate_entry(min_doc_freq: int = 3, min_chars: int = 10) -> None:
 
 
 _boilerplate_entry()
+
+
+# ===========================================================================
+# Per-key OLS trend (exact-integer covariance) + join-key skew profile.
+# ===========================================================================
+
+_HOUR_ANCHOR = 473352  # floor(epoch('2024-01-01') / 3600)
+
+
+def _trend_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import rollup as rollup_ops
+
+    sql = f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS HUGEINT) - {_HOUR_ANCHOR} AS x,
+             CAST(round(value * 1000000, 0) AS HUGEINT) AS y
+      FROM events
+    ), s AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_points,
+           CAST(CASE WHEN (n * sxy - sx * sy) < 0 THEN -1 ELSE 1 END
+                * (abs(n * sxy - sx * sy) // (n * sxx - sx * sx))
+                AS BIGINT) AS slope_micro
+    FROM s WHERE (n * sxx - sx * sx) <> 0
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        pts = ev.select(
+            "event_type",
+            (F.floor(F.col("ts").cast("long") / 3600) - _HOUR_ANCHOR).alias("x"),
+            F.expr("CAST(round(value * 1000000, 0) AS BIGINT)").alias("y_micro"),
+        )
+        return rollup_ops.grouped_ols_trend(pts, ["event_type"], "x", "y_micro")
+
+    register("ts_trend_ols", sql)(_fn)
+
+
+_trend_entry()
+
+
+def _skew_entry(k: int = 10) -> None:
+    from diagnosisextraction_ml_spark.operators import profile
+
+    sql = f"""
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST((1000000 * max(cnt) * count(*)) // sum(cnt) AS BIGINT)
+               AS skew_micro
+      FROM c
+    )
+    SELECT c.key, c.cnt, s.n_rows, s.n_keys, s.skew_micro
+    FROM c CROSS JOIN s
+    ORDER BY c.cnt DESC, c.key ASC LIMIT {k}
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return profile.key_skew_profile(ev, "user_id", k=k)
+
+    register("qc_key_skew_events", sql)(_fn)
+
+
+_skew_entry()
