@@ -130,3 +130,86 @@ def pagerank_top(
         .orderBy(F.desc("rank_micro"), F.asc("node"))
         .limit(k)
     )
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> tuple[DataFrame, DataFrame]:
+    """HITS hubs & authorities in exact integer arithmetic.
+
+    Kleinberg's pair to PageRank, natural on bipartite graphs (here:
+    hub score over ``src`` nodes, authority over ``dst``). Each
+    iteration is the two mutual sums
+
+        h(u) = Σ_{u→v} a(v);   a(v) = Σ_{u→v} h(u)
+
+    followed by **max-normalization in micro-units** (``s·10⁶ div
+    max(s)``) instead of the textbook L2 norm: the max is an exact
+    integer scalar (a 1-row broadcast — the engine's standard
+    corpus-scalar shape), so every score stays exact BIGINT and the
+    result is bit-identical on any partitioning and in the DuckDB
+    oracle's unrolled CTE. L2 would need a square root — float, order-
+    sensitive, unhashable.
+
+    Same materialization discipline as :func:`pagerank`: the edge list
+    is checkpointed once; each half-iteration is one shuffle join + one
+    aggregation over it; score state is |V| rows of two BIGINTs.
+
+    Returns (hubs, authorities): (node, score_micro) each.
+    """
+    arcs = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    arcs = arcs.localCheckpoint()
+    auth = arcs.select(F.col("dst").alias("node")).distinct().select(
+        "node", F.lit(BASE_MICRO).cast("long").alias("score")
+    )
+    hubs = None
+    for _ in range(n_iter):
+        # each half-iteration is consumed TWICE (scores + its max) —
+        # checkpoint the |V|-row raw relation or lineage recompute
+        # compounds ~2x per half-iteration (measured 22s -> 7s at sf0.01)
+        h = (
+            arcs.join(auth, arcs.dst == auth.node)
+            .groupBy("src")
+            .agg(F.sum("score").alias("raw"))
+        ).localCheckpoint()
+        hmax = h.agg(F.max("raw").alias("mx"))
+        hubs = h.crossJoin(F.broadcast(hmax)).select(
+            F.col("src").alias("node"),
+            F.expr("CAST(CAST(raw AS DECIMAL(38,0)) * 1000000 DIV mx AS BIGINT)").alias("score"),
+        )
+        a = (
+            arcs.join(hubs, arcs.src == hubs.node)
+            .groupBy("dst")
+            .agg(F.sum("score").alias("raw"))
+        ).localCheckpoint()
+        amax = a.agg(F.max("raw").alias("mx"))
+        auth = a.crossJoin(F.broadcast(amax)).select(
+            F.col("dst").alias("node"),
+            F.expr("CAST(CAST(raw AS DECIMAL(38,0)) * 1000000 DIV mx AS BIGINT)").alias("score"),
+        )
+    return hubs, auth
+
+
+def hits_top(
+    edges: DataFrame,
+    n_iter: int = 3,
+    k: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Top-k hubs and authorities as one relation (role, node, score)."""
+    hubs, auth = hits(edges, n_iter=n_iter, src=src, dst=dst)
+    top_h = (
+        hubs.orderBy(F.desc("score"), F.asc("node"))
+        .limit(k)
+        .select(F.lit("hub").alias("role"), "node", F.col("score").alias("score_micro"))
+    )
+    top_a = (
+        auth.orderBy(F.desc("score"), F.asc("node"))
+        .limit(k)
+        .select(F.lit("authority").alias("role"), "node", F.col("score").alias("score_micro"))
+    )
+    return top_h.unionByName(top_a)

@@ -3825,3 +3825,65 @@ def _skew_entry(k: int = 10) -> None:
 
 
 _skew_entry()
+
+
+# ===========================================================================
+# HITS hubs/authorities — unrolled max-normalized integer iterations.
+# ===========================================================================
+
+def _hits_sql(n_iter: int = 3, k: int = 10) -> str:
+    parts = [
+        """
+    WITH arcs AS (
+      SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem
+    ), a0 AS (
+      SELECT DISTINCT dst AS node, CAST(1000000 AS HUGEINT) AS score FROM arcs
+    )"""
+    ]
+    prev_a = "a0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", h{i}r AS (
+      SELECT a.src, sum(x.score) AS raw
+      FROM arcs a JOIN {prev_a} x ON a.dst = x.node GROUP BY a.src
+    ), h{i} AS (
+      SELECT src AS node, (raw * 1000000) // (SELECT max(raw) FROM h{i}r) AS score
+      FROM h{i}r
+    ), a{i}r AS (
+      SELECT a.dst, sum(h.score) AS raw
+      FROM arcs a JOIN h{i} h ON a.src = h.node GROUP BY a.dst
+    ), a{i} AS (
+      SELECT dst AS node, (raw * 1000000) // (SELECT max(raw) FROM a{i}r) AS score
+      FROM a{i}r
+    )"""
+        )
+        prev_a = f"a{i}"
+    parts.append(
+        f"""
+    SELECT role, node, score_micro FROM (
+      SELECT 'hub' AS role, node, CAST(score AS BIGINT) AS score_micro
+      FROM h{n_iter} ORDER BY score DESC, node ASC LIMIT {k}
+    )
+    UNION ALL
+    SELECT role, node, score_micro FROM (
+      SELECT 'authority' AS role, node, CAST(score AS BIGINT) AS score_micro
+      FROM a{n_iter} ORDER BY score DESC, node ASC LIMIT {k}
+    )"""
+    )
+    return "".join(parts)
+
+
+def _hits_entry(n_iter: int = 3, k: int = 10) -> None:
+    from diagnosisextraction_ml_spark.operators import graph
+
+    def _fn(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        edges = li.select(
+            F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        return graph.hits_top(edges, n_iter=n_iter, k=k)
+
+    register("graph_hits_top", _hits_sql(n_iter, k))(_fn)
+
+
+_hits_entry()

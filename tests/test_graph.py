@@ -71,3 +71,27 @@ def test_pagerank_top_total_order(spark):
         top[1]["rank_micro"],
         -top[1]["node"],
     )
+
+
+def test_hits_star_graph(spark):
+    # star: hubs 1..4 all point at authority 100; one also at 200
+    edges = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 100), (4, 200)],
+        "src long, dst long",
+    )
+    out = graph.hits_top(edges, n_iter=3, k=10).collect()
+    hubs = {r["node"]: r["score_micro"] for r in out if r["role"] == "hub"}
+    auth = {r["node"]: r["score_micro"] for r in out if r["role"] == "authority"}
+    # node 4 links to both authorities -> top hub (max-normalized to 1e6)
+    assert hubs[4] == 1_000_000 and all(hubs[i] < 1_000_000 for i in (1, 2, 3))
+    # authority 100 has 4 in-links -> top authority
+    assert auth[100] == 1_000_000 and auth[200] < auth[100]
+
+
+def test_hits_partitioning_invariant(spark):
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 5 + 100) for i in range(60)], "src long, dst long"
+    )
+    a = sorted(map(tuple, graph.hits_top(edges.repartition(1), n_iter=3).collect()))
+    b = sorted(map(tuple, graph.hits_top(edges.repartition(9), n_iter=3).collect()))
+    assert a == b
