@@ -309,19 +309,27 @@ def bloom_probe(
     the groupBy on its own columns.
     """
     cols = df.columns
-    expanded = df.select(
-        "*", F.explode(_bloom_cells(key)).alias("c")
-    ).select(
-        *cols,
-        F.col("c.bloom_word").alias("bloom_word"),
-        F.col("c.mask").alias("mask"),
+    # Collapse the filter to ONE row holding word→bits as a map, then
+    # test all BLOOM_K cells as a single row-local expression against
+    # the broadcast map: zero shuffles of ``df``, duplicate rows
+    # preserved (an explode + groupBy re-assembly would both shuffle
+    # and collapse byte-identical rows).
+    bmap = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bloom_word", "bloom_bits"))
+        ).alias("__bmap")
     )
-    joined = expanded.join(F.broadcast(bloom), ["bloom_word"], "left")
-    hit = (
-        F.coalesce(F.col("bloom_bits"), F.lit(0)).bitwiseAND(F.col("mask"))
-        == F.col("mask")
+    probed = df.crossJoin(F.broadcast(bmap))
+    hit = F.forall(
+        _bloom_cells(key),
+        lambda c: (
+            F.coalesce(
+                F.element_at(F.col("__bmap"), c.getField("bloom_word")), F.lit(0)
+            ).bitwiseAND(c.getField("mask"))
+            == c.getField("mask")
+        ),
     )
-    return joined.groupBy(*cols).agg(F.bool_and(hit).alias(out_col))
+    return probed.select(*cols, hit.alias(out_col))
 
 
 # ===========================================================================
@@ -420,4 +428,36 @@ def bottomk_distinct_estimate(
     )
     return agg.select(
         *group_cols, F.round(est, 0).cast("long").alias("bk_est")
+    )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+) -> DataFrame:
+    """Semi-join with a Bloom pre-filter on the big side.
+
+    The standard shuffle-reduction pattern (runtime row-level filtering,
+    what engines inject as a "bloom filter join"): build the filter from
+    the SMALL side's keys (an OR-mergeable ≤``BLOOM_BITS/32``-row
+    relation), broadcast it, discard big-side rows whose key is
+    *certainly absent* BEFORE the join's Exchange, then run the exact
+    semi-join on the survivors to remove the ~1% false positives.
+
+    Result is row-identical to ``big ⋈ₛ small`` (Bloom filters have no
+    false negatives — law test-pinned on the sketch); what changes is
+    the plan: at a selectivity of s the join shuffles ≈ (s + fp)·|big|
+    rows instead of |big|. At 100 TB against a 10⁴-key dimension
+    that is the difference between shuffling terabytes and gigabytes.
+    """
+    bloom = bloom_build(small, F.col(small_key))
+    maybe = bloom_probe(big, bloom, F.col(big_key)).filter(
+        F.col("bloom_maybe")
+    ).drop("bloom_maybe")
+    return maybe.join(
+        small.select(F.col(small_key).alias(big_key)).distinct(),
+        big_key,
+        "left_semi",
     )

@@ -3887,3 +3887,29 @@ def _hits_entry(n_iter: int = 3, k: int = 10) -> None:
 
 
 _hits_entry()
+
+
+# ===========================================================================
+# Bloom-pruned semi-join — runtime row-level join filtering.
+# ===========================================================================
+
+def _bloom_join_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import sketch
+
+    sql = """
+    SELECT l_orderkey, l_suppkey, l_quantity
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 3)
+    """
+
+    def _fn(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_quantity"
+        )
+        sup = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 3)
+        return sketch.bloom_semi_join(li, sup, "l_suppkey", "s_suppkey")
+
+    register("join_bloom_semi", sql)(_fn)
+
+
+_bloom_join_entry()

@@ -260,3 +260,35 @@ def test_bottomk_merge_law(spark, keyed):
         .filter(F.col("bk_rank") <= 32)
     )
     assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from diagnosisextraction_ml_spark.operators.sketch import bloom_semi_join
+
+    big = spark.createDataFrame([(i, i % 100) for i in range(2000)], "id long, k long")
+    small = spark.createDataFrame([(k,) for k in range(0, 100, 7)], "sk long")
+    got = sorted(map(tuple, bloom_semi_join(big, small, "k", "sk").collect()))
+    want = sorted(
+        map(
+            tuple,
+            big.join(
+                small.selectExpr("sk as k").distinct(), "k", "left_semi"
+            ).collect(),
+        )
+    )
+    assert got == want and got
+
+
+def test_bloom_semi_join_prefilter_reduces_rows(spark):
+    from pyspark.sql import functions as F
+
+    from diagnosisextraction_ml_spark.operators.sketch import bloom_build, bloom_probe
+
+    big = spark.createDataFrame([(i, i) for i in range(5000)], "id long, k long")
+    small = spark.createDataFrame([(k,) for k in range(10)], "sk long")
+    bloom = bloom_build(small, F.col("sk"))
+    passed = bloom_probe(big, bloom, F.col("k")).filter("bloom_maybe").count()
+    # ~1% false-positive rate: the pre-filter kills almost everything
+    # before the join's exchange would run
+    assert passed < 5000 * 0.05
+    assert passed >= 10  # no false negatives
