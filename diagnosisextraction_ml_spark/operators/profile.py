@@ -177,7 +177,7 @@ def key_skew_profile(
     """
     counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).localCheckpoint()  # consumed twice (summary + top-k): one input scan
     summary = counts.agg(
         F.sum("cnt").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
