@@ -461,3 +461,114 @@ def bloom_semi_join(
         big_key,
         "left_semi",
     )
+
+
+# ===========================================================================
+# Log-binned quantile sketch — the DDSketch idea with DETERMINISTIC
+# integer bins, completing the sketch family (CMS: how often, HLL: how
+# many distinct, bottom-k: which, quantiles: how big).
+# ===========================================================================
+
+QSK_SUB_BITS = 4  # 16 sub-buckets per octave → ≤ 2^(1/16) ≈ 6.25% rel. width
+
+
+def with_quantile_bins(df: DataFrame, value_col: str) -> DataFrame:
+    """Adds (bin_id, bin_lo, bin_hi) for a non-negative BIGINT column.
+
+    Values < 16 get exact unit bins; larger values bin by (octave,
+    top-4-mantissa-bits): bin = [ (16+sub)·2^(e-4), (17+sub)·2^(e-4) ),
+    where lo simplifies to ``(v >> (e-4)) << (e-4)``. Pure integer
+    shifts off the ulp-proof ``_bitlen_exact`` — the same bin on any
+    engine, any partitioning. Bins are half-open, totally ordered by
+    bin_id, and only ~16·64 can ever exist for 64-bit inputs, so the
+    aggregated sketch is a ≤1k-row mergeable relation (counts add —
+    the same monoid story as the other sketches).
+    """
+    sb = QSK_SUB_BITS
+    v = F.col(value_col).cast("long")
+    base = df.withColumn("__v", v).withColumn(
+        "__e", (_bitlen_exact(F.greatest(v, F.lit(1))) - 1).cast("long")
+    )
+    big = f"__v >= {1 << sb}"
+    lo = f"shiftright(__v, CAST(__e - {sb} AS INT)) << CAST(__e - {sb} AS INT)"
+    return base.select(
+        "*",
+        F.expr(
+            f"CASE WHEN {big} THEN __e * {1 << sb}"
+            f" + (shiftright(__v, CAST(__e - {sb} AS INT)) - {1 << sb})"
+            f" ELSE __v END"
+        ).alias("bin_id"),
+        F.expr(f"CASE WHEN {big} THEN {lo} ELSE __v END").alias("bin_lo"),
+        F.expr(
+            f"CASE WHEN {big} THEN ({lo}) + (1 << CAST(__e - {sb} AS INT))"
+            f" ELSE __v + 1 END"
+        ).alias("bin_hi"),
+    ).drop("__v", "__e")
+
+
+def logbin_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probes: Sequence[tuple[int, int]] = ((1, 2), (9, 10), (99, 100)),
+) -> DataFrame:
+    """Quantile estimates from a mergeable log-binned histogram.
+
+    ``value_col`` must be a non-negative BIGINT (pre-scale doubles to
+    cents/micros — the same canonical-integer doctrine as the rest of
+    the engine). Each probe is an exact rational p = num/den; the
+    answer is the first bin whose cumulative count reaches
+    ``ceil(p·n)``, reported with its [lo, hi) bounds — the true
+    p-quantile provably lies inside (≤6.25% relative width), which is
+    what a 100 TB percentile dashboard needs at a constant-size state.
+
+    Plan: one groupBy(bin) with map-side combine (≤1k rows survive),
+    the engine's two-level bucketed cumsum (no unpartitioned window),
+    a broadcast of the probe list, and a min-struct argmin per probe.
+    Exact ``percentile()`` stays the oracle-checkable alternative
+    (rel_quantiles); this is the sketch you run when the exact sort is
+    the bottleneck — and unlike t-digest it is still hash-exact
+    cross-engine, because the bins are deterministic integers.
+
+    Output: (p_num, p_den, target_rank, bin_lo, bin_hi, cum_count).
+    """
+    from diagnosisextraction_ml_spark.operators.evaluate import _bucketed_cumsum
+
+    counts = (
+        with_quantile_bins(df.select(value_col), value_col)
+        .groupBy("bin_id", "bin_lo", "bin_hi")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    cum = _bucketed_cumsum(
+        counts,
+        "bin_id",
+        {"cnt": "cum"},
+        descending=False,
+        n_buckets=32,
+        score_range=(0.0, float((1 << QSK_SUB_BITS) * 64)),
+    )
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame(
+        [(int(n), int(d)) for n, d in probes], "p_num long, p_den long"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(probe_df))
+        .withColumn(
+            "target",
+            F.expr("(p_num * CAST(__tot_cnt AS BIGINT) + p_den - 1) DIV p_den"),
+        )
+        .filter(F.col("cum").cast("long") >= F.col("target"))
+    )
+    return (
+        hit.groupBy("p_num", "p_den", "target")
+        .agg(
+            F.min(F.struct("bin_id", "bin_lo", "bin_hi", "cum")).alias("s")
+        )
+        .select(
+            "p_num",
+            "p_den",
+            F.col("target").alias("target_rank"),
+            F.col("s.bin_lo").alias("bin_lo"),
+            F.col("s.bin_hi").alias("bin_hi"),
+            F.col("s.cum").cast("long").alias("cum_count"),
+        )
+    )

@@ -3913,3 +3913,55 @@ def _bloom_join_entry() -> None:
 
 
 _bloom_join_entry()
+
+
+# ===========================================================================
+# Log-binned quantile sketch over order prices (cents).
+# ===========================================================================
+
+def _logbin_quantile_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import sketch
+
+    sql = """
+    WITH vals AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v FROM orders
+    ), e0 AS (
+      SELECT v, CAST(floor(log2(CAST(greatest(v, 1) AS DOUBLE))) AS BIGINT) AS b
+      FROM vals
+    ), e1 AS (
+      SELECT v,
+             b - CASE WHEN pow(2.0, CAST(b AS DOUBLE)) > v THEN 1 ELSE 0 END
+               + CASE WHEN pow(2.0, CAST(b + 1 AS DOUBLE)) <= v THEN 1 ELSE 0 END
+               AS e
+      FROM e0
+    ), binned AS (
+      SELECT CASE WHEN v >= 16 THEN e * 16 + ((v >> (e - 4)) - 16) ELSE v END AS bin_id,
+             CASE WHEN v >= 16 THEN (v >> (e - 4)) << (e - 4) ELSE v END AS bin_lo,
+             CASE WHEN v >= 16 THEN ((v >> (e - 4)) << (e - 4)) + (1 << (e - 4))
+                  ELSE v + 1 END AS bin_hi
+      FROM e1
+    ), counts AS (
+      SELECT bin_id, bin_lo, bin_hi, count(*) AS cnt FROM binned GROUP BY 1, 2, 3
+    ), cum AS (
+      SELECT *, sum(cnt) OVER (ORDER BY bin_id) AS cum, sum(cnt) OVER () AS tot
+      FROM counts
+    ), probes(p_num, p_den) AS (VALUES (1, 2), (9, 10), (99, 100))
+    SELECT CAST(p_num AS BIGINT) AS p_num, CAST(p_den AS BIGINT) AS p_den,
+           CAST((p_num * tot + p_den - 1) // p_den AS BIGINT) AS target_rank,
+           bin_lo, bin_hi, CAST(cum AS BIGINT) AS cum_count
+    FROM cum c CROSS JOIN probes p
+    WHERE c.cum >= (p.p_num * tot + p.p_den - 1) // p.p_den
+    QUALIFY row_number() OVER (PARTITION BY p_num, p_den ORDER BY bin_id) = 1
+    """
+
+    def _fn(spark, sf_dir):
+        orders = _t(spark, sf_dir, "orders")
+        vals = orders.select(
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("cents")
+        )
+        return sketch.logbin_quantiles(vals, "cents")
+
+    register("sketch_logbin_quantiles", sql)(_fn)
+
+
+_logbin_quantile_entry()

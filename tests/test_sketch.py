@@ -292,3 +292,65 @@ def test_bloom_semi_join_prefilter_reduces_rows(spark):
     # before the join's exchange would run
     assert passed < 5000 * 0.05
     assert passed >= 10  # no false negatives
+
+
+def test_logbin_quantiles_contain_exact_quantiles(spark):
+    import math
+
+    from diagnosisextraction_ml_spark.operators.sketch import logbin_quantiles
+
+    vals = [((i * 37) % 10007) * 13 + 1 for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    out = {
+        (r["p_num"], r["p_den"]): r
+        for r in logbin_quantiles(df, "cents").collect()
+    }
+    svals = sorted(vals)
+    for (n, d), r in out.items():
+        target = math.ceil(n * len(vals) / d)
+        exact = svals[target - 1]
+        assert r["target_rank"] == target
+        # true quantile lies inside the reported bin
+        assert r["bin_lo"] <= exact < r["bin_hi"]
+        # <= 6.25% relative bin width (unit bins below 16)
+        assert r["bin_hi"] - r["bin_lo"] <= max(1, r["bin_lo"] // 16)
+        assert r["cum_count"] >= target
+
+
+def test_logbin_bins_exact_for_small_values(spark):
+    from diagnosisextraction_ml_spark.operators.sketch import with_quantile_bins
+
+    df = spark.createDataFrame([(v,) for v in range(40)], "v long")
+    rows = {r["v"]: r for r in with_quantile_bins(df, "v").collect()}
+    for v in range(16):
+        assert (rows[v]["bin_lo"], rows[v]["bin_hi"]) == (v, v + 1)
+    for v in range(16, 32):  # e=4: still unit bins
+        assert (rows[v]["bin_lo"], rows[v]["bin_hi"]) == (v, v + 1)
+    assert rows[33]["bin_lo"] == 32 and rows[33]["bin_hi"] == 34  # width 2
+    # bins partition the line: every v inside its own bin
+    assert all(r["bin_lo"] <= v < r["bin_hi"] for v, r in rows.items())
+
+
+def test_logbin_sketch_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from diagnosisextraction_ml_spark.operators.sketch import with_quantile_bins
+
+    df = spark.createDataFrame([(v * 7 + 1,) for v in range(3000)], "v long")
+    whole = (
+        with_quantile_bins(df, "v").groupBy("bin_id").agg(F.count("*").alias("c"))
+    )
+    h1 = (
+        with_quantile_bins(df.filter("v % 2 = 0"), "v")
+        .groupBy("bin_id")
+        .agg(F.count("*").alias("c"))
+    )
+    h2 = (
+        with_quantile_bins(df.filter("v % 2 = 1"), "v")
+        .groupBy("bin_id")
+        .agg(F.count("*").alias("c"))
+    )
+    merged = (
+        h1.unionByName(h2).groupBy("bin_id").agg(F.sum("c").alias("c"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
