@@ -572,3 +572,71 @@ def logbin_quantiles(
             F.col("s.cum").cast("long").alias("cum_count"),
         )
     )
+
+
+def hll_overlap_pairs(
+    df: DataFrame, key: Column, type_col: str
+) -> DataFrame:
+    """Pairwise distinct-set overlap estimates by inclusion-exclusion.
+
+    For every unordered pair of groups (A, B):
+    ``overlap ≈ est(A) + est(B) − est(A ∪ B)`` — the union sketch is
+    free because HLL registers are a max-monoid: merging A's and B's
+    register tables element-wise IS the register table of A ∪ B
+    (zero extra passes over the data). The classic cross-segment
+    audience/user-overlap question answered from one constant-size
+    sketch per group.
+
+    Plan: ONE register build over the input (map-side combined,
+    ≤ |groups|·m rows, checkpointed — consumed by both the per-group
+    and the union estimates); group pairs enumerate via a broadcast
+    small-relation join (|groups|² metadata rows); union registers are
+    an equi-join of the register table against the exploded pair
+    membership plus one max-groupBy. Estimates can undershoot/overshoot
+    (inclusion-exclusion subtracts two ~2%-error terms); values may
+    even be slightly negative for disjoint sets — that is the sketch
+    being honest, not a bug (exact twin: a distinct-count join).
+
+    Output: (type_a, type_b, est_a, est_b, est_union, overlap_est).
+    """
+    regs = hll_registers(df, key, [type_col]).localCheckpoint()
+    ests = hll_estimate(regs, [type_col])
+
+    types = regs.select(type_col).distinct()
+    ta = types.select(F.col(type_col).alias("type_a"))
+    tb = types.select(F.col(type_col).alias("type_b"))
+    pairs = ta.join(
+        F.broadcast(tb), F.col("type_a") < F.col("type_b")
+    ).localCheckpoint()
+
+    members = pairs.select(
+        "type_a", "type_b", F.explode(F.array("type_a", "type_b")).alias(type_col)
+    )
+    union_regs = (
+        members.join(regs, type_col)
+        .groupBy("type_a", "type_b", "hll_reg")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    union_est = hll_estimate(union_regs, ["type_a", "type_b"]).select(
+        "type_a", "type_b", F.col("hll_est").alias("est_union")
+    )
+    ea = ests.select(
+        F.col(type_col).alias("type_a"), F.col("hll_est").alias("est_a")
+    )
+    eb = ests.select(
+        F.col(type_col).alias("type_b"), F.col("hll_est").alias("est_b")
+    )
+    return (
+        union_est.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "overlap_est"
+            ),
+        )
+    )

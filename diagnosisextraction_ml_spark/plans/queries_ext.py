@@ -3965,3 +3965,78 @@ def _logbin_quantile_entry() -> None:
 
 
 _logbin_quantile_entry()
+
+
+# ===========================================================================
+# HLL pairwise overlap (inclusion-exclusion over max-merged registers).
+# ===========================================================================
+
+def _hll_overlap_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import sketch
+
+    m, rho_max, _, e_raw, e_lc, b0 = _hll_parts()
+    hv = md5_hash64_sql("CAST(user_id AS VARCHAR)")
+    est_case = (
+        f"CAST(CASE WHEN {e_raw} <= {2.5 * m!r} AND ({m} - n_regs) > 0 "
+        f"THEN {e_lc} ELSE round({e_raw}, 0) END AS BIGINT)"
+    )
+    sql = f"""
+    WITH h AS (
+      SELECT event_type, {hv} AS hv FROM events
+    ), r AS (
+      SELECT event_type, hv % {m} AS reg, hv // {m} AS w FROM h
+    ), rk AS (
+      SELECT event_type, reg,
+        CASE WHEN w = 0 THEN {rho_max}
+             ELSE {rho_max} - ({b0}
+               - CASE WHEN pow(2.0, CAST({b0} AS DOUBLE)) > w THEN 1 ELSE 0 END
+               + CASE WHEN pow(2.0, CAST({b0} + 1 AS DOUBLE)) <= w THEN 1 ELSE 0 END
+               + 1)
+        END AS rho
+      FROM r
+    ), regs AS (
+      SELECT event_type, reg, MAX(rho) AS rho_max FROM rk GROUP BY ALL
+    ), per_type AS (
+      SELECT event_type,
+             SUM(CAST(pow(2.0, 52 - rho_max) AS BIGINT)) AS s2_present,
+             COUNT(*) AS n_regs
+      FROM regs GROUP BY ALL
+    ), est AS (
+      SELECT event_type, {est_case} AS hll_est FROM per_type
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ), members AS (
+      SELECT type_a, type_b, type_a AS t FROM pairs
+      UNION ALL SELECT type_a, type_b, type_b FROM pairs
+    ), uregs AS (
+      SELECT m2.type_a, m2.type_b, r2.reg, MAX(r2.rho_max) AS rho_max
+      FROM members m2 JOIN regs r2 ON r2.event_type = m2.t
+      GROUP BY ALL
+    ), uagg AS (
+      SELECT type_a, type_b,
+             SUM(CAST(pow(2.0, 52 - rho_max) AS BIGINT)) AS s2_present,
+             COUNT(*) AS n_regs
+      FROM uregs GROUP BY ALL
+    ), uest AS (
+      SELECT type_a, type_b, {est_case} AS est_union FROM uagg
+    )
+    SELECT u.type_a, u.type_b, ea.hll_est AS est_a, eb.hll_est AS est_b,
+           u.est_union, ea.hll_est + eb.hll_est - u.est_union AS overlap_est
+    FROM uest u
+    JOIN est ea ON u.type_a = ea.event_type
+    JOIN est eb ON u.type_b = eb.event_type
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return sketch.hll_overlap_pairs(
+            ev, F.col("user_id").cast("string"), "event_type"
+        )
+
+    register("sketch_hll_overlap", sql)(_fn)
+
+
+_hll_overlap_entry()

@@ -354,3 +354,36 @@ def test_logbin_sketch_mergeable(spark):
         h1.unionByName(h2).groupBy("bin_id").agg(F.sum("c").alias("c"))
     )
     assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hll_overlap_accuracy_and_union_law(spark):
+    from pyspark.sql import functions as F
+
+    from diagnosisextraction_ml_spark.operators.sketch import (
+        hll_distinct,
+        hll_overlap_pairs,
+    )
+
+    # A = users 0..999, B = 500..1499 (overlap 500), C = 5000..5099 (disjoint)
+    rows = (
+        [("A", u) for u in range(1000)]
+        + [("B", u) for u in range(500, 1500)]
+        + [("C", u) for u in range(5000, 5100)]
+    )
+    df = spark.createDataFrame(rows, "t string, u long")
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in hll_overlap_pairs(df, F.col("u").cast("string"), "t").collect()
+    }
+    ab = out[("A", "B")]
+    assert abs(ab["overlap_est"] - 500) / 500 < 0.15
+    # est_union must BE the single-set estimate of A ∪ B (max-monoid law)
+    union_direct = hll_distinct(
+        df.filter("t != 'C'").select(F.lit("u").alias("g"), "u"),
+        F.col("u").cast("string"),
+        ["g"],
+    ).collect()[0]["hll_est"]
+    assert ab["est_union"] == union_direct
+    # disjoint pair: overlap estimate near zero (sketch noise only)
+    ac = out[("A", "C")]
+    assert abs(ac["overlap_est"]) < 0.1 * 1000
