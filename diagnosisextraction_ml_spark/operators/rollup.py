@@ -151,6 +151,7 @@ def grouped_ols_trend(
     key_cols: Sequence[str],
     x_col: str,
     y_micro_col: str,
+    scale: int = 1,
 ) -> DataFrame:
     """Per-key least-squares trend slope in exact arithmetic.
 
@@ -160,7 +161,9 @@ def grouped_ols_trend(
     ``y_micro_col`` the measure pre-scaled to micro-units, which makes
     the slope micro-precise with no extra scaling). The slope is
     emitted as a BIGINT in y-micro units per x via sign-split division
-    (``sign · (|num| div den)``) — truncation and floor agree on
+    (``sign · ((scale·|num|) div den)``; ``scale`` > 1 recovers
+    precision when x is itself micro-scaled, e.g. log-log fits) —
+    truncation and floor agree on
     non-negatives, so Spark's ``div`` and DuckDB's ``//`` produce the
     same bits; a float covariance would depend on accumulation order.
 
@@ -196,7 +199,10 @@ def grouped_ols_trend(
             F.col("__n").cast("long").alias("n_points"),
             (
                 signed
-                * F.expr("CAST(abs(__num) DIV __den AS BIGINT)")
+                * F.expr(
+                    f"CAST((CAST({scale} AS DECIMAL(38,0)) * abs(__num))"
+                    " DIV __den AS BIGINT)"
+                )
             ).cast("long").alias("slope_micro"),
         )
     )

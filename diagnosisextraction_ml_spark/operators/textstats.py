@@ -557,3 +557,45 @@ def vocab_coverage(
             "coverage"
         ),
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 500,
+    stopwords: Sequence[str] = (),
+) -> DataFrame:
+    """Zipf-law exponent fit: OLS slope of log-freq vs log-rank.
+
+    A natural-corpus sanity signal for training data (Zipf slope ≈ −1;
+    templated/generated corpora drift toward 0 or oscillate): take the
+    deterministic top-k words, rank them WITHOUT a global window (the
+    k-row relation collapses to one sorted array and ranks fall out of
+    ``posexplode`` — the engine's standard rank-a-tiny-relation idiom),
+    map to integer micro-nat log points, and fit with the exact-OLS
+    engine (``rollup.grouped_ols_trend``, scale=10⁶ because x is
+    micro-scaled too). Everything after the Zipf-small top-k is
+    metadata-sized; the result is hash-exact cross-engine.
+
+    Output: one row (n_words, slope_micro ≈ −1e6·α).
+    """
+    from diagnosisextraction_ml_spark.operators.rollup import grouped_ols_trend
+
+    top = top_k_words(df, text_col, k=k, stopwords=stopwords)
+    arr = top.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("n")).alias("negn"), "word", "n"))
+        ).alias("a")
+    )
+    ranked = arr.select(F.posexplode("a").alias("pos", "s")).select(
+        (F.col("pos") + 1).alias("rank"), F.col("s.n").alias("n")
+    )
+    pts = ranked.select(
+        F.lit("corpus").alias("g"),
+        F.expr("CAST(round(1000000 * ln(CAST(rank AS DOUBLE)), 0) AS BIGINT)").alias("x"),
+        F.expr("CAST(round(1000000 * ln(CAST(n AS DOUBLE)), 0) AS BIGINT)").alias("y"),
+    )
+    fit = grouped_ols_trend(pts, ["g"], "x", "y", scale=1_000_000)
+    return fit.select(
+        F.col("n_points").alias("n_words"), "slope_micro"
+    )

@@ -4040,3 +4040,43 @@ def _hll_overlap_entry() -> None:
 
 
 _hll_overlap_entry()
+
+
+# ===========================================================================
+# Zipf-law exponent fit over the corpus vocabulary.
+# ===========================================================================
+
+def _zipf_entry(k: int = 500) -> None:
+    sql = f"""
+    WITH toks AS (
+      SELECT unnest({_toks_sql('lower(text)')}) AS word FROM documents
+    ), topw AS (
+      SELECT word, count(*) AS n FROM toks
+      WHERE NOT list_contains({_sql_list(ENGLISH_STOPWORDS)}, word)
+      GROUP BY word ORDER BY n DESC, word ASC LIMIT {k}
+    ), ranked AS (
+      SELECT row_number() OVER (ORDER BY n DESC, word ASC) AS rank, n FROM topw
+    ), pts AS (
+      SELECT CAST(round(1000000 * ln(CAST(rank AS DOUBLE)), 0) AS HUGEINT) AS x,
+             CAST(round(1000000 * ln(CAST(n AS DOUBLE)), 0) AS HUGEINT) AS y
+      FROM ranked
+    ), s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_words,
+           CAST(CASE WHEN (n * sxy - sx * sy) < 0 THEN -1 ELSE 1 END
+                * ((1000000 * abs(n * sxy - sx * sy)) // (n * sxx - sx * sx))
+                AS BIGINT) AS slope_micro
+    FROM s WHERE (n * sxx - sx * sx) <> 0
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return textstats.zipf_slope(docs, "text", k=k, stopwords=ENGLISH_STOPWORDS)
+
+    register("text_zipf_slope", sql)(_fn)
+
+
+_zipf_entry()

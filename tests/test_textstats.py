@@ -267,3 +267,28 @@ def test_vocab_coverage_partitioning_invariant(spark, sf_dir):
     a = sorted(map(tuple, vocab_coverage(docs).collect()))
     b = sorted(map(tuple, vocab_coverage(docs.repartition(11)).collect()))
     assert a == b
+
+
+def test_zipf_slope_on_synthetic_zipf_corpus(spark):
+    from diagnosisextraction_ml_spark.operators.textstats import zipf_slope
+
+    # build a corpus whose word frequencies follow freq(r) = 2000 // r:
+    # slope of log-freq vs log-rank should be close to -1
+    words = []
+    for r in range(1, 201):
+        words.extend([f"w{r:04d}"] * (2000 // r))
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    out = zipf_slope(df, "text", k=200).collect()[0]
+    assert out["n_words"] == 200
+    assert -1_100_000 < out["slope_micro"] < -900_000
+
+
+def test_zipf_slope_flat_corpus_near_zero(spark):
+    from diagnosisextraction_ml_spark.operators.textstats import zipf_slope
+
+    # uniform frequencies -> slope ~ 0
+    text = " ".join(f"w{r}" for r in range(300)) * 5
+    df = spark.createDataFrame([(text,)], "text string")
+    out = zipf_slope(df, "text", k=100).collect()[0]
+    assert abs(out["slope_micro"]) < 50_000
