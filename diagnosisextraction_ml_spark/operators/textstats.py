@@ -599,3 +599,93 @@ def zipf_slope(
     return fit.select(
         F.col("n_points").alias("n_words"), "slope_micro"
     )
+
+
+def corpus_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise KL divergence between sub-corpus unigram distributions.
+
+    The distribution-shift detector for corpus mixing: KL(P‖Q) over
+    add-1-smoothed unigram distributions (smoothing over each PAIR's
+    union vocabulary, so both sides are proper distributions on the
+    same support). Both directions come from one pivoted relation.
+
+    Exactness: the per-token log ratio is an integer micro-nat
+    (``round(10⁶·ln((aᵢ+1)·B / ((bᵢ+1)·A)))``), weighted by the exact
+    integer count (aᵢ+1) and summed as BIGINTs — no float accumulation
+    order anywhere; the final division by A is one sign-split integer
+    division. KL(P‖Q) = (1/A)·Σ (aᵢ+1)·ln-term by construction.
+
+    Scale: token counts aggregate per (group, word) with map-side
+    combine (Zipf-small); pair expansion touches only the count
+    relation (never documents); per-pair totals are a tiny broadcast.
+
+    Output: (group_a, group_b, vocab_size, kl_ab_micro, kl_ba_micro)
+    with group_a < group_b.
+    """
+    counts = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("word"),
+        )
+        .groupBy("g", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    ).localCheckpoint()
+
+    groups = counts.select("g").distinct()
+    ga = groups.select(F.col("g").alias("group_a"))
+    gb = groups.select(F.col("g").alias("group_b"))
+    pairs = ga.join(F.broadcast(gb), F.col("group_a") < F.col("group_b"))
+    members = pairs.select(
+        "group_a", "group_b", F.explode(F.array("group_a", "group_b")).alias("g")
+    )
+    sides = members.join(counts, "g").select(
+        "group_a",
+        "group_b",
+        "word",
+        F.when(F.col("g") == F.col("group_a"), F.col("n")).otherwise(F.lit(0)).alias("na"),
+        F.when(F.col("g") == F.col("group_b"), F.col("n")).otherwise(F.lit(0)).alias("nb"),
+    )
+    vocab = sides.groupBy("group_a", "group_b", "word").agg(
+        F.sum("na").alias("a"), F.sum("nb").alias("b")
+    )
+    totals = vocab.groupBy("group_a", "group_b").agg(
+        (F.sum("a") + F.count(F.lit(1))).alias("ta"),  # Σa + V  (add-1 mass)
+        (F.sum("b") + F.count(F.lit(1))).alias("tb"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    terms = vocab.join(F.broadcast(totals), ["group_a", "group_b"]).select(
+        "group_a",
+        "group_b",
+        "vocab_size",
+        "ta",
+        "tb",
+        F.expr(
+            "(a + 1) * CAST(round(1000000 * ln((CAST(a + 1 AS DOUBLE) * CAST(tb AS DOUBLE))"
+            " / (CAST(b + 1 AS DOUBLE) * CAST(ta AS DOUBLE))), 0) AS BIGINT)"
+        ).alias("term_ab"),
+        F.expr(
+            "(b + 1) * CAST(round(1000000 * ln((CAST(b + 1 AS DOUBLE) * CAST(ta AS DOUBLE))"
+            " / (CAST(a + 1 AS DOUBLE) * CAST(tb AS DOUBLE))), 0) AS BIGINT)"
+        ).alias("term_ba"),
+    )
+    summed = terms.groupBy("group_a", "group_b", "vocab_size", "ta", "tb").agg(
+        F.sum("term_ab").alias("sab"), F.sum("term_ba").alias("sba")
+    )
+
+    def _div(num: str, den: str) -> Column:
+        return F.expr(
+            f"CASE WHEN {num} < 0 THEN -1 ELSE 1 END"
+            f" * CAST(abs({num}) DIV {den} AS BIGINT)"
+        )
+
+    return summed.select(
+        "group_a",
+        "group_b",
+        "vocab_size",
+        _div("sab", "ta").alias("kl_ab_micro"),
+        _div("sba", "tb").alias("kl_ba_micro"),
+    )

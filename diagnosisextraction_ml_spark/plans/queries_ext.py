@@ -4080,3 +4080,67 @@ def _zipf_entry(k: int = 500) -> None:
 
 
 _zipf_entry()
+
+
+# ===========================================================================
+# Pairwise corpus KL divergence (add-1 smoothed unigram distributions).
+# ===========================================================================
+
+def _kl_entry() -> None:
+    srcs = "('src0', 'src1', 'src2', 'src3')"
+    sql = f"""
+    WITH counts AS (
+      SELECT source AS g, word, CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT source, unnest({_toks_sql('lower(text)')}) AS word
+        FROM documents WHERE source IN {srcs}
+      ) GROUP BY 1, 2
+    ), groups AS (
+      SELECT DISTINCT g FROM counts
+    ), pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b
+      FROM groups a JOIN groups b ON a.g < b.g
+    ), members AS (
+      SELECT group_a, group_b, group_a AS g FROM pairs
+      UNION ALL SELECT group_a, group_b, group_b FROM pairs
+    ), vocab AS (
+      SELECT m.group_a, m.group_b, c.word,
+             sum(CASE WHEN c.g = m.group_a THEN c.n ELSE 0 END) AS a,
+             sum(CASE WHEN c.g = m.group_b THEN c.n ELSE 0 END) AS b
+      FROM members m JOIN counts c ON c.g = m.g
+      GROUP BY 1, 2, 3
+    ), totals AS (
+      SELECT group_a, group_b,
+             sum(a) + count(*) AS ta, sum(b) + count(*) AS tb,
+             CAST(count(*) AS BIGINT) AS vocab_size
+      FROM vocab GROUP BY 1, 2
+    ), terms AS (
+      SELECT v.group_a, v.group_b, t.vocab_size, t.ta, t.tb,
+             (v.a + 1) * CAST(round(1000000 * ln((CAST(v.a + 1 AS DOUBLE) * CAST(t.tb AS DOUBLE))
+               / (CAST(v.b + 1 AS DOUBLE) * CAST(t.ta AS DOUBLE))), 0) AS BIGINT) AS term_ab,
+             (v.b + 1) * CAST(round(1000000 * ln((CAST(v.b + 1 AS DOUBLE) * CAST(t.ta AS DOUBLE))
+               / (CAST(v.a + 1 AS DOUBLE) * CAST(t.tb AS DOUBLE))), 0) AS BIGINT) AS term_ba
+      FROM vocab v JOIN totals t USING (group_a, group_b)
+    ), summed AS (
+      SELECT group_a, group_b, vocab_size, ta, tb,
+             sum(term_ab) AS sab, sum(term_ba) AS sba
+      FROM terms GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT group_a, group_b, vocab_size,
+           CAST(CASE WHEN sab < 0 THEN -1 ELSE 1 END * (abs(sab) // ta) AS BIGINT)
+             AS kl_ab_micro,
+           CAST(CASE WHEN sba < 0 THEN -1 ELSE 1 END * (abs(sba) // tb) AS BIGINT)
+             AS kl_ba_micro
+    FROM summed
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("source").isin("src0", "src1", "src2", "src3")
+        )
+        return textstats.corpus_kl_divergence(docs, "source", "text")
+
+    register("text_kl_divergence", sql)(_fn)
+
+
+_kl_entry()

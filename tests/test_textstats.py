@@ -292,3 +292,40 @@ def test_zipf_slope_flat_corpus_near_zero(spark):
     df = spark.createDataFrame([(text,)], "text string")
     out = zipf_slope(df, "text", k=100).collect()[0]
     assert abs(out["slope_micro"]) < 50_000
+
+
+def test_kl_divergence_identical_corpora_zero(spark):
+    from diagnosisextraction_ml_spark.operators.textstats import corpus_kl_divergence
+
+    text = "alpha beta gamma delta epsilon " * 20
+    df = spark.createDataFrame([("A", text), ("B", text)], "source string, text string")
+    out = corpus_kl_divergence(df).collect()[0]
+    assert out["kl_ab_micro"] == 0 and out["kl_ba_micro"] == 0
+
+
+def test_kl_divergence_matches_python_model(spark):
+    import math
+    from collections import Counter
+
+    from diagnosisextraction_ml_spark.operators.textstats import corpus_kl_divergence
+
+    ta = "a a a b b c d d d d e"
+    tb = "a b b b b c c f f"
+    df = spark.createDataFrame([("A", ta), ("B", tb)], "source string, text string")
+    out = corpus_kl_divergence(df).collect()[0]
+
+    ca, cb = Counter(ta.split()), Counter(tb.split())
+    vocab = sorted(set(ca) | set(cb))
+    A = sum(ca.values()) + len(vocab)
+    B = sum(cb.values()) + len(vocab)
+    sab = sum(
+        (ca[w] + 1)
+        * round(1e6 * math.log((ca[w] + 1) * B / ((cb[w] + 1) * A)))
+        for w in vocab
+    )
+    want = (1 if sab >= 0 else -1) * (abs(sab) // A)
+    assert out["vocab_size"] == len(vocab)
+    assert out["kl_ab_micro"] == want
+    # divergence is asymmetric and positive for genuinely different corpora
+    assert out["kl_ab_micro"] > 0 and out["kl_ba_micro"] > 0
+    assert out["kl_ab_micro"] != out["kl_ba_micro"]
