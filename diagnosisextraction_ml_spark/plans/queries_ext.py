@@ -4144,3 +4144,114 @@ def _kl_entry() -> None:
 
 
 _kl_entry()
+
+
+# ===========================================================================
+# Composed retrieval pipeline: BM25 candidates re-ranked by a
+# distinctiveness blend (the two-stage retrieval shape used to curate
+# RAG / training data: cheap recall stage -> re-rank stage).
+# ===========================================================================
+
+def _rerank_entry(n_cand: int = 20, k: int = 10) -> None:
+    from diagnosisextraction_ml_spark.operators import search, textstats as ts_ops
+    from pyspark.sql import Window
+
+    from diagnosisextraction_ml_spark.operators.search import BM25_B as search_b
+    from diagnosisextraction_ml_spark.operators.search import BM25_K1 as search_k1
+
+    # candidate stage re-ranks the BM25 top-n_cand; the blend penalizes
+    # generic documents (high mean token docfreq):
+    # blend = 7·bm25 − 3·commonness, both micro ints.
+    sql = f"""
+    WITH tok AS (SELECT doc_id, unnest({_toks_sql("coalesce(lower(text), '')")}) AS term FROM documents),
+    postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+    qt(query_id, term) AS (VALUES {", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)}),
+    idf AS (
+      SELECT query_id, qt.term,
+        CAST(round(CAST(1000000.0 AS DOUBLE) * ln(
+          (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+          / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 0) AS BIGINT)
+          AS idf_micro
+      FROM qt JOIN dfreq ON dfreq.term = qt.term CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT query_id, p.doc_id,
+        CAST(round(
+          (CAST(idf_micro AS DOUBLE)
+             * (CAST(tf AS DOUBLE) * CAST({float(1.0 + search_k1)!r} AS DOUBLE)))
+          / (CAST(tf AS DOUBLE) + CAST({float(search_k1)!r} AS DOUBLE) * (CAST({float(1.0 - search_b)!r} AS DOUBLE)
+               + CAST({float(search_b)!r} AS DOUBLE) * (CAST(d.dl AS DOUBLE)
+                   / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        , 0) AS BIGINT) AS s
+      FROM postings p
+      JOIN idf ON idf.term = p.term
+      JOIN dl d ON d.doc_id = p.doc_id
+      CROSS JOIN stats
+    ),
+    agg AS (SELECT query_id, doc_id, SUM(s) AS score_micro
+            FROM scored GROUP BY 1, 2),
+    cand AS (
+      SELECT query_id, doc_id, score_micro
+      FROM (SELECT query_id, doc_id, score_micro,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score_micro DESC, doc_id) AS rnk
+            FROM agg) r
+      WHERE rnk <= {n_cand}
+    ),
+    dt AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(list_distinct({_toks_sql('lower(text)')})) AS token
+        FROM documents)),
+    tdf AS (SELECT token, count(*) AS token_docfreq FROM dt GROUP BY token),
+    common AS (
+      SELECT doc_id,
+             CAST((1000000 * sum(token_docfreq)) // count(*) AS BIGINT) AS common_micro
+      FROM dt JOIN tdf USING (token) GROUP BY doc_id
+    ),
+    blended AS (
+      SELECT c.query_id, c.doc_id,
+             7 * c.score_micro - 3 * m.common_micro AS blend_micro
+      FROM cand c JOIN common m USING (doc_id)
+    )
+    SELECT query_id, CAST(rnk AS INTEGER) AS rerank, doc_id, blend_micro
+    FROM (SELECT query_id, doc_id, blend_micro,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY blend_micro DESC, doc_id) AS rnk
+          FROM blended) r
+    WHERE rnk <= {k}
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        cand = search.bm25_topk(docs, _BM25_QUERIES, k=n_cand).select(
+            "query_id", "doc_id", "score_micro"
+        )
+        common = ts_ops.doc_commonness(docs).select(
+            "doc_id",
+            F.expr(
+                "CAST((1000000 * sum_docfreq) DIV n_distinct_tokens AS BIGINT)"
+            ).alias("common_micro"),
+        )
+        blended = cand.join(common, "doc_id").select(
+            "query_id",
+            "doc_id",
+            (7 * F.col("score_micro") - 3 * F.col("common_micro")).alias(
+                "blend_micro"
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("blend_micro"), F.asc("doc_id")
+        )
+        return (
+            blended.withColumn("rerank", F.row_number().over(w))
+            .filter(F.col("rerank") <= k)
+            .select("query_id", "rerank", "doc_id", "blend_micro")
+        )
+
+    register("pipeline_search_rerank", sql)(_fn)
+
+
+_rerank_entry()
