@@ -157,7 +157,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
         )
         .distinct()
-    )
+    ).localCheckpoint()  # consumed twice (degrees + orientation join)
     deg = (
         und.select(F.col("u").alias("n"))
         .unionByName(und.select(F.col("v").alias("n")))
