@@ -500,7 +500,8 @@ def with_quantile_bins(df: DataFrame, value_col: str) -> DataFrame:
         ).alias("bin_id"),
         F.expr(f"CASE WHEN {big} THEN {lo} ELSE __v END").alias("bin_lo"),
         F.expr(
-            f"CASE WHEN {big} THEN ({lo}) + (1 << CAST(__e - {sb} AS INT))"
+            f"CASE WHEN {big} THEN ({lo})"
+            f" + shiftleft(CAST(1 AS BIGINT), CAST(__e - {sb} AS INT))"
             f" ELSE __v + 1 END"
         ).alias("bin_hi"),
     ).drop("__v", "__e")

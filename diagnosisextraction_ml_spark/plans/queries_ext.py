@@ -3937,7 +3937,8 @@ def _logbin_quantile_entry() -> None:
     ), binned AS (
       SELECT CASE WHEN v >= 16 THEN e * 16 + ((v >> (e - 4)) - 16) ELSE v END AS bin_id,
              CASE WHEN v >= 16 THEN (v >> (e - 4)) << (e - 4) ELSE v END AS bin_lo,
-             CASE WHEN v >= 16 THEN ((v >> (e - 4)) << (e - 4)) + (1 << (e - 4))
+             CASE WHEN v >= 16 THEN ((v >> (e - 4)) << (e - 4))
+                  + (CAST(1 AS BIGINT) << (e - 4))
                   ELSE v + 1 END AS bin_hi
       FROM e1
     ), counts AS (

@@ -387,3 +387,25 @@ def test_hll_overlap_accuracy_and_union_law(spark):
     # disjoint pair: overlap estimate near zero (sketch noise only)
     ac = out[("A", "C")]
     assert abs(ac["overlap_est"]) < 0.1 * 1000
+
+
+def test_logbin_bins_power_of_two_boundaries(spark):
+    """The corrected-log2 must place 2^k-1, 2^k, 2^k+1 in correct,
+    monotone bins for every k — exactly where a 1-ulp libm wobble
+    would misbin."""
+    from diagnosisextraction_ml_spark.operators.sketch import with_quantile_bins
+
+    vals = sorted({max(v, 0) for k in range(4, 62) for v in ((1 << k) - 1, 1 << k, (1 << k) + 1)})
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = sorted(
+        (r["v"], r["bin_id"], r["bin_lo"], r["bin_hi"])
+        for r in with_quantile_bins(df, "v").collect()
+    )
+    prev_bin = -1
+    for v, bin_id, lo, hi in rows:
+        assert lo <= v < hi, (v, lo, hi)
+        assert bin_id >= prev_bin  # bin ids monotone in v
+        prev_bin = bin_id
+        # a power of two starts its own bin exactly
+        if v >= 16 and (v & (v - 1)) == 0:
+            assert lo == v, (v, lo)
