@@ -641,3 +641,61 @@ def hll_overlap_pairs(
             ),
         )
     )
+
+
+def grouped_logbin_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probes: Sequence[tuple[int, int]] = ((1, 2), (9, 10), (99, 100)),
+) -> DataFrame:
+    """Per-group quantile estimates from the log-binned histogram.
+
+    The grouped form of :func:`logbin_quantiles` — per-tenant /
+    per-type latency and size percentiles. Because the cumsum here is
+    PER GROUP, it needs no two-level trick: a window partitioned by the
+    group over ≤1k bins per group is already distributed (one Exchange
+    on the group key, bounded per-group sort).
+
+    Output: (group..., p_num, p_den, target_rank, bin_lo, bin_hi,
+    cum_count).
+    """
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    counts = (
+        with_quantile_bins(df.select(*group_cols, value_col), value_col)
+        .groupBy(*group_cols, "bin_id", "bin_lo", "bin_hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("bin_id").asc())
+    wall = Window.partitionBy(*group_cols)
+    cum = counts.select(
+        *group_cols,
+        "bin_id",
+        "bin_lo",
+        "bin_hi",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(wall).alias("tot"),
+    )
+    probe_df = df.sparkSession.createDataFrame(
+        [(int(n), int(d)) for n, d in probes], "p_num long, p_den long"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(probe_df))
+        .withColumn("target", F.expr("(p_num * tot + p_den - 1) DIV p_den"))
+        .filter(F.col("cum") >= F.col("target"))
+    )
+    return (
+        hit.groupBy(*group_cols, "p_num", "p_den", "target")
+        .agg(F.min(F.struct("bin_id", "bin_lo", "bin_hi", "cum")).alias("s"))
+        .select(
+            *group_cols,
+            "p_num",
+            "p_den",
+            F.col("target").alias("target_rank"),
+            F.col("s.bin_lo").alias("bin_lo"),
+            F.col("s.bin_hi").alias("bin_hi"),
+            F.col("s.cum").alias("cum_count"),
+        )
+    )

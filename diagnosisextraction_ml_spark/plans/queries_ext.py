@@ -4256,3 +4256,62 @@ def _rerank_entry(n_cand: int = 20, k: int = 10) -> None:
 
 
 _rerank_entry()
+
+
+# ===========================================================================
+# Per-group log-binned quantiles over event values (micro-units).
+# ===========================================================================
+
+def _grouped_logbin_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import sketch
+
+    sql = """
+    WITH vals AS (
+      SELECT event_type, CAST(round(value * 1000000, 0) AS BIGINT) AS v FROM events
+    ), e0 AS (
+      SELECT event_type, v,
+             CAST(floor(log2(CAST(greatest(v, 1) AS DOUBLE))) AS BIGINT) AS b
+      FROM vals
+    ), e1 AS (
+      SELECT event_type, v,
+             b - CASE WHEN pow(2.0, CAST(b AS DOUBLE)) > v THEN 1 ELSE 0 END
+               + CASE WHEN pow(2.0, CAST(b + 1 AS DOUBLE)) <= v THEN 1 ELSE 0 END
+               AS e
+      FROM e0
+    ), binned AS (
+      SELECT event_type,
+             CASE WHEN v >= 16 THEN e * 16 + ((v >> (e - 4)) - 16) ELSE v END AS bin_id,
+             CASE WHEN v >= 16 THEN (v >> (e - 4)) << (e - 4) ELSE v END AS bin_lo,
+             CASE WHEN v >= 16 THEN ((v >> (e - 4)) << (e - 4))
+                  + (CAST(1 AS BIGINT) << (e - 4))
+                  ELSE v + 1 END AS bin_hi
+      FROM e1
+    ), counts AS (
+      SELECT event_type, bin_id, bin_lo, bin_hi, count(*) AS cnt
+      FROM binned GROUP BY 1, 2, 3, 4
+    ), cum AS (
+      SELECT *,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin_id) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS tot
+      FROM counts
+    ), probes(p_num, p_den) AS (VALUES (1, 2), (9, 10), (99, 100))
+    SELECT event_type, CAST(p_num AS BIGINT) AS p_num, CAST(p_den AS BIGINT) AS p_den,
+           CAST((p_num * tot + p_den - 1) // p_den AS BIGINT) AS target_rank,
+           bin_lo, bin_hi, CAST(cum AS BIGINT) AS cum_count
+    FROM cum c CROSS JOIN probes p
+    WHERE c.cum >= (p.p_num * tot + p.p_den - 1) // p.p_den
+    QUALIFY row_number() OVER (PARTITION BY event_type, p_num, p_den ORDER BY bin_id) = 1
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        vals = ev.select(
+            "event_type",
+            F.expr("CAST(round(value * 1000000, 0) AS BIGINT)").alias("v_micro"),
+        )
+        return sketch.grouped_logbin_quantiles(vals, ["event_type"], "v_micro")
+
+    register("sketch_logbin_by_type", sql)(_fn)
+
+
+_grouped_logbin_entry()

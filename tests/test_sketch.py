@@ -409,3 +409,23 @@ def test_logbin_bins_power_of_two_boundaries(spark):
         # a power of two starts its own bin exactly
         if v >= 16 and (v & (v - 1)) == 0:
             assert lo == v, (v, lo)
+
+
+def test_grouped_logbin_quantiles_per_group_containment(spark):
+    import math
+
+    from diagnosisextraction_ml_spark.operators.sketch import grouped_logbin_quantiles
+
+    data = {
+        "a": [((i * 13) % 997) + 1 for i in range(2000)],
+        "b": [((i * 7) % 89) * 1000 + 5 for i in range(500)],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = grouped_logbin_quantiles(df, ["g"], "v").collect()
+    assert len(out) == 2 * 3
+    for r in out:
+        svals = sorted(data[r["g"]])
+        target = math.ceil(r["p_num"] * len(svals) / r["p_den"])
+        exact = svals[target - 1]
+        assert r["bin_lo"] <= exact < r["bin_hi"], (r, exact)
