@@ -139,3 +139,64 @@ def cohort_retention(
         "users",
         (F.col("users") / F.col("cohort_size")).alias("retention"),
     )
+
+
+def funnel_latency_quantiles(
+    events: DataFrame,
+    steps: list[str],
+    probes: tuple = ((1, 2), (9, 10), (99, 100)),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-transition conversion-latency percentiles.
+
+    For each consecutive funnel transition step[i-1] → step[i], the
+    distribution of per-user first-qualifying latencies (seconds,
+    floor-truncated — identical in both engines), summarized by the
+    mergeable log-binned quantile sketch
+    (:func:`~..sketch.grouped_logbin_quantiles`). The "how long does
+    conversion take" companion to :func:`funnel_conversion`'s
+    "how many convert".
+
+    Per-user step times reuse the funnel chain (min-aggregation per
+    step, shuffle keyed by user); latencies are exact BIGINT second
+    differences, so the whole result is hash-exact cross-engine.
+
+    Output: (step_idx, step, p_num, p_den, target_rank, bin_lo,
+    bin_hi, cum_count) — bins bound the latency percentile in seconds.
+    """
+    from diagnosisextraction_ml_spark.operators.sketch import (
+        grouped_logbin_quantiles,
+    )
+
+    if len(steps) < 2:
+        raise ValueError("latency funnel needs at least two steps")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_prev"))
+    )
+    lats = None
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = events.filter(F.col(type_col) == step).select(
+            user_col, F.col(ts_col).alias("t_ev")
+        )
+        reached = (
+            nxt.join(cur, [user_col])
+            .filter(F.col("t_ev") >= F.col("t_prev"))
+            .groupBy(user_col, "t_prev")
+            .agg(F.min("t_ev").alias("t_cur"))
+        )
+        lat = reached.select(
+            F.lit(i).alias("step_idx"),
+            F.lit(step).alias("step"),
+            (
+                F.col("t_cur").cast("long") - F.col("t_prev").cast("long")
+            ).alias("lat_sec"),
+        )
+        lats = lat if lats is None else lats.unionByName(lat)
+        cur = reached.select(user_col, F.col("t_cur").alias("t_prev"))
+    return grouped_logbin_quantiles(
+        lats, ["step_idx", "step"], "lat_sec", probes=probes
+    )

@@ -4315,3 +4315,83 @@ def _grouped_logbin_entry() -> None:
 
 
 _grouped_logbin_entry()
+
+
+# ===========================================================================
+# Funnel conversion-latency percentiles (funnel chain × quantile sketch).
+# ===========================================================================
+
+def _funnel_latency_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import funnel as funnel_ops
+
+    steps = _FUNNEL_STEPS
+    blocks = [
+        f"""
+    s0 AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_prev
+           FROM events WHERE event_type = '{steps[0]}' GROUP BY user_id)"""
+    ]
+    lat_selects = []
+    for i, step in enumerate(steps[1:], start=1):
+        blocks.append(
+            f"""
+    s{i} AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_prev, p.t_prev AS t_before
+             FROM events e JOIN s{i - 1} p ON p.user_id = e.user_id
+             WHERE e.event_type = '{step}'
+               AND CAST(e.ts AS TIMESTAMP) >= p.t_prev
+             GROUP BY e.user_id, p.t_prev)"""
+        )
+        lat_selects.append(
+            f"SELECT {i} AS step_idx, '{step}' AS step, "
+            f"CAST(floor(epoch(t_prev)) - floor(epoch(t_before)) AS BIGINT) AS v "
+            f"FROM s{i}"
+        )
+    lats = " UNION ALL ".join(lat_selects)
+    sql = (
+        "WITH" + ",".join(blocks) + f""",
+    vals AS ({lats}),
+    e0 AS (
+      SELECT step_idx, step, v,
+             CAST(floor(log2(CAST(greatest(v, 1) AS DOUBLE))) AS BIGINT) AS b
+      FROM vals
+    ), e1 AS (
+      SELECT step_idx, step, v,
+             b - CASE WHEN pow(2.0, CAST(b AS DOUBLE)) > v THEN 1 ELSE 0 END
+               + CASE WHEN pow(2.0, CAST(b + 1 AS DOUBLE)) <= v THEN 1 ELSE 0 END
+               AS e
+      FROM e0
+    ), binned AS (
+      SELECT step_idx, step,
+             CASE WHEN v >= 16 THEN e * 16 + ((v >> (e - 4)) - 16) ELSE v END AS bin_id,
+             CASE WHEN v >= 16 THEN (v >> (e - 4)) << (e - 4) ELSE v END AS bin_lo,
+             CASE WHEN v >= 16 THEN ((v >> (e - 4)) << (e - 4))
+                  + (CAST(1 AS BIGINT) << (e - 4))
+                  ELSE v + 1 END AS bin_hi
+      FROM e1
+    ), counts AS (
+      SELECT step_idx, step, bin_id, bin_lo, bin_hi, count(*) AS cnt
+      FROM binned GROUP BY 1, 2, 3, 4, 5
+    ), cum AS (
+      SELECT *,
+             sum(cnt) OVER (PARTITION BY step_idx, step ORDER BY bin_id) AS cum,
+             sum(cnt) OVER (PARTITION BY step_idx, step) AS tot
+      FROM counts
+    ), probes(p_num, p_den) AS (VALUES (1, 2), (9, 10), (99, 100))
+    SELECT step_idx, step,
+           CAST(p_num AS BIGINT) AS p_num, CAST(p_den AS BIGINT) AS p_den,
+           CAST((p_num * tot + p_den - 1) // p_den AS BIGINT) AS target_rank,
+           bin_lo, bin_hi, CAST(cum AS BIGINT) AS cum_count
+    FROM cum c CROSS JOIN probes p
+    WHERE c.cum >= (p.p_num * tot + p.p_den - 1) // p.p_den
+    QUALIFY row_number() OVER (PARTITION BY step_idx, step, p_num, p_den
+                               ORDER BY bin_id) = 1
+    """
+    )
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return funnel_ops.funnel_latency_quantiles(ev, steps)
+
+    register("events_funnel_latency", sql)(_fn)
+
+
+_funnel_latency_entry()

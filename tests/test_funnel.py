@@ -86,3 +86,30 @@ def test_cohort_retention_grid(spark):
     assert got[("2024-01-01", 2)] == (2, 1.0)
     assert got[("2024-01-08", 0)] == (1, 1.0)
     assert len(got) == 4
+
+
+def test_funnel_latency_quantiles_hand_case(spark):
+    import datetime as dt
+
+    from diagnosisextraction_ml_spark.operators.funnel import funnel_latency_quantiles
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    # user 1: view@0 click@10 buy@20; user 2: view@0 click@40; user 3: click only
+    rows = [
+        (1, "view", ts(0)), (1, "click", ts(10)), (1, "purchase", ts(20)),
+        (2, "view", ts(0)), (2, "click", ts(40)),
+        (3, "click", ts(5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = funnel_latency_quantiles(df, ["view", "click", "purchase"])
+    rows_out = {(r["step"], r["p_num"], r["p_den"]): r for r in out.collect()}
+    # click latencies: {600, 2400}; p50 target rank 1 -> 600s bin
+    med = rows_out[("click", 1, 2)]
+    assert med["bin_lo"] <= 600 < med["bin_hi"]
+    p99 = rows_out[("click", 99, 100)]
+    assert p99["bin_lo"] <= 2400 < p99["bin_hi"]
+    # purchase latencies: {600} only
+    pm = rows_out[("purchase", 1, 2)]
+    assert pm["bin_lo"] <= 600 < pm["bin_hi"] and pm["target_rank"] == 1
