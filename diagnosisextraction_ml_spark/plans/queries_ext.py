@@ -4395,3 +4395,79 @@ def _funnel_latency_entry() -> None:
 
 
 _funnel_latency_entry()
+
+
+# ===========================================================================
+# Peak concurrent sessions per day — sweep-line over sessionized events.
+# ===========================================================================
+
+_CONC_LO = 1704067200  # 2024-01-01 epoch sec (events window)
+_CONC_HI = 1706745600  # 2024-02-01
+
+
+def _concurrency_entry() -> None:
+    from pyspark.sql import Window
+
+    from diagnosisextraction_ml_spark.operators import rollup as rollup_ops
+
+    sql = f"""
+    WITH base AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, tsu,
+             CASE WHEN lag(tsu) OVER w IS NULL THEN 0
+                  WHEN epoch_us(tsu) - epoch_us(lag(tsu) OVER w) > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+    ), sess AS (
+      SELECT user_id, tsu,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    ), iv AS (
+      SELECT user_id, session_id,
+             CAST(floor(epoch(min(tsu))) AS BIGINT) AS s,
+             CAST(floor(epoch(max(tsu))) AS BIGINT) AS e
+      FROM sess GROUP BY 1, 2
+    ), deltas AS (
+      SELECT s AS sec, 1 AS d FROM iv
+      UNION ALL SELECT e + 1, -1 FROM iv
+      UNION ALL SELECT day * 86400, 0
+                FROM generate_series({_CONC_LO // 86400}, {_CONC_HI // 86400}) AS t(day)
+    ), net AS (
+      SELECT sec, sum(d) AS nd FROM deltas GROUP BY 1
+    ), cum AS (
+      SELECT sec, sum(nd) OVER (ORDER BY sec) AS conc FROM net
+    )
+    SELECT sec // 86400 AS day_idx, CAST(max(conc) AS BIGINT) AS peak_concurrency
+    FROM cum GROUP BY 1
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        wc = w.rowsBetween(Window.unboundedPreceding, 0)
+        gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        flagged = ev.withColumn(
+            "new_session",
+            F.when(F.lag("ts").over(w).isNull(), F.lit(0))
+            .when(gap > 1800 * 1_000_000, F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        iv = (
+            flagged.withColumn("session_id", F.sum("new_session").over(wc))
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.min("ts").cast("long").alias("s"),
+                F.max("ts").cast("long").alias("e"),
+            )
+        )
+        return rollup_ops.interval_concurrency_daily(
+            iv, "s", "e", _CONC_LO, _CONC_HI
+        )
+
+    register("events_peak_concurrency", sql)(_fn)
+
+
+_concurrency_entry()

@@ -119,3 +119,47 @@ def test_expectations_reserved_names(spark, tbl):
 
     with _pt.raises(ValueError, match="reserved"):
         check_expectations(tbl, {"n_rows": F.col("k") > 0})
+
+
+def test_interval_concurrency_hand_case(spark):
+    from diagnosisextraction_ml_spark.operators.rollup import (
+        interval_concurrency_daily,
+    )
+
+    D = 86400
+    # day 0: [10,100] [50,200] [150,300] -> peak 2 (overlaps at 50-100,150-200)
+    # one interval spans midnight into day 1: [D-50, D+1000]
+    # day 1 has NO deltas besides the carried interval's end: its peak
+    # must still see the carry-over of 1 at midnight
+    iv = spark.createDataFrame(
+        [(10, 100), (50, 200), (150, 300), (D - 50, D + 1000)],
+        "s long, e long",
+    )
+    out = {
+        r["day_idx"]: r["peak_concurrency"]
+        for r in interval_concurrency_daily(iv, "s", "e", 0, 3 * D).collect()
+    }
+    assert out[0] == 2
+    assert out[1] == 1  # carried concurrency, no start inside day 1
+    assert out[2] == 0  # empty day still reported, peak 0
+    # triple overlap check
+    iv2 = spark.createDataFrame([(0, 100), (10, 90), (20, 80)], "s long, e long")
+    out2 = {
+        r["day_idx"]: r["peak_concurrency"]
+        for r in interval_concurrency_daily(iv2, "s", "e", 0, D).collect()
+    }
+    assert out2[0] == 3
+
+
+def test_interval_concurrency_partitioning_invariant(spark):
+    from diagnosisextraction_ml_spark.operators.rollup import (
+        interval_concurrency_daily,
+    )
+
+    iv = spark.createDataFrame(
+        [(i * 37 % 5000, i * 37 % 5000 + (i % 900)) for i in range(400)],
+        "s long, e long",
+    )
+    a = sorted(map(tuple, interval_concurrency_daily(iv.repartition(1), "s", "e", 0, 86400).collect()))
+    b = sorted(map(tuple, interval_concurrency_daily(iv.repartition(9), "s", "e", 0, 86400).collect()))
+    assert a == b
