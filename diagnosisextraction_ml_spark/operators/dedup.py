@@ -1188,3 +1188,67 @@ def remove_boilerplate_sentences(
             "n_removed",
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric n-gram containment — quote/subset detection.
+
+    Jaccard misses the case dedup cares about most at crawl scale: a
+    short document wholly CONTAINED in a long one (a quoted article,
+    a template wrapping real content) has low Jaccard but containment
+    C(A,B) = |A∩B| / |A| ≈ 1. This is the overlap side of Lee et al.'s
+    dedup taxonomy, off the same inverted-index join as
+    :func:`ngram_jaccard_pairs` (same doc-freq semi-filter, same
+    map-side-combined intersection counts — only the accept test
+    changes). A pair is emitted when EITHER direction's containment
+    reaches the exact rational threshold, tested by integer
+    cross-multiplication; the reported values are exactly-rounded
+    divisions.
+
+    Output: (id_a, id_b, n_common, containment_a, containment_b) with
+    id_a < id_b; containment_x = n_common / |shingles(x)|.
+    """
+    num, den = threshold_num, threshold_den
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    if max_doc_freq is not None:
+        allowed = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(allowed, "shingle", "left_semi")
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            (F.lit(den) * F.col("n_common") >= F.lit(num) * F.col("sz_a"))
+            | (F.lit(den) * F.col("n_common") >= F.lit(num) * F.col("sz_b"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("sz_a"), 6).alias("containment_a"),
+            F.round(F.col("n_common") / F.col("sz_b"), 6).alias("containment_b"),
+        )
+    )

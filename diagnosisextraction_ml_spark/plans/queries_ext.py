@@ -4471,3 +4471,52 @@ def _concurrency_entry() -> None:
 
 
 _concurrency_entry()
+
+
+# ===========================================================================
+# Asymmetric containment pairs (quote / subset detection).
+# ===========================================================================
+
+def _containment_entry(
+    n: int = 3, num: int = 4, den: int = 5, max_df: int = 1000
+) -> None:
+    from diagnosisextraction_ml_spark.operators import dedup as dedup_ops
+
+    sql = f"""
+    WITH dt AS (
+      SELECT doc_id, {_toks_sql('lower(text)')} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, unnest({_ngrams_sql(n)}) AS shingle FROM dt)
+      WHERE shingle != ''
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1
+    ), allowed AS (
+      SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+      WHERE df <= {max_df}
+    ), shf AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN allowed USING (shingle)
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common * 1.0 / sa.sz, 6) AS containment_a,
+           round(n_common * 1.0 / sb.sz, 6) AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE {den} * n_common >= {num} * sa.sz OR {den} * n_common >= {num} * sb.sz
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return dedup_ops.ngram_containment_pairs(
+            docs, n=n, threshold_num=num, threshold_den=den, max_doc_freq=max_df
+        )
+
+    register("dedup_containment_pairs", sql)(_fn)
+
+
+_containment_entry()

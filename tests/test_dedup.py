@@ -471,3 +471,37 @@ def test_semantic_dedup_numpy_path_matches_expr(spark, planted_embeddings):
         )
     )
     assert a == b
+
+
+def test_containment_detects_subset_that_jaccard_misses(spark):
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different content here")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.id_a, r.id_b): r
+        for r in dedup.ngram_containment_pairs(
+            df, threshold_num=4, threshold_den=5
+        ).collect()
+    }
+    assert (1, 2) in cont
+    r = cont[(1, 2)]
+    assert r.containment_a == 1.0  # every shingle of the short doc is in the long
+    assert r.containment_b < 0.5
+    # the same pair fails a 0.5 Jaccard test
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.5, max_doc_freq=None).collect()
+    assert not any(x.id_a == 1 and x.id_b == 2 for x in jac)
+    assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_containment_threshold_exact_rational(spark):
+    # overlap 4 of short's 5 shingles: containment exactly 4/5 -> included at 4/5
+    a = "w1 w2 w3 w4 w5 w6 w7"        # 5 shingles
+    b = "w1 w2 w3 w4 w5 w6 x" + " " + " ".join(f"y{i}" for i in range(20))
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    got = dedup.ngram_containment_pairs(df, threshold_num=4, threshold_den=5).collect()
+    assert len(got) == 1 and got[0].containment_a == 0.8
+    none = dedup.ngram_containment_pairs(df, threshold_num=9, threshold_den=10).collect()
+    assert none == []
