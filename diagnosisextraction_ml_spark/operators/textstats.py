@@ -689,3 +689,83 @@ def corpus_kl_divergence(
         _div("sab", "ta").alias("kl_ab_micro"),
         _div("sba", "tb").alias("kl_ba_micro"),
     )
+
+
+def pmi_token_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_vocab: int = 200,
+    min_pair_docs: int = 5,
+    top_k: int = 100,
+    stopwords: Sequence[str] = (),
+) -> DataFrame:
+    """Top collocations by pointwise mutual information (document level).
+
+    PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ) over document co-occurrence —
+    the classic collocation / phrase-mining signal. The quadratic pair
+    space is bounded up front by a ``k_vocab`` cap (deterministic
+    top-k tokens by document frequency, broadcast as a semi-filter), so
+    per-doc pair expansion is ≤ C(k_vocab, 2) regardless of corpus
+    size — the same in-basket discipline as association_rules, which
+    this generalizes from counts to an information measure.
+
+    Exactness: all counts are exact BIGINTs; PMI is ONE micro-nat
+    rounding of a ratio of exact integers — hash-stable cross-engine.
+
+    Output: top_k rows (token_a, token_b, n_ab, n_a, n_b, n_docs,
+    pmi_micro) ordered by (pmi_micro desc, token_a, token_b).
+    """
+    dt = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(ws_tokens(F.lower(F.col(text_col))))).alias(
+                "token"
+            ),
+        )
+        .filter(~F.col("token").isin(list(stopwords)) if stopwords else F.lit(True))
+        .distinct()
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    vocab = (
+        dt.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_tok"))
+        .orderBy(F.desc("df_tok"), F.asc("token"))
+        .limit(k_vocab)
+    ).localCheckpoint()  # consumed 3x (filter + two count joins)
+    dtv = dt.join(F.broadcast(vocab.select("token")), "token")
+    per_doc = dtv.groupBy("doc").agg(F.array_sort(F.collect_set("token")).alias("ts"))
+    pairs = (
+        per_doc.select(F.explode("ts").alias("token_a"), "ts")
+        .select(
+            "token_a",
+            F.explode(F.filter("ts", lambda x: x > F.col("token_a"))).alias(
+                "token_b"
+            ),
+        )
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_docs)
+    )
+    va = vocab.select(F.col("token").alias("token_a"), F.col("df_tok").alias("n_a"))
+    vb = vocab.select(F.col("token").alias("token_b"), F.col("df_tok").alias("n_b"))
+    out = (
+        pairs.join(F.broadcast(va), "token_a")
+        .join(F.broadcast(vb), "token_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token_a",
+            "token_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_docs",
+            F.expr(
+                "CAST(round(1000000 * ln((CAST(n_ab AS DOUBLE) * CAST(n_docs AS DOUBLE))"
+                " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 0) AS BIGINT)"
+            ).alias("pmi_micro"),
+        )
+    )
+    return out.orderBy(
+        F.desc("pmi_micro"), F.asc("token_a"), F.asc("token_b")
+    ).limit(top_k)

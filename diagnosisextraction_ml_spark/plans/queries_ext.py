@@ -4520,3 +4520,51 @@ def _containment_entry(
 
 
 _containment_entry()
+
+
+# ===========================================================================
+# PMI collocations over a capped vocabulary.
+# ===========================================================================
+
+def _pmi_entry(k_vocab: int = 200, min_pair: int = 5, top_k: int = 100) -> None:
+    sql = f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id AS doc, token FROM (
+        SELECT doc_id, unnest(list_distinct({_toks_sql('lower(text)')})) AS token
+        FROM documents)
+    ), nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ), vocab AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df_tok
+      FROM dt GROUP BY token
+      ORDER BY df_tok DESC, token ASC LIMIT {k_vocab}
+    ), dtv AS (
+      SELECT dt.doc, dt.token FROM dt JOIN vocab USING (token)
+    ), pairs AS (
+      SELECT a.token AS token_a, b.token AS token_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM dtv a JOIN dtv b ON a.doc = b.doc AND b.token > a.token
+      GROUP BY 1, 2 HAVING count(*) >= {min_pair}
+    )
+    SELECT token_a, token_b, n_ab,
+           va.df_tok AS n_a, vb.df_tok AS n_b, nd.n_docs,
+           CAST(round(1000000 * ln((CAST(n_ab AS DOUBLE) * CAST(nd.n_docs AS DOUBLE))
+             / (CAST(va.df_tok AS DOUBLE) * CAST(vb.df_tok AS DOUBLE))), 0) AS BIGINT)
+             AS pmi_micro
+    FROM pairs
+    JOIN vocab va ON va.token = token_a
+    JOIN vocab vb ON vb.token = token_b
+    CROSS JOIN nd
+    ORDER BY pmi_micro DESC, token_a ASC, token_b ASC LIMIT {top_k}
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return textstats.pmi_token_pairs(
+            docs, k_vocab=k_vocab, min_pair_docs=min_pair, top_k=top_k
+        )
+
+    register("text_pmi_pairs", sql)(_fn)
+
+
+_pmi_entry()

@@ -329,3 +329,26 @@ def test_kl_divergence_matches_python_model(spark):
     # divergence is asymmetric and positive for genuinely different corpora
     assert out["kl_ab_micro"] > 0 and out["kl_ba_micro"] > 0
     assert out["kl_ab_micro"] != out["kl_ba_micro"]
+
+
+def test_pmi_pairs_collocation_beats_independent(spark):
+    import math
+
+    from diagnosisextraction_ml_spark.operators.textstats import pmi_token_pairs
+
+    # "peanut butter" always co-occur; "the" co-occurs with everything
+    docs = []
+    for i in range(20):
+        docs.append((i, "peanut butter jar"))
+    for i in range(20, 60):
+        docs.append((i, f"the filler{i % 7} words"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_token_pairs(df, k_vocab=50, min_pair_docs=3, top_k=50).collect()
+    got = {(r.token_a, r.token_b): r for r in out}
+    pb = got[("butter", "peanut")]
+    # exact PMI: ln(20*60/(20*20))
+    assert pb.pmi_micro == round(1e6 * math.log(20 * 60 / (20 * 20)))
+    assert pb.n_ab == 20 and pb.n_docs == 60
+    # perfectly-correlated pair ranks above the promiscuous "the" pairs
+    the_pairs = [r.pmi_micro for (a, b), r in got.items() if "the" in (a, b)]
+    assert all(pb.pmi_micro > p for p in the_pairs)
