@@ -158,3 +158,56 @@ def c4_clean_lines(
             "cleaned_text"
         ),
     )
+
+
+def gopher_source_scorecard(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source Gopher-rule scorecard — pipeline observability.
+
+    The question an operator asks before pointing the corpus gate at a
+    new crawl slice: WHICH source is failing and on WHICH rule. One
+    flags pass (shared with :func:`gopher_quality_flags`) + one
+    aggregation keyed by the source; each rule becomes an exact fail
+    count and the headline pass rate is a micro-unit integer — the
+    whole scorecard is hash-exact and costs one scan + one tiny
+    shuffle.
+
+    Output: (group, n_docs, n_pass, pass_micro, fail_<rule>... ).
+    """
+    flags = gopher_quality_flags(df, text_col=text_col, id_col=id_col)
+    joined = flags.join(df.select(id_col, group_col), id_col)
+    rules = [
+        "ok_min_words",
+        "ok_max_words",
+        "ok_mean_word_len",
+        "ok_symbol_ratio",
+        "ok_bullet_lines",
+        "ok_ellipsis_lines",
+        "ok_alpha_words",
+        "ok_stopwords",
+    ]
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("gopher_pass").cast("long")).alias("n_pass"),
+    ] + [
+        F.sum((~F.col(r)).cast("long")).alias(f"fail_{r[3:]}") for r in rules
+    ]
+    return (
+        df.select(group_col).distinct().join(
+            joined.groupBy(group_col).agg(*aggs), group_col
+        )
+        .withColumn(
+            "pass_micro", F.expr("1000000 * n_pass div n_docs")
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_pass",
+            "pass_micro",
+            *[f"fail_{r[3:]}" for r in rules],
+        )
+    )

@@ -4568,3 +4568,40 @@ def _pmi_entry(k_vocab: int = 200, min_pair: int = 5, top_k: int = 100) -> None:
 
 
 _pmi_entry()
+
+
+# ===========================================================================
+# Per-source Gopher scorecard (observability composition).
+# ===========================================================================
+
+def _scorecard_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import corpus_filters
+
+    rules = [
+        "ok_min_words", "ok_max_words", "ok_mean_word_len",
+        "ok_symbol_ratio", "ok_bullet_lines", "ok_ellipsis_lines",
+        "ok_alpha_words", "ok_stopwords",
+    ]
+    fails = ",\n           ".join(
+        f"CAST(sum(CASE WHEN NOT {r} THEN 1 ELSE 0 END) AS BIGINT) AS fail_{r[3:]}"
+        for r in rules
+    )
+    sql = f"""
+    WITH g AS ({_gopher_sql()})
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST((1000000 * sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS pass_micro,
+           {fails}
+    FROM g JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return corpus_filters.gopher_source_scorecard(docs)
+
+    register("qc_source_scorecard", sql)(_fn)
+
+
+_scorecard_entry()

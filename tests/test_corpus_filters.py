@@ -107,3 +107,23 @@ def test_filters_zero_shuffle_plan(spark):
     for out in (gopher_quality_flags(df), c4_clean_lines(df)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_gopher_source_scorecard(spark):
+    from diagnosisextraction_ml_spark.operators.corpus_filters import (
+        gopher_source_scorecard,
+    )
+
+    good = "the words " + " ".join(f"item{i} have with that" for i in range(20))
+    bad = "x y z"  # fails min_words and stopwords
+    rows = [(i, good, "clean") for i in range(4)] + [
+        (10 + i, bad, "junk") for i in range(3)
+    ] + [(20, good, "junk")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in gopher_source_scorecard(df).collect()}
+    assert out["clean"]["n_docs"] == 4 and out["clean"]["n_pass"] == 4
+    assert out["clean"]["pass_micro"] == 1_000_000
+    junk = out["junk"]
+    assert junk["n_docs"] == 4 and junk["n_pass"] == 1
+    assert junk["pass_micro"] == 250_000
+    assert junk["fail_min_words"] == 3 and junk["fail_max_words"] == 0
