@@ -4605,3 +4605,53 @@ def _scorecard_entry() -> None:
 
 
 _scorecard_entry()
+
+
+# ===========================================================================
+# A/B two-proportion z-test (exact-rational inequality, z = 1.96).
+# ===========================================================================
+
+def _ab_test_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import experiment
+
+    sql = """
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1
+    ), agg AS (
+      SELECT
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n_0,
+        CAST(sum(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS x_0,
+        CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n_1,
+        CAST(sum(CASE WHEN user_id % 2 = 1 AND conv = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS x_1
+      FROM u
+    )
+    SELECT CAST(n_0 AS BIGINT) AS n_0, CAST(x_0 AS BIGINT) AS x_0,
+           CAST(n_1 AS BIGINT) AS n_1, CAST(x_1 AS BIGINT) AS x_1,
+           CAST(CASE WHEN (x_1 * n_0 - x_0 * n_1) < 0 THEN -1 ELSE 1 END
+                * ((1000000 * abs(x_1 * n_0 - x_0 * n_1)) // (n_0 * n_1))
+                AS BIGINT) AS diff_micro,
+           (625 * (n_0 + n_1) * (x_1 * n_0 - x_0 * n_1) * (x_1 * n_0 - x_0 * n_1))
+             > (2401 * (x_0 + x_1) * ((n_0 + n_1) - (x_0 + x_1)) * (n_0 * n_1))
+             AS significant
+    FROM agg
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        units = (
+            ev.groupBy("user_id")
+            .agg(
+                F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                    "converted"
+                )
+            )
+            .select((F.col("user_id") % 2).alias("arm"), "converted")
+        )
+        return experiment.two_proportion_test(units)
+
+    register("ab_proportion_test", sql)(_fn)
+
+
+_ab_test_entry()
