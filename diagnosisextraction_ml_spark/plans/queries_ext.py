@@ -4655,3 +4655,54 @@ def _ab_test_entry() -> None:
 
 
 _ab_test_entry()
+
+
+# ===========================================================================
+# Sliding-window counts (1 h window, 15 min slide) — batch twin of the
+# streaming windowed_event_counts(slide=...) path.
+# ===========================================================================
+
+def _sliding_entry() -> None:
+    sql = """
+    WITH e AS (
+      SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+    ), x AS (
+      SELECT event_type, value, ((es // 900) - j) * 900 AS ws
+      FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) t
+    )
+    SELECT make_timestamp(ws * 1000000) AS window_start,
+           make_timestamp((ws + 3600) * 1000000) AS window_end,
+           event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM x GROUP BY 1, 2, 3
+    """
+
+    def _fn(spark, sf_dir):
+        # batch twin of streaming.windowed_event_counts(slide=...):
+        # same window assignment, but the value sum is DECIMAL-exact so
+        # the result is partitioning/order independent (the streaming
+        # op's float sum is fine for monitoring, not for a hash gate —
+        # same split as the stream_hourly_counts twin).
+        ev = _t(spark, sf_dir, "events")
+        win = F.window("ts", "1 hour", "15 minutes")
+        return (
+            ev.groupBy(win.alias("w"), F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n",
+                "total_value",
+            )
+        )
+
+    register("stream_sliding_counts", sql)(_fn)
+
+
+_sliding_entry()
