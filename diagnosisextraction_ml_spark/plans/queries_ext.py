@@ -4706,3 +4706,178 @@ def _sliding_entry() -> None:
 
 
 _sliding_entry()
+
+
+# ===========================================================================
+# Per-user event-type transition matrix (first-order Markov counts).
+# ===========================================================================
+
+def _markov_entry() -> None:
+    from pyspark.sql import Window
+
+    sql = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), outdeg AS (
+      SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from FROM pairs GROUP BY 1
+    )
+    SELECT p.prev_type, p.next_type, p.n, o.n_from,
+           CAST((1000000 * p.n) // o.n_from AS BIGINT) AS prob_micro
+    FROM pairs p JOIN outdeg o USING (prev_type)
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+        pairs = (
+            seq.filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        outdeg = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+        return pairs.join(F.broadcast(outdeg), "prev_type").select(
+            "prev_type",
+            "next_type",
+            "n",
+            "n_from",
+            F.expr("1000000 * n div n_from").alias("prob_micro"),
+        )
+
+    register("events_markov_transitions", sql)(_fn)
+
+
+_markov_entry()
+
+
+# ===========================================================================
+# Benford first-digit QC over order prices.
+# ===========================================================================
+
+def _benford_entry() -> None:
+    import math
+
+    # expected Benford mass per leading digit, micro-units, as exact
+    # Python-computed literals shared by both engines (no runtime ln)
+    exp_micro = {
+        d: round(1_000_000 * math.log10(1 + 1 / d)) for d in range(1, 10)
+    }
+    cases_sql = " ".join(
+        f"WHEN {d} THEN {m}" for d, m in exp_micro.items()
+    )
+    sql = f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY 1
+    ), total AS (
+      SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM counts
+    )
+    SELECT c.digit, c.n_obs, t.n_total,
+           CAST((1000000 * c.n_obs) // t.n_total AS BIGINT) AS obs_micro,
+           CAST(CASE c.digit {cases_sql} END AS BIGINT) AS benford_micro
+    FROM counts c CROSS JOIN total t
+    """
+
+    def _fn(spark, sf_dir):
+        orders = _t(spark, sf_dir, "orders")
+        digits = orders.filter(F.col("o_totalprice") > 0).select(
+            F.expr(
+                "CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+                " AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+        counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+        total = counts.agg(F.sum("n_obs").alias("n_total"))
+        bm = F.when(F.col("digit") == 1, F.lit(exp_micro[1]))
+        for d in range(2, 10):
+            bm = bm.when(F.col("digit") == d, F.lit(exp_micro[d]))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "digit",
+            "n_obs",
+            "n_total",
+            F.expr("1000000 * n_obs div n_total").alias("obs_micro"),
+            bm.cast("long").alias("benford_micro"),
+        )
+
+    register("qc_benford_digits", sql)(_fn)
+
+
+_benford_entry()
+
+
+# ===========================================================================
+# Robust per-group stats: median, MAD, and a robust outlier count.
+# ===========================================================================
+
+def _robust_entry() -> None:
+    # 1.4826 (MAD -> sigma for a normal) and the 3-sigma cut enter as
+    # the exact rational 3 * 14826/10000 = 44478/10000, applied by
+    # integer-style cross-multiplication on exact-interpolated doubles
+    # computed identically in both engines.
+    sql = """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS median_val
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.median_val,
+             abs(e.value - m.median_val) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad_val
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(d.median_val) AS median_val,
+           min(m.mad_val) AS mad_val,
+           CAST(sum(CASE WHEN 10000 * d.adev > 44478 * m.mad_val
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        med = ev.groupBy("event_type").agg(
+            F.expr("percentile(value, 0.5)").alias("median_val")
+        )
+        dev = ev.join(F.broadcast(med), "event_type").select(
+            "event_type",
+            "value",
+            "median_val",
+            F.abs(F.col("value") - F.col("median_val")).alias("adev"),
+        )
+        mad = dev.groupBy("event_type").agg(
+            F.expr("percentile(adev, 0.5)").alias("mad_val")
+        )
+        return (
+            dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("median_val").alias("median_val"),
+                F.min("mad_val").alias("mad_val"),
+                F.sum(
+                    F.when(
+                        F.lit(10000) * F.col("adev")
+                        > F.lit(44478) * F.col("mad_val"),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_outliers"),
+            )
+        )
+
+    register("ts_robust_stats", sql)(_fn)
+
+
+_robust_entry()

@@ -163,3 +163,48 @@ def test_interval_concurrency_partitioning_invariant(spark):
     a = sorted(map(tuple, interval_concurrency_daily(iv.repartition(1), "s", "e", 0, 86400).collect()))
     b = sorted(map(tuple, interval_concurrency_daily(iv.repartition(9), "s", "e", 0, 86400).collect()))
     assert a == b
+
+
+def test_markov_benford_robust_registry_semantics(spark, sf_dir):
+    """Hand-check the three late-session analytics entries."""
+    from diagnosisextraction_ml_spark.plans.queries import queries
+
+    qs = queries()
+    # Markov: probabilities per source state sum to ~1e6 (floor division)
+    mk = qs["events_markov_transitions"](spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    sums = mk.groupBy("prev_type").agg(F.sum("prob_micro").alias("s")).collect()
+    for r in sums:
+        assert 1_000_000 - 25 <= r["s"] <= 1_000_000
+    # Benford: expected masses sum to ~1e6 and digits are 1..9
+    bf = {r["digit"]: r for r in qs["qc_benford_digits"](spark, sf_dir).collect()}
+    assert set(bf) <= set(range(1, 10))
+    assert abs(sum(r["benford_micro"] for r in bf.values()) - 1_000_000) < 10
+    # robust stats: MAD <= max deviation, outliers < n
+    rs = qs["ts_robust_stats"](spark, sf_dir).collect()
+    for r in rs:
+        assert 0 <= r["n_outliers"] < r["n"]
+        assert r["mad_val"] >= 0
+
+
+def test_robust_stats_flags_planted_outlier(spark):
+    from diagnosisextraction_ml_spark.plans.queries import queries
+
+    import pyspark.sql.functions as F
+    from diagnosisextraction_ml_spark.operators import rollup  # noqa: F401
+
+    # direct reconstruction: tight cluster + one wild point
+    rows = [("a", float(100 + (i % 5))) for i in range(50)] + [("a", 10_000.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    med = df.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("m"))
+    dev = df.join(med, "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("m")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    out = (
+        dev.join(mad, "event_type")
+        .filter(F.lit(10000) * F.col("adev") > F.lit(44478) * F.col("mad"))
+        .count()
+    )
+    assert out == 1
