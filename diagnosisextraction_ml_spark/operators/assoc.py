@@ -136,9 +136,14 @@ def association_rules(
         "cons_count",
         "n_tx",
         F.expr("1000000 * pair_count div ante_count").alias("conf_micro"),
+        # Lift numerator in DECIMAL(38,0): 10⁶·pair_count·n_tx exceeds
+        # 2^63 once n_tx ≳ 1.5M with popular pairs — BIGINT would wrap
+        # silently in Spark while DuckDB (HUGEINT promotion) stays
+        # exact. `div` on decimals still yields BIGINT.
         F.expr(
-            "1000000 * pair_count * n_tx div (ante_count * cons_count)"
-        ).alias("lift_micro"),
+            "CAST(1000000 AS DECIMAL(38,0)) * pair_count * n_tx"
+            " div (ante_count * cons_count)"
+        ).cast("long").alias("lift_micro"),
     )
 
 

@@ -95,19 +95,29 @@ def pagerank(
     ).localCheckpoint()
     ranks = nodes.select("node", F.lit(BASE_MICRO).cast("long").alias("rank_micro"))
 
+    # Nodes with no inbound arcs keep only the teleport term: instead of
+    # a per-iteration LEFT JOIN against the node set (an extra shuffle
+    # join per iteration), fold a zero-contribution row per node into
+    # the SAME aggregation — the dangling correction rides the contrib
+    # shuffle for free (map-side combined, |V| extra rows).
+    zero = nodes.select(
+        F.col("node").alias("dst"), F.lit(0).cast("long").alias("contrib")
+    )
     for i in range(n_iter):
         contrib = arcs_deg.join(ranks, arcs_deg.src == ranks.node).select(
             F.col("dst"),
             F.expr("rank_micro div deg").alias("contrib"),
         )
-        incoming = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
-        # Nodes with no inbound arcs keep only the teleport term.
-        ranks = nodes.join(incoming, nodes.node == incoming.dst, "left").select(
-            F.col("node"),
-            (
-                F.lit(TELEPORT_MICRO)
-                + F.expr("85 * coalesce(s, 0L) div 100")
-            ).cast("long").alias("rank_micro"),
+        ranks = (
+            contrib.unionByName(zero)
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(TELEPORT_MICRO) + F.expr("85 * s div 100"))
+                .cast("long")
+                .alias("rank_micro"),
+            )
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             ranks = ranks.localCheckpoint()
@@ -160,6 +170,8 @@ def hits(
 
     Returns (hubs, authorities): (node, score_micro) each.
     """
+    if n_iter < 1:
+        raise ValueError(f"hits() needs n_iter >= 1, got {n_iter}")
     arcs = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     arcs = arcs.localCheckpoint()
     auth = arcs.select(F.col("dst").alias("node")).distinct().select(

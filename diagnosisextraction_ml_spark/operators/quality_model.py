@@ -78,13 +78,13 @@ def fit_token_logodds(
     broadcast back onto the bucket rows. ``weight_micro`` is the
     α-smoothed log-odds in integer micro-nats.
 
-    Fit is EAGER: the ≤n_buckets-row weight table is materialized (all
-    arithmetic still runs in Spark expressions, so values stay
-    engine-exact vs the SQL oracle) and returned as a local relation,
-    and the cached counts are unpersisted before returning — repeated
-    fits (CV folds, long-lived sessions) leave nothing in the storage
-    layer. The local weight table broadcasts for free in downstream
-    scoring joins.
+    Fit is EAGER: the ≤n_buckets-row weight table is materialized
+    JVM-side via ``localCheckpoint(eager=True)`` (all arithmetic runs in
+    Spark expressions, so values stay engine-exact vs the SQL oracle; no
+    driver/Arrow round-trip), and the cached counts are unpersisted
+    before returning — repeated fits (CV folds, long-lived sessions)
+    leave nothing in the storage layer. The tiny checkpointed table is
+    still broadcast-joined in downstream scoring.
     """
     tok = _token_buckets(df, text_col, id_col, n_buckets, extra=[label_col])
     b = tok.select(F.col("bucket"), F.col(label_col).cast("long").alias("pos"))
@@ -111,12 +111,13 @@ def fit_token_logodds(
         F.round(F.lit(1_000_000) * w, 0).cast("long").alias("weight_micro"),
     )
     try:
-        rows = [(r["bucket"], r["weight_micro"]) for r in weights.collect()]
+        # Materialize JVM-side: one eager job, no Arrow round-trip to the
+        # driver. The checkpointed ≤n_buckets-row table severs lineage, so
+        # counts can be unpersisted immediately without a recompute risk.
+        fitted = weights.localCheckpoint(eager=True)
     finally:
         counts.unpersist()
-    return df.sparkSession.createDataFrame(
-        rows, schema="bucket BIGINT, weight_micro BIGINT"
-    )
+    return fitted
 
 
 def weights_as_map(weights: DataFrame) -> dict[int, int]:

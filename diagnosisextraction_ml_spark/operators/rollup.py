@@ -103,8 +103,10 @@ def trailing_anomaly(
         (n·x − S)² > k² · (n·Q − S²)          [× n² both sides of
                                                (x − S/n)² > k²·var]
 
-    with S = Σv, Q = Σv² over the window — all BIGINTs. No float mean,
-    no float variance, no engine-specific Welford accumulation order.
+    with S = Σv, Q = Σv² over the window — all DECIMAL(38,0), so the
+    squared terms cannot wrap even for bucket values ≫ 2^31. No float
+    mean, no float variance, no engine-specific Welford accumulation
+    order.
 
     Scale: the input is expected to be an already-bucketed rollup
     (|keys|·|buckets| rows, tiny next to the raw events that produced
@@ -122,26 +124,33 @@ def trailing_anomaly(
         .rangeBetween(-(trailing - 1), 0)
     )
     v = F.col(value_col).cast("long")
+    # Window sums and all downstream products run in DECIMAL(38,0): the
+    # S² and d² terms exceed 2^63 for bucket values above ~1.3e8 (and
+    # Q = Σv² for v > 3e9), where BIGINT would wrap silently in Spark
+    # while DuckDB (whose sum() is already HUGEINT) stays exact — the
+    # decimal path keeps the cross-engine bit-identity the test claims.
+    vd = v.cast("decimal(38,0)")
     stats = df.select(
         *key_cols,
         F.col(bucket_col).alias(bucket_col),
         v.alias(value_col),
-        F.sum(v).over(w).alias("__s"),
-        F.sum(v * v).over(w).alias("__q"),
+        F.sum(vd).over(w).alias("__s"),
+        F.sum(vd * vd).over(w).alias("__q"),
         F.count(F.lit(1)).over(w).alias("n_win"),
     )
-    d = F.col("n_win") * F.col(value_col) - F.col("__s")
+    nd = F.col("n_win").cast("decimal(38,0)")
+    d = nd * F.col(value_col).cast("decimal(38,0)") - F.col("__s")
     dev2 = d * d
-    bound = F.lit(k * k) * (
-        F.col("n_win") * F.col("__q") - F.col("__s") * F.col("__s")
+    bound = F.lit(k * k).cast("decimal(38,0)") * (
+        nd * F.col("__q") - F.col("__s") * F.col("__s")
     )
     return stats.select(
         *key_cols,
         bucket_col,
         value_col,
         "n_win",
-        dev2.cast("long").alias("dev2"),
-        bound.cast("long").alias("bound"),
+        dev2.cast("decimal(38,0)").alias("dev2"),
+        bound.cast("decimal(38,0)").alias("bound"),
         ((F.col("n_win") >= min_points) & (dev2 > bound)).alias("is_anomaly"),
     )
 

@@ -26,6 +26,8 @@ and the estimates are hash-exact, not just statistically similar.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

@@ -770,9 +770,26 @@ register(
 # Similarity search
 # ===========================================================================
 
+_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+
+
 def _query_vec(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    return [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    """Fixture lookup: the frozen query vector is row vec_id=0 of the
+    embeddings table. Fetch it driver-side with a pyarrow row-group
+    filter (one row, one file footer read) instead of a full Spark
+    job per sim_* query build, and memoize per sf_dir — repeated bench
+    builds share the fetch."""
+    if sf_dir not in _QUERY_VEC_CACHE:
+        import os
+
+        import pyarrow.dataset as pds
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        tbl = pds.dataset(path, format="parquet").to_table(
+            filter=pds.field("vec_id") == 0, columns=["embedding"]
+        )
+        _QUERY_VEC_CACHE[sf_dir] = [float(v) for v in tbl.column(0)[0].as_py()]
+    return _QUERY_VEC_CACHE[sf_dir]
 
 
 _COS_E = (
@@ -3510,8 +3527,8 @@ def _anomaly_entry(trailing: int = 24, min_points: int = 12, k: int = 3) -> None
                    RANGE BETWEEN {trailing - 1} PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, hr, cnt, n_win,
-           CAST((n_win * cnt - s) * (n_win * cnt - s) AS BIGINT) AS dev2,
-           CAST({k * k} * (n_win * q - s * s) AS BIGINT) AS bound,
+           CAST((n_win * cnt - s) * (n_win * cnt - s) AS DECIMAL(38,0)) AS dev2,
+           CAST({k * k} * (n_win * q - s * s) AS DECIMAL(38,0)) AS bound,
            (n_win >= {min_points}
             AND (n_win * cnt - s) * (n_win * cnt - s)
                 > {k * k} * (n_win * q - s * s)) AS is_anomaly
