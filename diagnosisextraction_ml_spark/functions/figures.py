@@ -701,6 +701,47 @@ def plot_metric_sweep(
     return fig.save(path)
 
 
+def plot_cutoff(
+    points,
+    path: str | None = None,
+    title: str = "RECEIVER OPERATING CHARACTERISTIC",
+) -> bytes:
+    """Sensitivity/specificity cut-off plot (the CutOffPlot_*.png family).
+
+    Ref: optimalCutoff(plot=True) (/root/reference/src/NLP_functions.py:
+    229-257) — tpr and 1−fpr drawn as two lines over the descending
+    threshold index, with the 'optimal' cut-off visible as their
+    intersection (argmin |tpr − (1−fpr)|, the same row
+    operators/evaluate.py:optimal_cutoff_youden returns). The reference
+    blanks the x tick labels (the axis is ordinal threshold rank);
+    this renders the same way and additionally drops a marker line at
+    the intersection with the cut-off score in the legend.
+
+    ``points``: (score, tpr, fpr) rows ordered by score DESCENDING —
+    exactly the E2 curve (curve_by_threshold) at a bounded point
+    budget. Pure driver-side rasterization; byte-deterministic.
+    """
+    pts = list(points)
+    if not pts:
+        raise ValueError("plot_cutoff needs a non-empty curve")
+    tpr = np.array([p[1] for p in pts], float)
+    spec = 1.0 - np.array([p[2] for p in pts], float)
+    n = len(pts)
+    xs = np.linspace(0.0, 1.0, n) if n > 1 else np.array([0.5])
+    i_star = int(np.argmin(np.abs(tpr - spec)))
+    cutoff = float(pts[i_star][0])
+    fig = Figure(title=title, xlabel="THRESHOLD RANK", ylabel="RATE")
+    fig.axes(xticks=[])  # ordinal axis — the reference blanks these too
+    fig.plot(
+        [xs[i_star], xs[i_star]], [0.0, 1.0], _INK_MUTED, width=1.5,
+        alpha=0.9, label=f"CUT-OFF = {cutoff:.2f}",
+    )
+    fig.plot(xs, tpr, PALETTE[0], width=2.5, label="SENSITIVITY (TPR)")
+    fig.plot(xs, spec, PALETTE[1], width=2.5, label="SPECIFICITY (1-FPR)")
+    fig.legend("br")
+    return fig.save(path)
+
+
 def plot_histogram(
     bins,
     path: str | None = None,

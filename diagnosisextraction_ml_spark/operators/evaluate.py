@@ -377,6 +377,31 @@ def optimal_cutoff_youden(curve: DataFrame) -> DataFrame:
     return curve.orderBy(gap.asc(), F.col("score").desc()).limit(1)
 
 
+def cutoff_plot_points(curve: DataFrame, max_points: int = 512) -> list:
+    """Driver-bounded (score, tpr, fpr) rows for the CutOffPlot figure.
+
+    Ref: optimalCutoff(plot=True) (src/NLP_functions.py:229-257) plots
+    the FULL per-threshold vectors; at 100 TB a tie-collapsed curve can
+    still be millions of rows, so this thins to ≤ ``max_points`` rows
+    with a deterministic every-kth-rank pick (the last row is always
+    kept so the curve reaches its endpoint). The rank window runs over
+    the already-collapsed curve table — the same driver-sized relation
+    the ≤100-pt ROC grids read — never over row-level predictions.
+    """
+    n = curve.count()
+    if n == 0:
+        return []
+    step = max(1, -(-n // max_points))  # ceil
+    w = Window.orderBy(F.col("score").desc())
+    rn = F.row_number().over(w)
+    thin = (
+        curve.select("score", "tpr", "fpr", rn.alias("__rn"))
+        .filter(((F.col("__rn") - 1) % step == 0) | (F.col("__rn") == n))
+        .orderBy(F.col("__rn").asc())
+    )
+    return [(r["score"], r["tpr"], r["fpr"]) for r in thin.collect()]
+
+
 # --------------------------------------------------------------------------
 # E14 — swarm/scatter plot data
 # --------------------------------------------------------------------------

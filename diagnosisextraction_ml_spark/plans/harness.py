@@ -253,6 +253,38 @@ class TextClassificationHarness:
         }
         return plot_precision_recall(data, path)
 
+    def render_cutoff_figure(
+        self, name: str, path: str | None = None, max_points: int = 512
+    ) -> bytes:
+        """Render the sensitivity/specificity CutOffPlot for ``name``.
+
+        Ref: optimalCutoff(plot=True) (src/NLP_functions.py:229-257) —
+        the reference draws it for "the" trained model, which in this
+        harness is the median-PR-AUC iteration (the same pick
+        write_median_predictions ships). Needs
+        ``fit_models(persist_models=True)``. The curve is the E2
+        tie-collapsed table, thinned driver-side to ≤ ``max_points``.
+        """
+        from diagnosisextraction_ml_spark.functions.figures import plot_cutoff
+        from diagnosisextraction_ml_spark.operators.evaluate import (
+            curve_by_threshold,
+            cutoff_plot_points,
+        )
+
+        med = self.median_iteration(name)
+        model = self.fitted.get((name, med.round, med.fold))
+        if model is None:
+            raise ValueError("render_cutoff_figure needs fit_models(persist_models=True)")
+        test = self.df.filter(F.col(f"fold_{med.round}") == med.fold)
+        scored = model.transform(test).select(
+            F.col("p1").alias("score"),
+            F.col(self.config.label_col).alias("label"),
+        )
+        pts = cutoff_plot_points(
+            curve_by_threshold(scored, "score", "label"), max_points=max_points
+        )
+        return plot_cutoff(pts, path, title=f"CUT-OFF — {name.upper()}")
+
     # -- E5/O3 median-model selection ----------------------------------------
     def median_iteration(self, name: str) -> FoldResult:
         """The fold with median PR-AUC — "the" trained model.

@@ -302,6 +302,27 @@ def build_model_pipeline(
             featuresCol="features", labelCol=label_col, elasticNetParam=0.15, regParam=1e-4
         )
         return Pipeline(stages=[*tfidf(), clf, ExtractScore()])
+    if name == "XGBoost":
+        # M9: the reference trains xgboost.XGBClassifier (xgboost==0.90
+        # pinned in ml_env.yml; output_files/predXGBoost.csv is its
+        # prediction dump, golden ROC-AUC 0.976). Spark MLlib has no
+        # XGBoost, so this is GBTClassifier with XGBoost-0.90-flavored
+        # defaults (n_estimators=100, max_depth=3, learning_rate=0.1 →
+        # maxIter/maxDepth/stepSize). Semantic difference, stated
+        # plainly: MLlib GBT is first-order MART on logistic loss —
+        # no second-order Hessian weighting, no L1/L2 leaf
+        # regularization, no column subsampling — so per-row scores
+        # differ from xgboost while cohort-level ROC-AUC lands within
+        # the EP2 tolerance band (same stand-in doctrine as SVM/Platt).
+        clf = GBTClassifier(
+            featuresCol="features",
+            labelCol=label_col,
+            seed=SEED,
+            maxIter=100,
+            maxDepth=3,
+            stepSize=0.1,
+        )
+        return Pipeline(stages=[*tfidf(**_hashed_features(4096)), clf, ExtractScore()])
     raise KeyError(f"unknown model {name!r} — known: {sorted(MODEL_REGISTRY)}")
 
 
@@ -315,4 +336,5 @@ MODEL_REGISTRY: tuple[str, ...] = (
     "RandomForest",
     "Dummy",
     "SGDClassifier",
+    "XGBoost",
 )

@@ -32,6 +32,7 @@ GOLDEN_ROC = {
     "predGradientBoosting.csv": 0.902,
     "predWordMatching.csv": 0.828,
     "predDummy.csv": 0.517,
+    "predXGBoost.csv": 0.976,
 }
 
 

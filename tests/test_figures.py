@@ -176,6 +176,57 @@ def test_rotated_text_box_is_vertical():
 
 
 @pytest.mark.slow
+def test_cutoff_plot_decodes_and_is_deterministic(tmp_path):
+    """CutOffPlot parity: tpr + 1-fpr lines over the threshold rank,
+    byte-deterministic, both series hues present (ref: optimalCutoff,
+    src/NLP_functions.py:229-257)."""
+    from diagnosisextraction_ml_spark.functions.figures import plot_cutoff
+
+    # monotone curve: tpr rises, fpr rises => spec falls; they cross
+    pts = [
+        (round(1 - i / 19, 3), i / 19, (i / 19) ** 2) for i in range(20)
+    ]  # (score desc, tpr, fpr)
+    path = str(tmp_path / "cutoff.png")
+    png1 = plot_cutoff(pts, path)
+    png2 = plot_cutoff(pts)
+    assert png1 == png2
+    assert open(path, "rb").read() == png1
+    img = decode_png(png1)
+    assert img.shape == (480, 640, 3)
+    flat = img.reshape(-1, 3)
+    assert (flat == _rgb(PALETTE[0])).all(axis=1).any()  # sensitivity line
+    assert (flat == _rgb(PALETTE[1])).all(axis=1).any()  # specificity line
+    with pytest.raises(ValueError):
+        plot_cutoff([])
+
+
+def test_cutoff_points_agree_with_youden(spark):
+    """The figure's intersection row is optimal_cutoff_youden's row when
+    the curve is collected unthinned."""
+    import numpy as np
+
+    from diagnosisextraction_ml_spark.operators.evaluate import (
+        curve_by_threshold,
+        cutoff_plot_points,
+        optimal_cutoff_youden,
+    )
+
+    rows = [((i * 37 % 100) / 100.0, 1 if i % 3 == 0 else 0) for i in range(120)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    curve = curve_by_threshold(df)
+    pts = cutoff_plot_points(curve, max_points=10_000)  # no thinning
+    assert len(pts) == curve.count()
+    tpr = np.array([p[1] for p in pts])
+    spec = 1 - np.array([p[2] for p in pts])
+    i_star = int(np.argmin(np.abs(tpr - spec)))
+    youden = optimal_cutoff_youden(curve).collect()[0]
+    assert pts[i_star][0] == pytest.approx(youden["score"])
+    # thinned path stays bounded and keeps the curve's endpoint
+    thin = cutoff_plot_points(curve, max_points=8)
+    assert len(thin) <= 9  # every-kth ranks plus the kept last row
+    assert thin[-1][0] == pytest.approx(pts[-1][0])
+
+
 def test_harness_renders_figures_per_family(patient_df_figures, tmp_path):
     """E2E: fit two model families on the reference corpus and write a
     ROC, PR, confusion, and swarm PNG — the full figure surface of the
@@ -227,6 +278,10 @@ def test_harness_renders_figures_per_family(patient_df_figures, tmp_path):
     pts = swarm_points(scored, "score", "label", max_points=500).collect()
     sw_png = plot_swarm(pts, str(tmp_path / "swarm.png"))
     assert decode_png(sw_png).shape == (480, 640, 3)
+
+    # CutOffPlot for the median NaiveBayes fold (optimalCutoff parity)
+    co_png = h.render_cutoff_figure("NaiveBayes", str(tmp_path / "cutoff.png"))
+    assert decode_png(co_png).shape == (480, 640, 3)
 
 
 @pytest.fixture(scope="module")
