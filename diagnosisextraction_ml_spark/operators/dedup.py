@@ -146,21 +146,15 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     )
 
 
-def minhash_signatures(
-    shingle_df: DataFrame, id_col: str, k: int = 64
-) -> DataFrame:
-    """MinHash signature per document → (id, i, minhash), i in [0, k).
+def _minhash_wide(shingle_df: DataFrame, id_col: str, k: int) -> DataFrame:
+    """One row per doc with columns h0..h{k-1} — the wide signature.
 
     h_i(x) = ((a_i · (x mod p) + b_i) mod p) over md5 shingle hashes,
     p = 2^31-1; a_i/b_i derived from i by Knuth multiplicative mixing.
     All intermediates < 2^63 (see functions/hashing.py overflow note).
-
-    All k minima are computed in ONE wide aggregation over the
-    (id, shingle-hash) rows — k ``min`` expressions per group, then an
-    unpivot to the long (id, i, minhash) form. The earlier
-    explode-by-k variant shuffled k·|doc,shingle| rows; this shuffles
-    the shingle rows once and the k-fold work happens inside the
-    map-side combine.
+    All k minima are computed in ONE aggregation over the
+    (id, shingle-hash) rows — k ``min`` expressions per group, map-side
+    combined, so the shingle rows shuffle once (never k times).
     """
     x = md5_hash64("shingle") % F.lit(M31)
     hashed = shingle_df.select(F.col(id_col), x.alias("x"))
@@ -170,7 +164,20 @@ def minhash_signatures(
         b = (i * 40503 + 7) % M31
         h = (F.lit(a) * F.col("x") % M31 + F.lit(b)) % M31
         aggs.append(F.min(h).alias(f"h{i}"))
-    wide = hashed.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str, k: int = 64
+) -> DataFrame:
+    """MinHash signature per document → (id, i, minhash), i in [0, k).
+
+    The long unpivot of :func:`_minhash_wide` (the earlier
+    explode-by-k variant shuffled k·|doc,shingle| rows; the wide agg
+    shuffles the shingle rows once and the k-fold work happens inside
+    the map-side combine).
+    """
+    wide = _minhash_wide(shingle_df, id_col, k)
     stacked = F.explode(
         F.array(
             *[
@@ -235,20 +242,33 @@ def minhash_lsh_pairs(
         )
     else:
         reps = df.select(F.col(id_col), F.col(text_col))
-    sigs = minhash_signatures(shingles(reps, text_col, id_col, shingle_n), id_col, k)
+    wide = _minhash_wide(shingles(reps, text_col, id_col, shingle_n), id_col, k)
     rows_per_band = k // bands
-    # Band key: the band's minhash values in i-order, as one string.
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("i", "minhash"))), lambda s: s.getField("minhash")
-    )
-    banded = (
-        sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.array_join(ordered, ",").alias("band_key"))
-    )
-    buckets = banded.select(
+    # Band keys straight off the wide signature row: each band's key is
+    # concat of its rows' minhash columns (i-order), built as ONE
+    # Generate of `bands` (band, key) structs per doc. The earlier long
+    # form exploded k rows per doc and re-grouped on (id, band) — a
+    # second k·|docs|-row shuffle that this fusion removes entirely.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{i}").cast("string")
+                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = wide.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
+    ).select(
         F.col(id_col),
-        F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("band_key"))).alias("bucket"),
+        F.md5(
+            F.concat_ws("|", F.col("b.band").cast("string"), F.col("b.band_key"))
+        ).alias("bucket"),
     )
     if collapse_exact:
         member_lists = reps.select(F.col(id_col), F.col("__members"))

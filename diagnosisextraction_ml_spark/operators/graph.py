@@ -55,6 +55,8 @@ def pagerank(
     dst: str = "dst",
     checkpoint_every: int = 8,
     assume_distinct: bool = False,
+    broadcast_state: bool | None = None,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Exact-integer PageRank over a directed edge list.
 
@@ -75,6 +77,17 @@ def pagerank(
     fixed-overhead). ``checkpoint_every`` bounds plan depth for large
     ``n_iter`` (Catalyst optimization time grows with the chain), the
     same frontier discipline as ``dedup.connected_components``.
+
+    Rank-state join strategy (``broadcast_state``): the per-iteration
+    join is edges ⋈ rank-state, where the state is 2 BIGINTs per node.
+    ``None`` (default) auto-picks after the node set materializes:
+    |V| ≤ ``broadcast_threshold`` → BROADCAST the state (the edge
+    relation never reshuffles or re-sorts; each iteration is one
+    map-side hash join + one combined aggregation), else the scale
+    path — edges pre-repartitioned on src once, shuffle-joining only
+    the |V|-row state per iteration (a billion-node state cannot
+    broadcast). The arithmetic is partition-independent either way, so
+    both strategies return bit-identical ranks.
     """
     arcs = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
@@ -82,18 +95,23 @@ def pagerank(
         # distinct — pass assume_distinct=True there to skip a shuffle
         arcs = arcs.distinct()
     deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # Materialize (src, dst, deg) once, PRE-PARTITIONED on src:
-    # localCheckpoint preserves outputPartitioning, so every
-    # iteration's ranks-join shuffles only the tiny rank state —
-    # the edge payload never crosses the wire again.
-    arcs_deg = arcs.join(deg, "src").repartition(F.col("src")).localCheckpoint()
+    arcs_deg = arcs.join(deg, "src").localCheckpoint()
 
     nodes = (
         arcs_deg.select(F.col("src").alias("node"))
         .union(arcs_deg.select(F.col("dst").alias("node")))
         .distinct()
     ).localCheckpoint()
-    ranks = nodes.select("node", F.lit(BASE_MICRO).cast("long").alias("rank_micro"))
+    if broadcast_state is None:
+        # nodes is materialized — count() is a metadata-cheap job
+        broadcast_state = nodes.count() <= broadcast_threshold
+    if not broadcast_state:
+        # Scale path: re-materialize (src, dst, deg) PRE-PARTITIONED on
+        # src — localCheckpoint preserves outputPartitioning, so every
+        # iteration's state-join shuffles only the tiny rank state;
+        # the edge payload never crosses the wire again.
+        arcs_deg = arcs_deg.repartition(F.col("src")).localCheckpoint()
+    ranks = None
 
     # Nodes with no inbound arcs keep only the teleport term: instead of
     # a per-iteration LEFT JOIN against the node set (an extra shuffle
@@ -104,10 +122,21 @@ def pagerank(
         F.col("node").alias("dst"), F.lit(0).cast("long").alias("contrib")
     )
     for i in range(n_iter):
-        contrib = arcs_deg.join(ranks, arcs_deg.src == ranks.node).select(
-            F.col("dst"),
-            F.expr("rank_micro div deg").alias("contrib"),
-        )
+        if ranks is None:
+            # Uniform BASE_MICRO start — iteration 1's contribution is a
+            # pure projection of the edge relation, no state join.
+            contrib = arcs_deg.select(
+                F.col("dst"),
+                F.expr(f"CAST({BASE_MICRO} AS BIGINT) div deg").alias("contrib"),
+            )
+        else:
+            state = ranks.withColumnRenamed("node", "src")
+            if broadcast_state:
+                state = F.broadcast(state)
+            contrib = arcs_deg.join(state, "src").select(
+                F.col("dst"),
+                F.expr("rank_micro div deg").alias("contrib"),
+            )
         ranks = (
             contrib.unionByName(zero)
             .groupBy("dst")
@@ -122,6 +151,10 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             ranks = ranks.localCheckpoint()
 
+    if ranks is None:  # n_iter == 0 — the uniform start state
+        return nodes.select(
+            "node", F.lit(BASE_MICRO).cast("long").alias("rank_micro")
+        )
     return ranks
 
 
@@ -147,6 +180,8 @@ def hits(
     n_iter: int = 3,
     src: str = "src",
     dst: str = "dst",
+    broadcast_state: bool | None = None,
+    broadcast_threshold: int = 2_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """HITS hubs & authorities in exact integer arithmetic.
 
@@ -165,8 +200,11 @@ def hits(
     sensitive, unhashable.
 
     Same materialization discipline as :func:`pagerank`: the edge list
-    is checkpointed once; each half-iteration is one shuffle join + one
-    aggregation over it; score state is |V| rows of two BIGINTs.
+    is checkpointed once; each half-iteration is one join + one
+    aggregation over it; score state is |V| rows of two BIGINTs, and
+    the state join auto-broadcasts below ``broadcast_threshold`` nodes
+    (same strategy + bit-identity argument as ``pagerank``'s
+    ``broadcast_state`` — above it, the shuffle join is the scale path).
 
     Returns (hubs, authorities): (node, score_micro) each.
     """
@@ -174,8 +212,17 @@ def hits(
         raise ValueError(f"hits() needs n_iter >= 1, got {n_iter}")
     arcs = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     arcs = arcs.localCheckpoint()
+    if broadcast_state is None:
+        sizes = arcs.agg(
+            F.countDistinct("src").alias("ns"), F.countDistinct("dst").alias("nd")
+        ).collect()[0]
+        broadcast_state = max(sizes["ns"], sizes["nd"]) <= broadcast_threshold
+
+    def _state(df):
+        return F.broadcast(df) if broadcast_state else df
+
     auth = arcs.select(F.col("dst").alias("node")).distinct().select(
-        "node", F.lit(BASE_MICRO).cast("long").alias("score")
+        F.col("node").alias("dst"), F.lit(BASE_MICRO).cast("long").alias("score")
     )
     hubs = None
     for _ in range(n_iter):
@@ -183,7 +230,7 @@ def hits(
         # checkpoint the |V|-row raw relation or lineage recompute
         # compounds ~2x per half-iteration (measured 22s -> 7s at sf0.01)
         h = (
-            arcs.join(auth, arcs.dst == auth.node)
+            arcs.join(_state(auth), "dst")
             .groupBy("src")
             .agg(F.sum("score").alias("raw"))
         ).localCheckpoint()
@@ -193,16 +240,16 @@ def hits(
             F.expr("CAST(CAST(raw AS DECIMAL(38,0)) * 1000000 DIV mx AS BIGINT)").alias("score"),
         )
         a = (
-            arcs.join(hubs, arcs.src == hubs.node)
+            arcs.join(_state(hubs.withColumnRenamed("node", "src")), "src")
             .groupBy("dst")
             .agg(F.sum("score").alias("raw"))
         ).localCheckpoint()
         amax = a.agg(F.max("raw").alias("mx"))
         auth = a.crossJoin(F.broadcast(amax)).select(
-            F.col("dst").alias("node"),
+            F.col("dst"),
             F.expr("CAST(CAST(raw AS DECIMAL(38,0)) * 1000000 DIV mx AS BIGINT)").alias("score"),
         )
-    return hubs, auth
+    return hubs, auth.withColumnRenamed("dst", "node")
 
 
 def hits_top(
