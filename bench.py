@@ -55,6 +55,13 @@ HEADLINE = [
     "graph_pagerank_top",
     "assoc_rules_pairs",
     "ts_anomaly_hourly",
+    # added round 8 — the batch-7 analytics entries (markov / benford /
+    # robust stats) plus the new multi-length span dedup; totals before
+    # r08 cover 24 queries (compare like-for-like).
+    "events_markov_transitions",
+    "qc_benford_digits",
+    "ts_robust_stats",
+    "dedup_span_intervals",
 ]
 
 # Every headline name must exist in the registry — a typo here would

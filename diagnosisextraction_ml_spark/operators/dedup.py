@@ -731,6 +731,44 @@ def duplicated_gram_stats(
     )
 
 
+def _dup_gram_positions(
+    df: DataFrame, text_col: str, id_col: str, n: int, min_count: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front of the exact-substring dedup family.
+
+    Returns ``(base, dup_pos)``: ``base`` = (id, __toks) with the
+    lowercased whitespace token array, ``dup_pos`` = (id, pos) — the
+    START position of every word ``n``-gram whose corpus-wide count is
+    ≥ ``min_count``. Gram hashing is a per-partition projection
+    (arrays_zip of shifted slices, one 60-bit md5 per position); the
+    only exchanges carry gram_hash (frequency count, map-side combined)
+    and (id, pos int) rows — text never shuffles.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+
+    sz = F.size(F.col("__toks"))
+    zipped = F.arrays_zip(*[F.slice(F.col("__toks"), i + 1, sz) for i in range(n)])
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.slice(zipped, 1, sz - n + 1),
+            lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_grams = base.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    ).select(F.col(id_col), "pos", md5_hash64(F.col("gram")).alias("gram_hash"))
+
+    freq = pos_grams.groupBy("gram_hash").agg(F.count(F.lit(1)).alias("c"))
+    dup_pos = pos_grams.join(
+        freq.filter(F.col("c") >= min_count), "gram_hash"
+    ).select(F.col(id_col), "pos")
+    return base, dup_pos
+
+
 def remove_duplicated_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -767,28 +805,7 @@ def remove_duplicated_spans(
     Output: (id, n_tokens int, n_removed int, cleaned_text) for every
     input document.
     """
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
-    )
-    base = df.select(F.col(id_col), toks.alias("__toks"))
-
-    sz = F.size(F.col("__toks"))
-    zipped = F.arrays_zip(*[F.slice(F.col("__toks"), i + 1, sz) for i in range(n)])
-    grams = F.when(
-        sz >= n,
-        F.transform(
-            F.slice(zipped, 1, sz - n + 1),
-            lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    pos_grams = base.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
-    ).select(F.col(id_col), "pos", md5_hash64(F.col("gram")).alias("gram_hash"))
-
-    freq = pos_grams.groupBy("gram_hash").agg(F.count(F.lit(1)).alias("c"))
-    dup_pos = pos_grams.join(
-        freq.filter(F.col("c") >= min_count), "gram_hash"
-    ).select(F.col(id_col), "pos")
+    base, dup_pos = _dup_gram_positions(df, text_col, id_col, n, min_count)
 
     covered = (
         dup_pos.select(
@@ -809,6 +826,60 @@ def remove_duplicated_spans(
         F.size("__toks").alias("n_tokens"),
         F.coalesce(F.size("__cov"), F.lit(0)).alias("n_removed"),
         F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
+def duplicated_span_intervals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated-substring intervals — the MULTI-LENGTH view of
+    exact-substring dedup (Lee et al. 2022's suffix-array pass,
+    re-expressed as sorted fixed-``n`` grams + island merge).
+
+    :func:`remove_duplicated_spans` cuts covered tokens; this
+    ENUMERATES each maximal duplicated span with its actual token
+    length. The identity that makes fixed-n grams sufficient: a
+    duplicated substring of L ≥ n tokens appears as exactly L−n+1
+    consecutive duplicated ``n``-grams, so the union of their covered
+    token positions is one contiguous island of length L — recovering
+    every duplicate span length down to ``n``-token resolution without
+    a suffix automaton (which doesn't distribute; a corpus-wide suffix
+    array needs a global sort of every suffix, where this needs one
+    gram-hash frequency agg and a PER-DOCUMENT window).
+
+    Islands are found with gaps-and-islands: within a document the
+    covered positions are ranked (window partitioned BY DOCUMENT —
+    the sort is bounded by document length, never corpus-global) and
+    ``p − rank`` is constant exactly within a run.
+
+    Output: (id, span_start, span_len) — one row per maximal duplicated
+    span, token offsets, ``span_len`` ≥ ``n``. Ref: Lee et al. 2022
+    §4.1 (ExactSubstr); same gram/hash/coverage semantics as
+    remove_duplicated_spans, so ``Σ span_len`` per doc equals its
+    ``n_removed``.
+    """
+    from pyspark.sql import Window
+
+    _, dup_pos = _dup_gram_positions(df, text_col, id_col, n, min_count)
+    covered = dup_pos.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("p"),
+    ).distinct()
+    w = Window.partitionBy(id_col).orderBy(F.col("p").asc())
+    islands = covered.select(
+        F.col(id_col), "p", (F.col("p") - F.row_number().over(w)).alias("__g")
+    )
+    return (
+        islands.groupBy(id_col, "__g")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            F.count(F.lit(1)).alias("span_len"),
+        )
+        .select(F.col(id_col), "span_start", "span_len")
     )
 
 

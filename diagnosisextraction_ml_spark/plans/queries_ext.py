@@ -2252,6 +2252,40 @@ register("dedup_span_removal", _span_removal_sql())(
 )
 
 
+def _span_intervals_sql(n: int = 13, min_count: int = 2) -> str:
+    """DuckDB twin of dedup.duplicated_span_intervals — the same gram/
+    coverage CTEs as _span_removal_sql, then gaps-and-islands (p −
+    row_number per doc) to one row per maximal duplicated span."""
+    toks = _toks_sql("lower(text)")
+    gram_hash = md5_hash64_sql(f"array_to_string(t[u.i+1:u.i+{n}], ' ')")
+    return f"""
+    WITH corpus AS ({_DUP_UNION_SQL}),
+    ct AS (SELECT doc_id, {toks} AS t FROM corpus),
+    gr AS (
+      SELECT ct.doc_id, CAST(u.i AS BIGINT) AS pos, {gram_hash} AS gram_hash
+      FROM ct CROSS JOIN UNNEST(range(0, greatest(len(t) - {n - 1}, 0))) u(i)
+    ),
+    freq AS (SELECT gram_hash, COUNT(*) AS c FROM gr GROUP BY 1),
+    dup AS (SELECT doc_id, pos FROM gr JOIN freq USING (gram_hash)
+            WHERE c >= {min_count}),
+    cov AS (SELECT DISTINCT doc_id, pos + v.o AS p
+            FROM dup CROSS JOIN UNNEST(range({n})) v(o)),
+    isl AS (SELECT doc_id, p,
+                   p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+            FROM cov)
+    SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+           CAST(count(*) AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, g
+    """
+
+
+register("dedup_span_intervals", _span_intervals_sql())(
+    lambda spark, sf_dir: dedup.duplicated_span_intervals(
+        _dup_union(spark, sf_dir), "text", "doc_id", n=13
+    )
+)
+
+
 # ===========================================================================
 # Named corpus filters — Gopher quality rules & C4 line cleaning.
 # Pure single-projection operators; twins are the same closed-form

@@ -87,3 +87,70 @@ def test_every_doc_present(spark, corpus, cleaned):
     assert set(cleaned) == {1, 2, 3, 4, 5}
     for r in cleaned.values():
         assert r.n_tokens >= r.n_removed >= 0
+
+
+# ---------------------------------------------------------------------------
+# duplicated_span_intervals — the multi-length maximal-span view
+# ---------------------------------------------------------------------------
+
+def test_span_intervals_multi_length(spark):
+    from diagnosisextraction_ml_spark.operators.dedup import (
+        duplicated_span_intervals,
+    )
+
+    rows = [
+        # docs 1/2 share a 5-token run "u v w x y" (3-grams at pos 2,3,4
+        # all duplicated -> ONE island of length 5) and, disjointly,
+        # the 3-token run "m n o" at the tail of doc 1 / head of doc 3.
+        (1, "a b u v w x y q m n o"),
+        (2, "c d u v w x y e f"),
+        (3, "m n o z z2 z3"),
+        (4, "unique words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.span_start): r.span_len
+        for r in duplicated_span_intervals(df, n=3, min_count=2).collect()
+    }
+    assert spans[(1, 2)] == 5   # maximal span length recovered, not 3
+    assert spans[(1, 8)] == 3   # the disjoint short span is separate
+    assert spans[(2, 2)] == 5
+    assert spans[(3, 0)] == 3
+    assert not any(d == 4 for d, _ in spans)  # unique doc: no spans
+    assert all(l >= 3 for l in spans.values())
+
+
+def test_span_intervals_sum_equals_removed(spark, corpus):
+    """Σ span_len per doc == remove_duplicated_spans' n_removed (same
+    coverage semantics, two views)."""
+    from diagnosisextraction_ml_spark.operators.dedup import (
+        duplicated_span_intervals,
+    )
+
+    per_doc = {
+        r.doc_id: r.total
+        for r in duplicated_span_intervals(corpus, n=3, min_count=2)
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").alias("total"))
+        .collect()
+    }
+    removed = {
+        r.doc_id: r.n_removed
+        for r in remove_duplicated_spans(corpus, n=3, min_count=2).collect()
+    }
+    for doc_id, n_removed in removed.items():
+        assert per_doc.get(doc_id, 0) == n_removed
+
+
+def test_span_intervals_partitioning_invariance(spark, corpus):
+    from diagnosisextraction_ml_spark.operators.dedup import (
+        duplicated_span_intervals,
+    )
+
+    a = sorted(
+        map(tuple, duplicated_span_intervals(corpus.coalesce(1), n=3).collect())
+    )
+    b = sorted(
+        map(tuple, duplicated_span_intervals(corpus.repartition(7), n=3).collect())
+    )
+    assert a == b and len(a) > 0
