@@ -340,6 +340,168 @@ def confusion_scores(
     )
 
 
+def kappa_mcc(
+    df: DataFrame, label_col: str = "label", pred_col: str = "pred"
+) -> DataFrame:
+    """Cohen's κ and Matthews correlation from one confusion pass.
+
+    Extends E8 (scoresCM, src/TextClassification.py:865-890) with the
+    two chance-corrected agreement statistics the reference's
+    classification_report lacks. κ is emitted in exact integer
+    micro-units — κ = (n·(tp+tn) − E) / (n² − E) with
+    E = (tp+fp)(tp+fn) + (fn+tn)(fp+tn), every product in
+    DECIMAL(38,0) (n up to ~10⁹ squares past 2^63) and one integral
+    division at the end, so the value hashes identically on any
+    partitioning and in the SQL oracle. MCC needs a square root, so it
+    is a double — computed from the same exact integer products and
+    rounded to 1e-6 (one sqrt + one divide; IEEE-deterministic in both
+    engines). Degenerate margins (all-one-class) yield NULL for both,
+    matching the SQL twin.
+
+    Output: 1 row (tp, fp, fn, tn, kappa_micro, mcc).
+    """
+    lbl = F.col(label_col).cast("int")
+    prd = F.col(pred_col).cast("int")
+    agg = df.agg(
+        F.sum(((lbl == 1) & (prd == 1)).cast("long")).alias("tp"),
+        F.sum(((lbl == 0) & (prd == 1)).cast("long")).alias("fp"),
+        F.sum(((lbl == 1) & (prd == 0)).cast("long")).alias("fn"),
+        F.sum(((lbl == 0) & (prd == 0)).cast("long")).alias("tn"),
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    e = (
+        "(CAST(tp+fp AS DECIMAL(38,0)) * (tp+fn)"
+        " + CAST(fn+tn AS DECIMAL(38,0)) * (fp+tn))"
+    )
+    n = d.format("tp+fp+fn+tn")
+    kappa = (
+        f"CAST(CASE WHEN {n}*{n} - {e} <> 0 THEN"
+        f" (1000000 * ({n} * (tp+tn) - {e})) div ({n}*{n} - {e})"
+        " ELSE NULL END AS BIGINT)"
+    )
+    mcc_num = "CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn"
+    mcc_den = (
+        "CAST(tp+fp AS DECIMAL(38,0)) * (tp+fn) * (tn+fp) * (tn+fn)"
+    )
+    mcc = (
+        f"CASE WHEN {mcc_den} <> 0 THEN"
+        f" round(CAST(({mcc_num}) AS DOUBLE) / sqrt(CAST({mcc_den} AS DOUBLE)), 6)"
+        " ELSE NULL END"
+    )
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        F.expr(kappa).alias("kappa_micro"),
+        F.expr(mcc).alias("mcc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins in exact micro-units (the data behind a
+    calibration curve / ECE — a model-QC step the reference stops short
+    of, essential when harvested probabilities gate a training-data
+    pipeline).
+
+    One map-side-combined groupBy over ``clamp(floor(score·n_bins))``:
+    per bin the count, positive count, mean predicted score and
+    empirical positive rate — the latter two as integer micro-units
+    (score quantized to 1e-6 BEFORE summation, then one integral
+    division), so bins hash identically across engines and
+    partitionings; a float mean would depend on accumulation order.
+
+    Output: (bin, n, n_pos, mean_score_micro, pos_rate_micro).
+    """
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor(s * n_bins).cast("int"), F.lit(0)), F.lit(n_bins - 1)
+    )
+    sm = F.round(s * 1_000_000, 0).cast("long")
+    per = (
+        df.select(b.alias("bin"), sm.alias("sm"), F.col(label_col).cast("long").alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.sum("sm").alias("ssm"),
+        )
+    )
+    return per.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr("ssm div n").alias("mean_score_micro"),
+        F.expr("1000000 * n_pos div n").alias("pos_rate_micro"),
+    )
+
+
+def expected_calibration_error(bins: DataFrame) -> DataFrame:
+    """ECE (micro-units) from :func:`calibration_bins` output — the
+    bin-weighted mean |confidence − accuracy|, all integer arithmetic:
+    ece = Σ n·|mean_score_micro − pos_rate_micro| div Σ n."""
+    return bins.agg(
+        F.expr(
+            "CAST(sum(CAST(n AS DECIMAL(38,0))"
+            " * abs(mean_score_micro - pos_rate_micro))"
+            " div sum(n) AS BIGINT)"
+        ).alias("ece_micro")
+    )
+
+
+def auc_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-group Mann-Whitney ROC-AUC with tie correction — the metric
+    breakdown behind per-source / per-cohort model QC (does the
+    classifier hold up on every data source, not just on average?).
+
+    Same rank statistic as :func:`auc_rank`, but the cumulative rank
+    runs under a window PARTITIONED BY GROUP over the per-(group,
+    score) aggregate — bounded by each group's distinct-score count,
+    never corpus-global, and the heavy row-level pass is one
+    map-side-combined groupBy. ``cnt`` is integral so the rank sums
+    are order-exact; the final AUC is one exact-integer-ratio divide.
+
+    Groups with no positives or no negatives yield NULL AUC (the
+    statistic is undefined there), matching the SQL twin.
+
+    Output: (group_col, n_pos, n_neg, auc).
+    """
+    lbl = F.col(label_col).cast("double")
+    per = df.groupBy(
+        F.col(group_col).alias("__grp"), F.col(score_col).cast("double").alias("s")
+    ).agg(F.sum(lbl).alias("pos"), F.count("*").cast("double").alias("cnt"))
+    w = (
+        Window.partitionBy("__grp")
+        .orderBy(F.col("s").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = per.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "avg_rank", F.col("cum") - (F.col("cnt") - 1) / 2.0
+    )
+    agg = ranked.groupBy("__grp").agg(
+        F.sum(F.col("avg_rank") * F.col("pos")).alias("r_pos"),
+        F.sum("pos").alias("p"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("q"),
+    )
+    return agg.select(
+        F.col("__grp").alias(group_col),
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("q").cast("long").alias("n_neg"),
+        F.when(
+            (F.col("p") > 0) & (F.col("q") > 0),
+            (F.col("r_pos") - F.col("p") * (F.col("p") + 1) / 2.0)
+            / (F.col("p") * F.col("q")),
+        ).alias("auc"),
+    )
+
+
 def threshold_predictions(
     df: DataFrame, score_col: str = "score", threshold: float = 0.5, out_col: str = "pred"
 ) -> DataFrame:

@@ -1060,6 +1060,125 @@ register(
 )
 
 
+# Calibration bins (reliability diagram data) + ECE — exact micro-unit
+# bin stats from the same deterministic scored fixture.
+_CALIB_PER_SQL = f"""
+    WITH base AS ({_SCORED_SQL}),
+    b AS (SELECT least(greatest(CAST(floor(score * 10) AS INT), 0), 9) AS bin,
+                 CAST(round(score * 1000000) AS BIGINT) AS sm,
+                 CAST(label AS BIGINT) AS y
+          FROM base),
+    per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(sm) AS BIGINT) AS ssm
+            FROM b GROUP BY bin),
+    bins AS (SELECT bin, n, n_pos,
+                    CAST(ssm // n AS BIGINT) AS mean_score_micro,
+                    CAST((1000000 * n_pos) // n AS BIGINT) AS pos_rate_micro
+             FROM per)
+"""
+
+register(
+    "eval_calibration_bins",
+    _CALIB_PER_SQL + "\n    SELECT * FROM bins",
+)(lambda spark, sf_dir: evaluate.calibration_bins(_scored(spark, sf_dir), n_bins=10))
+
+register(
+    "eval_ece",
+    _CALIB_PER_SQL
+    + """
+    SELECT CAST(sum(CAST(n AS HUGEINT) * abs(mean_score_micro - pos_rate_micro))
+                // sum(n) AS BIGINT) AS ece_micro
+    FROM bins
+    """,
+)(
+    lambda spark, sf_dir: evaluate.expected_calibration_error(
+        evaluate.calibration_bins(_scored(spark, sf_dir), n_bins=10)
+    )
+)
+
+
+# Cohen's kappa + Matthews correlation at the 0.65 operating point.
+register(
+    "eval_kappa_mcc",
+    f"""
+    WITH base AS ({_SCORED_SQL}),
+    p AS (SELECT label, CASE WHEN score >= 0.65 THEN 1 ELSE 0 END AS pred FROM base),
+    c AS (SELECT
+            CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+            CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM p),
+    k AS (SELECT tp, fp, fn, tn,
+                 CAST(tp + fp + fn + tn AS HUGEINT) AS n,
+                 CAST(tp + fp AS HUGEINT) * (tp + fn)
+                   + CAST(fn + tn AS HUGEINT) * (fp + tn) AS e,
+                 CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn) AS den
+          FROM c)
+    SELECT tp, fp, fn, tn,
+           CAST(CASE WHEN n * n - e <> 0
+                THEN (1000000 * (n * (tp + tn) - e)) // (n * n - e)
+                ELSE NULL END AS BIGINT) AS kappa_micro,
+           CASE WHEN den <> 0
+                THEN round(CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+                                AS DOUBLE) / sqrt(CAST(den AS DOUBLE)), 6)
+                ELSE NULL END AS mcc
+    FROM k
+    """,
+)(
+    lambda spark, sf_dir: evaluate.kappa_mcc(
+        evaluate.threshold_predictions(_scored(spark, sf_dir), "score", 0.65)
+    )
+)
+
+
+# Per-group AUC — the per-source model-QC breakdown (grp = vec_id % 4).
+def _scored_grouped(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    noise = (
+        md5_hash64(F.concat(F.col("vec_id").cast("string"), F.lit("curve"))) % 1000
+    ).cast("double") / 1000.0
+    return emb.select(
+        (F.col("vec_id") % 4).alias("grp"),
+        (noise + (F.col("label") % 2) * 0.3).alias("score"),
+        (F.col("label") % 2).alias("label"),
+    )
+
+
+register(
+    "eval_auc_by_group",
+    f"""
+    WITH base AS (
+      SELECT vec_id % 4 AS grp,
+             CAST(({md5_hash64_sql("concat(CAST(vec_id AS VARCHAR), 'curve')")} % 1000) AS DOUBLE) / 1000.0
+               + (label % 2) * 0.3 AS score,
+             label % 2 AS label
+      FROM embeddings),
+    per AS (SELECT grp, score AS s, sum(CAST(label AS DOUBLE)) AS pos,
+                   CAST(count(*) AS DOUBLE) AS cnt
+            FROM base GROUP BY grp, score),
+    ranked AS (SELECT grp, s, pos, cnt,
+                      sum(cnt) OVER (PARTITION BY grp ORDER BY s ASC
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+               FROM per),
+    r AS (SELECT grp, pos, cnt, cum - (cnt - 1) / 2.0 AS avg_rank FROM ranked),
+    agg AS (SELECT grp, sum(avg_rank * pos) AS r_pos, sum(pos) AS p,
+                   sum(cnt - pos) AS q
+            FROM r GROUP BY grp)
+    SELECT grp, CAST(p AS BIGINT) AS n_pos, CAST(q AS BIGINT) AS n_neg,
+           CASE WHEN p > 0 AND q > 0
+                THEN (r_pos - p * (p + 1) / 2.0) / (p * q)
+                ELSE NULL END AS auc
+    FROM agg
+    """,
+)(
+    lambda spark, sf_dir: evaluate.auc_by_group(
+        _scored_grouped(spark, sf_dir), "grp"
+    )
+)
+
+
 register(
     "eval_confusion_scores",
     f"""

@@ -153,3 +153,88 @@ def test_swarm_points(spark):
     assert 40 < n < 200  # hash-threshold ~budget
     again = swarm_points(df.repartition(7), max_points=100)
     assert sorted(map(tuple, sampled.collect())) == sorted(map(tuple, again.collect()))
+
+
+# ---------------------------------------------------------------------------
+# κ / MCC, calibration bins + ECE, per-group AUC
+# ---------------------------------------------------------------------------
+
+def test_kappa_mcc_hand_computed(spark):
+    from diagnosisextraction_ml_spark.operators.evaluate import kappa_mcc
+
+    # tp=4 fp=1 fn=2 tn=3 -> n=10, po=0.7, pe=(5*6+5*4)/100=0.5
+    # kappa=(0.7-0.5)/0.5=0.4; mcc=(12-2)/sqrt(5*6*4*5)=10/sqrt(600)
+    rows = [(1, 1)] * 4 + [(0, 1)] * 1 + [(1, 0)] * 2 + [(0, 0)] * 3
+    df = spark.createDataFrame(rows, "label int, pred int")
+    r = kappa_mcc(df).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (4, 1, 2, 3)
+    assert r["kappa_micro"] == 400_000
+    assert r["mcc"] == pytest.approx(10 / np.sqrt(600), abs=1e-6)
+
+
+def test_kappa_mcc_degenerate_null(spark):
+    from diagnosisextraction_ml_spark.operators.evaluate import kappa_mcc
+
+    df = spark.createDataFrame([(1, 1), (1, 1)], "label int, pred int")
+    r = kappa_mcc(df).collect()[0]
+    assert r["kappa_micro"] is None and r["mcc"] is None
+
+
+def test_calibration_bins_and_ece(spark):
+    from diagnosisextraction_ml_spark.operators.evaluate import (
+        calibration_bins,
+        expected_calibration_error,
+    )
+
+    rows = [
+        (0.05, 0), (0.05, 0),           # bin 0: rate 0, mean 50_000
+        (0.75, 1), (0.75, 0),           # bin 7: rate 0.5, mean 750_000
+        (1.2, 1),                       # clamps into bin 9
+        (-0.1, 0),                      # clamps into bin 0
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    bins = {r["bin"]: r for r in calibration_bins(df, n_bins=10).collect()}
+    assert set(bins) == {0, 7, 9}
+    assert bins[0]["n"] == 3 and bins[0]["n_pos"] == 0
+    assert bins[0]["mean_score_micro"] == (50_000 + 50_000 - 100_000) // 3
+    assert bins[7]["pos_rate_micro"] == 500_000
+    assert bins[7]["mean_score_micro"] == 750_000
+    assert bins[9]["pos_rate_micro"] == 1_000_000
+    ece = expected_calibration_error(calibration_bins(df, n_bins=10)).collect()[0]
+    # hand sum: 3*|0-0| + 2*|750000-500000| + 1*|1200000-1000000| over 6
+    assert ece["ece_micro"] == (3 * 0 + 2 * 250_000 + 1 * 200_000) // 6
+
+
+def test_auc_by_group_matches_numpy(spark):
+    from diagnosisextraction_ml_spark.operators.evaluate import auc_by_group
+
+    rows = []
+    for i in range(200):
+        g = i % 3
+        label = 1 if i % 4 == 0 else 0
+        score = ((i * 37) % 100) / 100.0 + 0.25 * label
+        rows.append((g, score, label))
+    df = spark.createDataFrame(rows, "grp int, score double, label int")
+    got = {r["grp"]: r for r in auc_by_group(df, "grp").collect()}
+    import numpy as np
+
+    for g in (0, 1, 2):
+        sub = [(s, y) for gg, s, y in rows if gg == g]
+        scores = np.array([s for s, _ in sub])
+        labels = np.array([y for _, y in sub])
+        expect = _numpy_rank_auc(scores, labels)
+        assert got[g]["auc"] == pytest.approx(expect, abs=1e-12)
+        assert got[g]["n_pos"] == labels.sum()
+        assert got[g]["n_neg"] == len(labels) - labels.sum()
+
+
+def test_auc_by_group_single_class_null(spark):
+    from diagnosisextraction_ml_spark.operators.evaluate import auc_by_group
+
+    df = spark.createDataFrame(
+        [("a", 0.4, 1), ("a", 0.6, 1), ("b", 0.5, 1), ("b", 0.2, 0)],
+        "grp string, score double, label int",
+    )
+    got = {r["grp"]: r for r in auc_by_group(df, "grp").collect()}
+    assert got["a"]["auc"] is None
+    assert got["b"]["auc"] == pytest.approx(1.0)

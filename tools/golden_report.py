@@ -44,6 +44,12 @@ TARGETS: dict[str, tuple[float, float, float, float]] = {
     "WordMatching": (0.828, 0.988, 0.854, 0.06),
     "DecisionTree": (0.721, 0.949, 0.755, 0.10),
     "Dummy": (0.517, 0.823, 0.533, 0.10),
+    # predXGBoost.csv is a DIFFERENT cohort from the other dumps (1000
+    # rows, 89 positive — ~9% prevalence vs sample_data's 50%), so its
+    # golden AUC is not directly comparable to an EP2 run on
+    # autocorrect_dummydata; the tolerance is widened accordingly and
+    # the model is the sanctioned GBT stand-in (plans/models.py M9).
+    "XGBoost": (0.976, 0.850, 0.775, 0.10),
 }
 
 
