@@ -79,3 +79,76 @@ def two_proportion_test(
         ).alias("diff_micro"),
         F.expr(f"({lhs}) > ({rhs})").alias("significant"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Kaplan-Meier survival estimate per (group, event time).
+
+    The product-limit estimator S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over the
+    distinct OBSERVED event times tᵢ, with nᵢ the at-risk count
+    (subjects whose duration ≥ tᵢ) and dᵢ the events at tᵢ; censored
+    subjects (``observed`` = 0) leave the risk set without an event —
+    the standard right-censoring treatment.
+
+    Plan shape (one pass + per-group windows, the trailing_anomaly
+    doctrine): one map-side-combined groupBy to (group, t, d, c); the
+    at-risk count is total_g − (exclusive prior cumsum of d+c) — a
+    window over the DISTINCT-TIME rows, bounded per group, never over
+    subjects; the running product is exp(Σ ln((n−d)/n)) over the same
+    window. ln/exp is the one float step (a true product has no integer
+    form); every input to it is an exact integer ratio and the output
+    is rounded to micro-units, the same discipline as the BM25/log-odds
+    paths. ``duration_col`` must be integral (pre-bucket real-valued
+    durations — at 100 TB you want bucketed grain anyway; it bounds the
+    window input to |groups|·|distinct times| rows).
+
+    Output: (group?, t, n_at_risk, d, censored, survival_micro) — one
+    row per distinct time with ≥1 observed event, survival AFTER tᵢ.
+    """
+    gcols = [group_col] if group_col else []
+    obs = F.col(observed_col).cast("long")
+    per = df.groupBy(
+        *gcols, F.col(duration_col).cast("long").alias("t")
+    ).agg(
+        F.sum(obs).alias("d"),
+        F.sum(F.lit(1) - obs).alias("c"),
+    )
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    w_all = part.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prior = part.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = (
+        F.sum(F.col("d") + F.col("c")).over(w_all)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0))
+    )
+    staged = per.withColumn("n_at_risk", at_risk).filter(F.col("d") > 0)
+    # running ln-sum over EVENT rows only (censoring-only times carry no
+    # factor), inclusive of the current row. Extinction (d == n at some
+    # time) would be ln(0) — engines disagree on ln(0) (null vs -inf),
+    # so it is handled as an explicit running-min flag: survival is 0
+    # from the first extinct time onward.
+    w_run = part.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    extinct = F.min(F.col("n_at_risk") - F.col("d")).over(w_run) == 0
+    ln_term = F.when(
+        F.col("n_at_risk") > F.col("d"),
+        F.log(F.col("n_at_risk") - F.col("d")) - F.log(F.col("n_at_risk")),
+    )
+    surv = F.when(extinct, F.lit(0).cast("long")).otherwise(
+        F.round(F.exp(F.sum(ln_term).over(w_run)) * 1_000_000, 0).cast("long")
+    )
+    return staged.select(
+        *gcols,
+        "t",
+        "n_at_risk",
+        "d",
+        F.col("c").alias("censored"),
+        surv.alias("survival_micro"),
+    )

@@ -200,3 +200,65 @@ def funnel_latency_quantiles(
     return grouped_logbin_quantiles(
         lats, ["step_idx", "step"], "lat_sec", probes=probes
     )
+
+
+def top_event_paths(
+    events: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most common length-``n`` event-type paths across users.
+
+    The "what do users actually do" query: order each user's events by
+    (ts, tiebreaker), slide a length-``n`` window over the type
+    sequence, and count every path corpus-wide. One groupBy(user)
+    builds the ordered sequence (map-side combined collect of (ts,
+    tiebreak, type) structs — per-user payload, bounded by the user's
+    event count, the same shape the sessionize/funnel ops already
+    shuffle); the n-gram slide is a native array transform (zero extra
+    shuffle); the count is one more map-side-combined groupBy. The
+    tiebreaker makes the order total, so the result is deterministic
+    on any partitioning and in the SQL twin.
+
+    Output: (path string "a>b>c", n_occurrences, n_users), ordered by
+    (n_occurrences desc, path asc) limit ``k``.
+    """
+    seq = (
+        events.groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("ts"),
+                        F.col(tiebreak_col).alias("tb"),
+                        F.col(type_col).alias("et"),
+                    )
+                )
+            ).alias("s")
+        )
+        .select(
+            "u", F.transform(F.col("s"), lambda x: x.getField("et")).alias("types")
+        )
+    )
+    sz = F.size("types")
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(0), sz - n),
+            lambda i: F.concat_ws(">", *[F.element_at("types", i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = seq.select("u", F.explode(grams).alias("path"))
+    return (
+        exploded.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("u").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(k)
+    )

@@ -5051,3 +5051,81 @@ def _robust_entry() -> None:
 
 
 _robust_entry()
+
+
+# ===========================================================================
+# Kaplan-Meier survival over the events stream + top event paths —
+# ordered-event analytics widening (round 8).
+# ===========================================================================
+
+def _km_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import experiment
+
+    sql = """
+    WITH subj AS (
+      SELECT event_type AS grp,
+             CAST(abs(floor(value * 10)) AS BIGINT) % 50 AS t,
+             CASE WHEN event_id % 4 = 0 THEN 0 ELSE 1 END AS obs
+      FROM events
+    ),
+    per AS (SELECT grp, t, CAST(sum(obs) AS BIGINT) AS d,
+                   CAST(sum(1 - obs) AS BIGINT) AS c
+            FROM subj GROUP BY grp, t),
+    st AS (SELECT grp, t, d, c,
+                  CAST(sum(d + c) OVER (PARTITION BY grp)
+                       - coalesce(sum(d + c) OVER (
+                           PARTITION BY grp ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS n_at_risk
+           FROM per),
+    ev AS (SELECT * FROM st WHERE d > 0)
+    SELECT grp, t, n_at_risk, d, c AS censored,
+           CASE WHEN min(n_at_risk - d) OVER w = 0 THEN 0
+                ELSE CAST(round(exp(sum(
+                       CASE WHEN n_at_risk > d
+                            THEN ln(n_at_risk - d) - ln(n_at_risk) END) OVER w)
+                     * 1000000) AS BIGINT) END AS survival_micro
+    FROM ev WINDOW w AS (PARTITION BY grp ORDER BY t ROWS UNBOUNDED PRECEDING)
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        subj = ev.select(
+            F.col("event_type").alias("grp"),
+            (F.abs(F.floor(F.col("value") * 10)).cast("long") % 50).alias("dur"),
+            F.when(F.col("event_id") % 4 == 0, 0).otherwise(1).alias("obs"),
+        )
+        return experiment.kaplan_meier(subj, "dur", "obs", "grp")
+
+    register("events_kaplan_meier", sql)(_fn)
+
+
+_km_entry()
+
+
+def _paths_entry(n: int = 3, k: int = 20) -> None:
+    from diagnosisextraction_ml_spark.operators import funnel
+
+    sql = f"""
+    WITH seq AS (
+      SELECT user_id AS u, list(event_type ORDER BY ts, event_id) AS types
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT u, array_to_string(types[t.i+1:t.i+{n}], '>') AS path
+      FROM seq CROSS JOIN UNNEST(range(0, greatest(len(types) - {n - 1}, 0))) t(i)
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT u) AS BIGINT) AS n_users
+    FROM g GROUP BY path
+    ORDER BY n_occurrences DESC, path ASC LIMIT {k}
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return funnel.top_event_paths(ev, n=n, k=k)
+
+    register("events_top_paths", sql)(_fn)
+
+
+_paths_entry()

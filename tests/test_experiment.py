@@ -47,3 +47,53 @@ def test_ab_matches_float_z_on_grid(spark):
 def test_ab_negative_lift_sign(spark):
     r = _run(spark, 300, 90, 300, 30)
     assert r["diff_micro"] < 0 and r["significant"] is True
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier
+# ---------------------------------------------------------------------------
+
+def test_kaplan_meier_textbook(spark):
+    """Classic small example: subjects with durations/censoring, checked
+    against the hand-computed product-limit values."""
+    from diagnosisextraction_ml_spark.operators.experiment import kaplan_meier
+
+    # durations (t, observed): events at t=1 (1 of 5 at risk),
+    # censored at t=2, event at t=3 (1 of 3 at risk), event at t=4
+    # (1 of 2), censored at t=5
+    rows = [(1, 1), (2, 0), (3, 1), (4, 1), (5, 0)]
+    df = spark.createDataFrame(rows, "dur int, obs int")
+    km = {r["t"]: r for r in kaplan_meier(df, "dur", "obs").collect()}
+    assert set(km) == {1, 3, 4}
+    assert km[1]["n_at_risk"] == 5 and km[1]["d"] == 1
+    assert km[1]["survival_micro"] == 800_000            # 4/5
+    assert km[3]["n_at_risk"] == 3
+    assert km[3]["survival_micro"] == round(0.8 * 2 / 3 * 1e6)
+    assert km[4]["n_at_risk"] == 2
+    assert km[4]["survival_micro"] == round(0.8 * (2 / 3) * 0.5 * 1e6)
+
+
+def test_kaplan_meier_extinction_and_groups(spark):
+    from diagnosisextraction_ml_spark.operators.experiment import kaplan_meier
+
+    rows = [
+        ("a", 1, 1), ("a", 1, 1),            # everyone dies at t=1
+        ("b", 1, 1), ("b", 2, 0), ("b", 3, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, dur int, obs int")
+    km = {(r["g"], r["t"]): r for r in kaplan_meier(df, "dur", "obs", "g").collect()}
+    assert km[("a", 1)]["survival_micro"] == 0           # extinction -> 0, no ln(0)
+    assert km[("b", 1)]["survival_micro"] == round(2 / 3 * 1e6)
+    assert km[("b", 3)]["survival_micro"] == 0           # last subject dies
+    # censoring-only times never appear as rows
+    assert ("b", 2) not in km
+
+
+def test_kaplan_meier_partitioning_invariance(spark):
+    from diagnosisextraction_ml_spark.operators.experiment import kaplan_meier
+
+    rows = [(chr(97 + i % 3), (i * 7) % 20 + 1, i % 5 != 0) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, dur int, obs boolean")
+    a = sorted(map(tuple, kaplan_meier(df.coalesce(1), "dur", "obs", "g").collect()))
+    b = sorted(map(tuple, kaplan_meier(df.repartition(13), "dur", "obs", "g").collect()))
+    assert a == b and len(a) > 10

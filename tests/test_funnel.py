@@ -113,3 +113,44 @@ def test_funnel_latency_quantiles_hand_case(spark):
     # purchase latencies: {600} only
     pm = rows_out[("purchase", 1, 2)]
     assert pm["bin_lo"] <= 600 < pm["bin_hi"] and pm["target_rank"] == 1
+
+
+def test_top_event_paths_small(spark):
+    from diagnosisextraction_ml_spark.operators.funnel import top_event_paths
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for u, seq in [(1, "abcab"), (2, "abc"), (3, "ab")]:
+        for i, et in enumerate(seq):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), u, et))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r["path"]: r for r in top_event_paths(df, n=3, k=10).collect()}
+    # user1: abc, bca, cab; user2: abc; user3 too short
+    assert got["a>b>c"]["n_occurrences"] == 2
+    assert got["a>b>c"]["n_users"] == 2
+    assert got["b>c>a"]["n_occurrences"] == 1
+    assert set(got) == {"a>b>c", "b>c>a", "c>a>b"}
+
+
+def test_top_event_paths_tiebreak_total_order(spark):
+    """Same-timestamp events order by the tiebreaker, so the path set is
+    deterministic on any partitioning."""
+    from diagnosisextraction_ml_spark.operators.funnel import top_event_paths
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(i, t0, 1, "xyz"[i % 3]) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    a = sorted(map(tuple, top_event_paths(df.coalesce(1), n=2, k=10).collect()))
+    b = sorted(map(tuple, top_event_paths(df.repartition(5), n=2, k=10).collect()))
+    assert a == b
+    assert ("x>y", 2, 1) in a  # positions (0,1) and (3,4)
