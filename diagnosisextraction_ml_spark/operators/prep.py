@@ -626,3 +626,61 @@ def weighted_sample_es(
         .orderBy(F.desc("es_score_micro"), F.asc(id_col))
         .limit(k)
     )
+
+
+def temperature_mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.7,
+    target_rows: int | None = None,
+) -> DataFrame:
+    """T5-style temperature-scaled mixing weights from observed counts.
+
+    Data mixing's standard rebalancing (Raffel et al. 2020 §3.4.3,
+    examples-proportional with temperature): source s gets weight
+    wₛ ∝ nₛ^α — α = 1 is proportional, α = 0 uniform, the usual
+    0.3-0.7 band boosts small sources without drowning big ones.
+
+    Determinism: the one float op (pow) is quantized to integer
+    micro-units PER SOURCE before any cross-source arithmetic — the
+    normalizing sum is an exact integer sum (a float Σ nₛ^α would
+    depend on accumulation order), and the final weights/rates are
+    integral divisions in DECIMAL(38,0). Valid for nₛ^α·10⁶ < 2⁶³
+    (any α ≤ 1 and nₛ ≤ 10¹³). The per-source table is one map-side-
+    combined groupBy + a 1-row broadcast of the sum — the engine's
+    standard corpus-scalar shape.
+
+    Output: (group, n, weight_micro, rate_micro?) — ``weight_micro``
+    the normalized mixing weight, and, when ``target_rows`` is given,
+    ``rate_micro`` = min(1, target·wₛ/nₛ) in micro-units: the exact
+    per-source sampling rate that realizes the mixture at the target
+    corpus size (feed (rate_micro, 10⁶) pairs to
+    :func:`mixture_resample` to materialize it).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wq = F.round(F.pow(F.col("n").cast("double"), F.lit(float(alpha))) * 1_000_000, 0).cast("long")
+    per = counts.withColumn("__w", wq)
+    tot = per.agg(F.sum("__w").alias("__tot"))
+    out = per.crossJoin(F.broadcast(tot)).select(
+        "group",
+        "n",
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * __w div __tot AS BIGINT)"
+        ).alias("weight_micro"),
+        *(
+            [
+                F.expr(
+                    f"CAST(least(CAST(1000000 AS DECIMAL(38,0)),"
+                    f" CAST({int(target_rows)} AS DECIMAL(38,0)) * 1000000 * __w"
+                    f" div (__tot * n)) AS BIGINT)"
+                ).alias("rate_micro")
+            ]
+            if target_rows is not None
+            else []
+        ),
+    )
+    return out

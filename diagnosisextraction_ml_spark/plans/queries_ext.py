@@ -5129,3 +5129,34 @@ def _paths_entry(n: int = 3, k: int = 20) -> None:
 
 
 _paths_entry()
+
+
+# ===========================================================================
+# Temperature-scaled mixture weights (T5 examples-proportional mixing).
+# ===========================================================================
+
+def _temperature_entry(alpha: float = 0.7, target: int = 5000) -> None:
+    sql = f"""
+    WITH c AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1),
+    w AS (SELECT grp, n, CAST(round(pow(n, {alpha}) * 1000000) AS BIGINT) AS wq
+          FROM c),
+    t AS (SELECT CAST(sum(wq) AS HUGEINT) AS tot FROM w)
+    SELECT grp AS "group", n,
+           CAST((1000000 * CAST(wq AS HUGEINT)) // tot AS BIGINT) AS weight_micro,
+           CAST(least(CAST(1000000 AS HUGEINT),
+                      (CAST({target} AS HUGEINT) * 1000000 * wq) // (tot * n))
+                AS BIGINT) AS rate_micro
+    FROM w CROSS JOIN t
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return prep.temperature_mixture_plan(
+            docs.select("doc_id", "source"), "source", alpha=alpha, target_rows=target
+        )
+
+    register("prep_temperature_mixture", sql)(_fn)
+
+
+_temperature_entry()

@@ -4,6 +4,7 @@ repartitioning is the load-bearing property at scale)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from diagnosisextraction_ml_spark.operators.prep import (
     assign_folds,
@@ -292,3 +293,73 @@ def test_weighted_sample_es_deterministic_and_filters_nonpositive(spark):
     b = [tuple(r) for r in weighted_sample_es(df.coalesce(1), "w", k=40).collect()]
     assert a == b
     assert all(r[1] > 0 for r in a)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights
+# ---------------------------------------------------------------------------
+
+def test_temperature_mixture_alpha_extremes(spark):
+    from diagnosisextraction_ml_spark.operators.prep import temperature_mixture_plan
+
+    rows = [("a",)] * 900 + [("b",)] * 90 + [("c",)] * 10
+    df = spark.createDataFrame(rows, "src string")
+    # alpha=1: proportional weights
+    prop = {r["group"]: r for r in temperature_mixture_plan(df, "src", alpha=1.0).collect()}
+    assert prop["a"]["weight_micro"] == 900_000
+    assert prop["b"]["weight_micro"] == 90_000
+    assert prop["c"]["weight_micro"] == 10_000
+    # alpha=0: uniform (each source weight 1/3)
+    uni = {r["group"]: r for r in temperature_mixture_plan(df, "src", alpha=0.0).collect()}
+    assert all(v["weight_micro"] == 333_333 for v in uni.values())
+
+
+def test_temperature_mixture_rates_and_cap(spark):
+    from diagnosisextraction_ml_spark.operators.prep import temperature_mixture_plan
+
+    rows = [("big",)] * 1000 + [("small",)] * 10
+    df = spark.createDataFrame(rows, "src string")
+    out = {
+        r["group"]: r
+        for r in temperature_mixture_plan(
+            df, "src", alpha=0.5, target_rows=200
+        ).collect()
+    }
+    # w ∝ sqrt(n): big ~ sqrt(1000)=31.62, small ~ sqrt(10)=3.162 -> 10:1
+    assert out["big"]["weight_micro"] == pytest.approx(909_090, abs=10)
+    assert out["small"]["weight_micro"] == pytest.approx(90_909, abs=10)
+    # rates: big: 200*0.909/1000 = 0.1818; small: 200*0.0909/10 = 1.818 -> capped
+    assert out["big"]["rate_micro"] == pytest.approx(181_818, abs=10)
+    assert out["small"]["rate_micro"] == 1_000_000
+    # invariant: expected sampled rows <= target (cap bites on 'small')
+    exp_rows = sum(v["rate_micro"] / 1e6 * v["n"] for v in out.values())
+    assert exp_rows <= 200.01
+
+
+def test_temperature_mixture_feeds_resample(spark):
+    """rate_micro/1e6 pairs drive mixture_resample to the target size."""
+    from diagnosisextraction_ml_spark.operators.prep import (
+        mixture_resample,
+        temperature_mixture_plan,
+    )
+
+    rows = [(f"id{i}", "a" if i < 800 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id string, src string")
+    plan = temperature_mixture_plan(df, "src", alpha=0.5, target_rows=400)
+    weights = {
+        r["group"]: (int(r["rate_micro"]), 1_000_000) for r in plan.collect()
+    }
+    sampled = mixture_resample(df, "src", "doc_id", weights)
+    n = sampled.count()
+    assert 300 < n <= 450  # hash-thresholded realization of ~400
+    # deterministic under repartitioning
+    again = mixture_resample(df.repartition(7), "src", "doc_id", weights).count()
+    assert n == again
+
+
+def test_temperature_mixture_alpha_validation(spark):
+    from diagnosisextraction_ml_spark.operators.prep import temperature_mixture_plan
+
+    df = spark.createDataFrame([("a",)], "src string")
+    with pytest.raises(ValueError):
+        temperature_mixture_plan(df, "src", alpha=1.5)
