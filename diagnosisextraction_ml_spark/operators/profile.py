@@ -192,3 +192,82 @@ def key_skew_profile(
         .orderBy(F.desc("cnt"), F.asc("key"))
         .limit(k)
     )
+
+
+def psi_drift(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a metric —
+    the standard "did this feature's distribution move" QC gate
+    (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+
+    PSI = Σ_bins (pᵢ − qᵢ)·ln(pᵢ/qᵢ) over shared equal-width bins on
+    [lo, hi] with under/overflow clamped into the edge bins; add-1
+    count smoothing keeps empty bins finite (the conventional
+    treatment). Each side is one map-side-combined groupBy to
+    ≤ n_bins rows; the PSI terms are computed per bin from EXACT
+    integer counts — the one float op (ln of an exact-integer rational)
+    is rounded to micro-nats PER BIN before the final integer sum, the
+    engine's standard discipline for hash-stable float paths.
+
+    Output: one row per bin (bin, n_base, n_curr, psi_term_micro) plus
+    the corpus gate reads ``sum(psi_term_micro)`` — emitted as a
+    companion scalar by :func:`psi_total`.
+    """
+    if n_bins < 2 or not hi > lo:
+        raise ValueError("psi_drift needs n_bins >= 2 and hi > lo")
+    width = (hi - lo) / n_bins
+
+    def binned(df, out):
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(value_col).cast("double") - lo) / width).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    bins = F.broadcast(
+        base.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    )
+    joined = (
+        bins.join(binned(base, "n_base"), "bin", "left")
+        .join(binned(current, "n_curr"), "bin", "left")
+        .na.fill({"n_base": 0, "n_curr": 0})
+    )
+    # add-1 smoothing; totals via window over the ≤n_bins rows
+    from pyspark.sql import Window
+
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    staged = joined.select(
+        "bin",
+        "n_base",
+        "n_curr",
+        (F.col("n_base") + 1).alias("a"),
+        (F.col("n_curr") + 1).alias("b"),
+        F.sum(F.col("n_base") + 1).over(w).alias("ta"),
+        F.sum(F.col("n_curr") + 1).over(w).alias("tb"),
+    )
+    # (p - q) * ln(p/q), p = a/ta, q = b/tb; ln of exact-int rational
+    p_minus_q = F.col("a") / F.col("ta") - F.col("b") / F.col("tb")
+    ln_ratio = (
+        F.log(F.col("a").cast("double"))
+        - F.log(F.col("ta").cast("double"))
+        - F.log(F.col("b").cast("double"))
+        + F.log(F.col("tb").cast("double"))
+    )
+    term = F.round(p_minus_q * ln_ratio * 1_000_000, 0).cast("long")
+    return staged.select("bin", "n_base", "n_curr", term.alias("psi_term_micro"))
+
+
+def psi_total(bins: DataFrame) -> DataFrame:
+    """Scalar PSI in micro-nats from :func:`psi_drift` output."""
+    return bins.agg(F.sum("psi_term_micro").alias("psi_micro"))

@@ -293,3 +293,78 @@ def interval_concurrency_daily(
         .groupBy("day_idx")
         .agg(F.max("conc").alias("peak_concurrency"))
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    bucket_col: str,
+    value_col: str,
+    threshold_micro: int,
+) -> DataFrame:
+    """CUSUM level-shift detection over a bucketed series, exact-integer.
+
+    The classic recursive CUSUM (C⁺ₜ = max(0, C⁺ₜ₋₁ + xₜ − μ)) is not
+    window-expressible, but its closed form is: with Sₜ the running sum
+    of deviations from the per-key mean, C⁺ₜ = Sₜ − min_{t'≤t} Sₜ' and
+    C⁻ₜ = max_{t'≤t} Sₜ' − Sₜ — one cumulative sum plus running
+    min/max, all RANGE-free ROWS windows PARTITIONED PER KEY.
+
+    Exactness: the mean enters as exact micro-units
+    (μ_micro = 10⁶·Σv div n, computed per key inside the same window
+    pass — no separate join), deviations are 10⁶·v − μ_micro BIGINTs,
+    and the cumulative sums run in DECIMAL(38,0) so a long series of
+    large values cannot wrap. No float anywhere — the flags are
+    bit-identical across engines and partitionings.
+
+    ``threshold_micro`` is the drift threshold in micro value-units
+    (e.g. 5·10⁶ ⇒ flag when the cumulated deviation exceeds 5 units).
+
+    Output: key..., bucket, value, s_micro, cusum_up_micro,
+    cusum_down_micro, drift_up, drift_down.
+    """
+    key_cols = list(key_cols)
+    v = F.col(value_col).cast("long")
+    base = df.select(*key_cols, F.col(bucket_col).alias(bucket_col), v.alias(value_col))
+    w_all = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(bucket_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_run = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(bucket_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mu = F.expr(
+        f"CAST(1000000 AS DECIMAL(38,0)) * __tot div __n"
+    )
+    staged = (
+        base.withColumn("__tot", F.sum(value_col).over(w_all))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn("__mu", mu)
+        .withColumn(
+            "__dev",
+            (F.lit(1_000_000).cast("decimal(38,0)") * F.col(value_col) - F.col("__mu")),
+        )
+        .withColumn("__s", F.sum("__dev").over(w_run).cast("decimal(38,0)"))
+        .withColumn("__smin", F.min("__s").over(w_run))
+        .withColumn("__smax", F.max("__s").over(w_run))
+    )
+    # The recursion starts at C=0 BEFORE any data, so the running
+    # min/max must include the empty prefix S₀ = 0 — otherwise the
+    # first deviation can never register (a monotone series would
+    # self-anchor to its own first point).
+    zero = F.lit(0).cast("decimal(38,0)")
+    up = F.col("__s") - F.least(zero, F.col("__smin"))
+    down = F.greatest(zero, F.col("__smax")) - F.col("__s")
+    return staged.select(
+        *key_cols,
+        bucket_col,
+        value_col,
+        F.col("__s").cast("decimal(38,0)").alias("s_micro"),
+        up.cast("decimal(38,0)").alias("cusum_up_micro"),
+        down.cast("decimal(38,0)").alias("cusum_down_micro"),
+        (up >= F.lit(int(threshold_micro)).cast("decimal(38,0)")).alias("drift_up"),
+        (down >= F.lit(int(threshold_micro)).cast("decimal(38,0)")).alias("drift_down"),
+    )

@@ -5160,3 +5160,116 @@ def _temperature_entry(alpha: float = 0.7, target: int = 5000) -> None:
 
 
 _temperature_entry()
+
+
+# ===========================================================================
+# Distribution drift (PSI) + CUSUM level-shift detection — the two
+# standard monitoring gates over a production corpus/stream.
+# ===========================================================================
+
+def _psi_entry(lo: float = 0.0, hi: float = 100.0, n_bins: int = 10) -> None:
+    from diagnosisextraction_ml_spark.operators import profile as profile_ops
+
+    width = (hi - lo) / n_bins
+    bexpr = (
+        f"least(greatest(CAST(floor((value - {lo}) / {width}) AS INT), 0), {n_bins - 1})"
+    )
+    sql = f"""
+    WITH bp AS (SELECT {bexpr} AS bin, CAST(count(*) AS BIGINT) AS n_base
+                FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+    bq AS (SELECT {bexpr} AS bin, CAST(count(*) AS BIGINT) AS n_curr
+           FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+    grid AS (SELECT CAST(unnest(range({n_bins})) AS INT) AS bin),
+    j AS (SELECT g.bin, coalesce(bp.n_base, 0) AS n_base,
+                 coalesce(bq.n_curr, 0) AS n_curr
+          FROM grid g LEFT JOIN bp USING (bin) LEFT JOIN bq USING (bin)),
+    st AS (SELECT bin, n_base, n_curr, n_base + 1 AS a, n_curr + 1 AS b,
+                  CAST(sum(n_base + 1) OVER () AS BIGINT) AS ta,
+                  CAST(sum(n_curr + 1) OVER () AS BIGINT) AS tb
+           FROM j)
+    SELECT bin, n_base, n_curr,
+           CAST(round((CAST(a AS DOUBLE) / ta - CAST(b AS DOUBLE) / tb)
+                      * (ln(CAST(a AS DOUBLE)) - ln(CAST(ta AS DOUBLE))
+                         - ln(CAST(b AS DOUBLE)) + ln(CAST(tb AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS psi_term_micro
+    FROM st
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return profile_ops.psi_drift(
+            ev.filter(F.col("event_id") % 2 == 0),
+            ev.filter(F.col("event_id") % 2 == 1),
+            "value",
+            lo,
+            hi,
+            n_bins,
+        )
+
+    register("qc_psi_drift", sql)(_fn)
+
+
+_psi_entry()
+
+
+def _cusum_entry(threshold_micro: int = 20_000_000) -> None:
+    from diagnosisextraction_ml_spark.operators import rollup as rollup_ops
+
+    sql = f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, hr, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS HUGEINT) AS tot,
+             CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) AS n
+      FROM hourly
+    ),
+    dev AS (
+      SELECT event_type, hr, cnt,
+             1000000 * cnt - (1000000 * tot) // n AS d
+      FROM st
+    ),
+    cum AS (
+      SELECT event_type, hr, cnt,
+             sum(d) OVER (PARTITION BY event_type ORDER BY hr
+                          ROWS UNBOUNDED PRECEDING) AS s
+      FROM dev
+    ),
+    run AS (
+      SELECT event_type, hr, cnt, s,
+             min(s) OVER w AS smin,
+             max(s) OVER w AS smax
+      FROM cum
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, hr, cnt,
+           CAST(s AS DECIMAL(38,0)) AS s_micro,
+           CAST(s - least(0, smin) AS DECIMAL(38,0)) AS cusum_up_micro,
+           CAST(greatest(0, smax) - s AS DECIMAL(38,0)) AS cusum_down_micro,
+           s - least(0, smin) >= {threshold_micro} AS drift_up,
+           greatest(0, smax) - s >= {threshold_micro} AS drift_down
+    FROM run
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        hourly = ev.groupBy(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 3600).alias("hr"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        return rollup_ops.cusum_drift(
+            hourly,
+            key_cols=["event_type"],
+            bucket_col="hr",
+            value_col="cnt",
+            threshold_micro=threshold_micro,
+        )
+
+    register("ts_cusum_drift", sql)(_fn)
+
+
+_cusum_entry()

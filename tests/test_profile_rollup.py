@@ -208,3 +208,81 @@ def test_robust_stats_flags_planted_outlier(spark):
         .count()
     )
     assert out == 1
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift + PSI
+# ---------------------------------------------------------------------------
+
+def test_cusum_detects_level_shift(spark):
+    from diagnosisextraction_ml_spark.operators.rollup import cusum_drift
+
+    # flat at 10 for 20 buckets, then a +5 level shift for 20 more
+    rows = [("k", t, 10 if t < 20 else 15) for t in range(40)]
+    df = spark.createDataFrame(rows, "key string, t int, v int")
+    out = {r["t"]: r for r in cusum_drift(df, ["key"], "t", "v", 40_000_000).collect()}
+    # mean = 12.5 -> pre-shift s drifts down, post-shift climbs up
+    assert not out[19]["drift_up"]
+    assert out[39]["drift_up"]          # cumulated +2.5*20 = 50 units > 40
+    assert out[19]["cusum_down_micro"] == 50_000_000  # 2.5 * 20 below mean
+    assert out[39]["cusum_up_micro"] == 50_000_000
+    # closed form == recursive CUSUM on the same series
+    s, smin, cus = 0, 0, []
+    for t in range(40):
+        s += (10 if t < 20 else 15) * 1_000_000 - 12_500_000
+        smin = min(smin, s)
+        cus.append(s - smin)
+    for t in range(40):
+        assert int(out[t]["cusum_up_micro"]) == cus[t]
+
+
+def test_cusum_partitioning_invariance(spark):
+    from diagnosisextraction_ml_spark.operators.rollup import cusum_drift
+
+    rows = [(f"k{i%3}", t, (i * t) % 17) for i, t in
+            ((i, t) for i in range(3) for t in range(50))]
+    df = spark.createDataFrame(rows, "key string, t int, v int")
+    a = sorted(map(tuple, cusum_drift(df.coalesce(1), ["key"], "t", "v", 10**6).collect()))
+    b = sorted(map(tuple, cusum_drift(df.repartition(7), ["key"], "t", "v", 10**6).collect()))
+    assert a == b
+
+
+def test_psi_identical_and_shifted(spark):
+    from diagnosisextraction_ml_spark.operators.profile import psi_drift, psi_total
+
+    base = spark.createDataFrame([(float(i % 100),) for i in range(5000)], "v double")
+    same = psi_total(psi_drift(base, base, "v", 0.0, 100.0, 10)).collect()[0]
+    assert same["psi_micro"] == 0
+    shifted = spark.createDataFrame(
+        [(float(i % 100) * 0.3 + 60,) for i in range(5000)], "v double"
+    )
+    drift = psi_total(psi_drift(base, shifted, "v", 0.0, 100.0, 10)).collect()[0]
+    assert drift["psi_micro"] > 250_000  # way past the 0.25 "shifted" bar
+
+
+def test_psi_hand_computed_two_bins(spark):
+    import math
+
+    from diagnosisextraction_ml_spark.operators.profile import psi_drift
+
+    base = spark.createDataFrame([(1.0,)] * 30 + [(9.0,)] * 10, "v double")
+    curr = spark.createDataFrame([(1.0,)] * 10 + [(9.0,)] * 30, "v double")
+    rows = {r["bin"]: r for r in psi_drift(base, curr, "v", 0.0, 10.0, 2).collect()}
+    # add-1: a=31,b=11,ta=42,tb=42 for bin 0; symmetric for bin 1
+    p, q = 31 / 42, 11 / 42
+    expect = round((p - q) * math.log(p / q) * 1e6)
+    assert rows[0]["psi_term_micro"] == expect
+    assert rows[1]["psi_term_micro"] == expect  # symmetric
+    assert rows[0]["n_base"] == 30 and rows[0]["n_curr"] == 10
+
+
+def test_psi_validation(spark):
+    import pytest
+
+    from diagnosisextraction_ml_spark.operators.profile import psi_drift
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        psi_drift(df, df, "v", 5.0, 5.0, 10)
+    with pytest.raises(ValueError):
+        psi_drift(df, df, "v", 0.0, 1.0, 1)
