@@ -1343,3 +1343,78 @@ def ngram_containment_pairs(
             F.round(F.col("n_common") / F.col("sz_b"), 6).alias("containment_b"),
         )
     )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Duplicate-leakage matrix: how much exact-duplicate mass crosses
+    source boundaries (the corpus-forensics view behind "which crawls
+    re-scraped which" and "is our held-out source contaminated by the
+    training sources").
+
+    For every unordered source pair (a ≤ b): the number of duplicate
+    PAIRS (same normalized text, one doc from a, one from b) and the
+    number of distinct duplicated texts contributing. Within-source
+    cells (a == b) count C(n,2) pairs inside that source.
+
+    Pure counting algebra — no pair join over documents: one groupBy
+    to (fingerprint, source, n), then each fingerprint's per-source
+    count list (Zipf-small: ≤ |sources| rows each) expands to its
+    source-pair cross terms nₐ·n_b (a < b) and C(nₐ,2) (a = a) inside
+    a native array transform, and one final groupBy sums the matrix —
+    only (fp, source, count) triples ever shuffle, never text.
+
+    Output: (source_a, source_b, n_dup_pairs, n_groups), source_a ≤
+    source_b lexicographically.
+    """
+    normalized = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    per = (
+        df.select(
+            F.md5(normalized).alias("fp"),
+            F.col(source_col).alias("src"),
+        )
+        .groupBy("fp", "src")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lists = per.groupBy("fp").agg(
+        F.array_sort(F.collect_list(F.struct("src", "n"))).alias("sn")
+    )
+    # cross terms for a < b plus the within-source diagonal
+    pairs = F.flatten(
+        F.transform(
+            F.col("sn"),
+            lambda x, i: F.concat(
+                F.array(
+                    F.struct(
+                        x.getField("src").alias("source_a"),
+                        x.getField("src").alias("source_b"),
+                        (
+                            x.getField("n") * (x.getField("n") - 1) / 2
+                        ).cast("long").alias("np"),
+                    )
+                ),
+                F.transform(
+                    F.slice(F.col("sn"), i + 2, F.size(F.col("sn"))),
+                    lambda y: F.struct(
+                        x.getField("src").alias("source_a"),
+                        y.getField("src").alias("source_b"),
+                        (x.getField("n") * y.getField("n")).cast("long").alias("np"),
+                    ),
+                ),
+            ),
+        )
+    )
+    return (
+        lists.select(F.explode(pairs).alias("p"))
+        .select("p.source_a", "p.source_b", "p.np")
+        .filter(F.col("np") > 0)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("np").alias("n_dup_pairs"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+    )

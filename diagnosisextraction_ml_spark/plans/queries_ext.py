@@ -5273,3 +5273,58 @@ def _cusum_entry(threshold_micro: int = 20_000_000) -> None:
 
 
 _cusum_entry()
+
+
+# ===========================================================================
+# Cross-source duplicate-leakage matrix — which sources re-scraped
+# which (and held-out contamination view). Dup-injected corpus keeps
+# its source column, with the injected copies tagged 'recrawl'.
+# ===========================================================================
+
+def _dup_matrix_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import dedup as dedup_ops
+
+    sql = """
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, 'recrawl' AS source
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text, source
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    fp AS (SELECT md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp,
+                  source AS src
+           FROM corpus),
+    per AS (SELECT fp, src, CAST(count(*) AS BIGINT) AS n FROM fp GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             CASE WHEN a.src = b.src THEN a.n * (a.n - 1) // 2
+                  ELSE a.n * b.n END AS np
+      FROM per a JOIN per b ON a.fp = b.fp AND a.src <= b.src
+    )
+    SELECT source_a, source_b, CAST(sum(np) AS BIGINT) AS n_dup_pairs,
+           CAST(count(*) AS BIGINT) AS n_groups
+    FROM pairs WHERE np > 0 GROUP BY 1, 2
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        tenth = docs.filter(F.col("doc_id") % 10 == 0)
+        recrawl = tenth.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "text",
+            F.lit("recrawl").alias("source"),
+        )
+        same_src = tenth.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text", "source"
+        )
+        return dedup_ops.cross_source_dup_matrix(
+            docs.unionByName(recrawl).unionByName(same_src)
+        )
+
+    register("dedup_cross_source_matrix", sql)(_fn)
+
+
+_dup_matrix_entry()

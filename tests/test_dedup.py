@@ -505,3 +505,34 @@ def test_containment_threshold_exact_rational(spark):
     assert len(got) == 1 and got[0].containment_a == 0.8
     none = dedup.ngram_containment_pairs(df, threshold_num=9, threshold_den=10).collect()
     assert none == []
+
+
+def test_cross_source_dup_matrix(spark):
+    from diagnosisextraction_ml_spark.operators.dedup import cross_source_dup_matrix
+
+    rows = [
+        # text X: 2 copies in a, 1 in b -> diag (a,a)=1, cross (a,b)=2
+        (1, "x x", "a"), (2, "x x", "a"), (3, "x x", "b"),
+        # text Y: 1 in b, 1 in c -> cross (b,c)=1
+        (4, "y y", "b"), (5, "y y", "c"),
+        # unique text: contributes nothing
+        (6, "z unique", "a"),
+        # whitespace-normalized match counts as a dup
+        (7, "  x   x ", "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_dup_pairs"], r["n_groups"])
+        for r in cross_source_dup_matrix(df).collect()
+    }
+    assert got[("a", "a")] == (1, 1)      # C(2,2)=1 within a
+    assert got[("a", "b")] == (2, 1)      # 2 copies in a x 1 in b
+    assert got[("a", "c")] == (2, 1)      # normalized doc 7 joins group X
+    assert got[("b", "c")] == (1 + 1, 2)  # X:(1x1) + Y:(1x1), two groups
+    assert ("b", "b") not in got          # no within-b dups
+    # deterministic under repartitioning
+    again = {
+        (r["source_a"], r["source_b"]): (r["n_dup_pairs"], r["n_groups"])
+        for r in cross_source_dup_matrix(df.repartition(5)).collect()
+    }
+    assert got == again
