@@ -856,3 +856,64 @@ def plot_swarm(
     for j, name in enumerate(class_names):
         fig.canvas.text(fig.px(j), fig.canvas.h - fig.mb + 6, name, _INK_MUTED, 1.5, "ct")
     return fig.save(path)
+
+
+def plot_calibration(bins, path: str | None = None, title: str = "CALIBRATION") -> bytes:
+    """Reliability diagram from :func:`~...evaluate.calibration_bins`
+    rows: empirical positive rate vs mean predicted score per bin,
+    with the perfect-calibration diagonal. Driver-side rasterization
+    of a ≤n_bins-row table; byte-deterministic.
+    """
+    rows = []
+    for row in bins:
+        d = row.asDict() if hasattr(row, "asDict") else dict(row)
+        rows.append(
+            (int(d["bin"]), int(d["n"]), d["mean_score_micro"] / 1e6,
+             d["pos_rate_micro"] / 1e6)
+        )
+    if not rows:
+        raise ValueError("plot_calibration needs at least one bin")
+    rows.sort()
+    xs = [r[2] for r in rows]
+    ys = [r[3] for r in rows]
+    fig = Figure(title=title, xlabel="MEAN PREDICTED SCORE", ylabel="POSITIVE RATE")
+    fig.axes()
+    fig.plot([0, 1], [0, 1], _INK_MUTED, width=1.5, alpha=0.8, label="PERFECT")
+    fig.plot(xs, ys, PALETTE[0], width=2.5, label="MODEL")
+    fig.scatter(xs, ys, PALETTE[0], r=3.5)
+    fig.legend("br")
+    return fig.save(path)
+
+
+def plot_survival(
+    groups: dict,
+    path: str | None = None,
+    title: str = "KAPLAN-MEIER SURVIVAL",
+) -> bytes:
+    """Step plot of Kaplan-Meier curves per group.
+
+    ``groups``: name → list of (t, survival_micro) sorted by t (the
+    :func:`~...experiment.kaplan_meier` rows for that group). Curves
+    start at (0, 1.0) and step down at each event time — the standard
+    right-continuous KM rendering. Byte-deterministic.
+    """
+    if not groups:
+        raise ValueError("plot_survival needs at least one group")
+    tmax = max((pts[-1][0] for pts in groups.values() if pts), default=1) or 1
+    fig = Figure(
+        xlim=(0.0, float(tmax)), ylim=(0.0, 1.0), title=title,
+        xlabel="TIME", ylabel="SURVIVAL",
+    )
+    fig.axes(tick_fmt="{:.1f}")
+    for i, (name, pts) in enumerate(sorted(groups.items())):
+        color = PALETTE[i % len(PALETTE)]
+        xs, ys = [0.0], [1.0]
+        for t, s_micro in pts:
+            s = s_micro / 1e6
+            xs.extend([float(t), float(t)])   # vertical drop at t
+            ys.extend([ys[-1], s])
+        xs.append(float(tmax))
+        ys.append(ys[-1])
+        fig.plot(xs, ys, color, width=2.5, label=str(name).upper())
+    fig.legend("tr")
+    return fig.save(path)

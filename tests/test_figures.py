@@ -175,7 +175,6 @@ def test_rotated_text_box_is_vertical():
     assert abs((xs.max() + xs.min()) / 2 - 30) <= 4
 
 
-@pytest.mark.slow
 def test_cutoff_plot_decodes_and_is_deterministic(tmp_path):
     """CutOffPlot parity: tpr + 1-fpr lines over the threshold rank,
     byte-deterministic, both series hues present (ref: optimalCutoff,
@@ -227,6 +226,7 @@ def test_cutoff_points_agree_with_youden(spark):
     assert thin[-1][0] == pytest.approx(pts[-1][0])
 
 
+@pytest.mark.slow
 def test_harness_renders_figures_per_family(patient_df_figures, tmp_path):
     """E2E: fit two model families on the reference corpus and write a
     ROC, PR, confusion, and swarm PNG — the full figure surface of the
@@ -309,3 +309,40 @@ def test_metric_sweep_figure():
     flat = img.reshape(-1, 3)
     for slot in (0, 1):
         assert (flat == _rgb(PALETTE[slot])).all(axis=1).any()
+
+
+def test_calibration_figure(tmp_path):
+    from diagnosisextraction_ml_spark.functions.figures import plot_calibration
+
+    bins = [
+        {"bin": b, "n": 100, "mean_score_micro": b * 100_000 + 50_000,
+         "pos_rate_micro": b * 90_000 + 30_000}
+        for b in range(10)
+    ]
+    png1 = plot_calibration(bins, str(tmp_path / "cal.png"))
+    png2 = plot_calibration(bins)
+    assert png1 == png2
+    img = decode_png(png1)
+    assert img.shape == (480, 640, 3)
+    flat = img.reshape(-1, 3)
+    assert (flat == _rgb(PALETTE[0])).all(axis=1).any()
+    with pytest.raises(ValueError):
+        plot_calibration([])
+
+
+def test_survival_figure_steps(tmp_path):
+    from diagnosisextraction_ml_spark.functions.figures import plot_survival
+
+    groups = {
+        "a": [(1, 800_000), (3, 500_000), (7, 200_000)],
+        "b": [(2, 900_000), (5, 700_000)],
+    }
+    png = plot_survival(groups, str(tmp_path / "km.png"))
+    assert png == plot_survival(groups)
+    img = decode_png(png)
+    assert img.shape == (480, 640, 3)
+    flat = img.reshape(-1, 3)
+    assert (flat == _rgb(PALETTE[0])).all(axis=1).any()
+    assert (flat == _rgb(PALETTE[1])).all(axis=1).any()
+    with pytest.raises(ValueError):
+        plot_survival({})
