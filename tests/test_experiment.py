@@ -97,3 +97,45 @@ def test_kaplan_meier_partitioning_invariance(spark):
     a = sorted(map(tuple, kaplan_meier(df.coalesce(1), "dur", "obs", "g").collect()))
     b = sorted(map(tuple, kaplan_meier(df.repartition(13), "dur", "obs", "g").collect()))
     assert a == b and len(a) > 10
+
+
+def test_kaplan_meier_matches_python_replay_many_groups(spark):
+    """10 seeded pseudo-random censored cohorts in one frame: the
+    windowed plan must match a literal product-limit replay per group."""
+    import hashlib
+    import math
+
+    from diagnosisextraction_ml_spark.operators.experiment import kaplan_meier
+
+    def h(g, i, m):
+        return int(hashlib.md5(f"{g}:{i}".encode()).hexdigest()[:6], 16) % m
+
+    rows = []
+    for g in range(10):
+        for i in range(60):
+            rows.append((f"g{g}", h(g, i, 15) + 1, int(h(g, i + 1000, 4) != 0)))
+    df = spark.createDataFrame(rows, "g string, dur int, obs int")
+    got = {
+        (r["g"], r["t"]): r
+        for r in kaplan_meier(df, "dur", "obs", "g").collect()
+    }
+    for g in range(10):
+        subj = [(h(g, i, 15) + 1, int(h(g, i + 1000, 4) != 0)) for i in range(60)]
+        times = sorted({t for t, o in subj if o})
+        surv = 1.0
+        for t in times:
+            n_at_risk = sum(1 for d, _ in subj if d >= t)
+            d_events = sum(1 for d, o in subj if d == t and o)
+            row = got[(f"g{g}", t)]
+            assert row["n_at_risk"] == n_at_risk
+            assert row["d"] == d_events
+            if n_at_risk == d_events:
+                surv = 0.0
+            else:
+                # replay through the same ln/exp path as the plan
+                surv = math.exp(
+                    math.log(surv if surv > 0 else 1.0)
+                    + math.log(n_at_risk - d_events)
+                    - math.log(n_at_risk)
+                ) if surv > 0 else 0.0
+            assert row["survival_micro"] == round(surv * 1_000_000), (g, t)

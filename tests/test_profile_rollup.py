@@ -286,3 +286,30 @@ def test_psi_validation(spark):
         psi_drift(df, df, "v", 5.0, 5.0, 10)
     with pytest.raises(ValueError):
         psi_drift(df, df, "v", 0.0, 1.0, 1)
+
+
+def test_cusum_closed_form_equals_recursive_many_series(spark):
+    """20 seeded pseudo-random series in one frame: the windowed closed
+    form must equal the literal recursive CUSUM for every key."""
+    import hashlib
+
+    from diagnosisextraction_ml_spark.operators.rollup import cusum_drift
+
+    def h(k, t):
+        return int(hashlib.md5(f"{k}:{t}".encode()).hexdigest()[:6], 16) % 30
+
+    rows = [(f"k{k}", t, h(k, t)) for k in range(20) for t in range(40)]
+    df = spark.createDataFrame(rows, "key string, t int, v int")
+    got = {
+        (r["key"], r["t"]): (int(r["cusum_up_micro"]), int(r["cusum_down_micro"]))
+        for r in cusum_drift(df, ["key"], "t", "v", 10**9).collect()
+    }
+    for k in range(20):
+        vals = [h(k, t) for t in range(40)]
+        tot, n = sum(vals), len(vals)
+        mu = (1_000_000 * tot) // n
+        s = smin = smax = 0
+        for t, v in enumerate(vals):
+            s += 1_000_000 * v - mu
+            smin, smax = min(smin, s), max(smax, s)
+            assert got[(f"k{k}", t)] == (s - min(0, smin), max(0, smax) - s), (k, t)
