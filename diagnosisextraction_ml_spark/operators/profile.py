@@ -271,3 +271,145 @@ def psi_drift(
 def psi_total(bins: DataFrame) -> DataFrame:
     """Scalar PSI in micro-nats from :func:`psi_drift` output."""
     return bins.agg(F.sum("psi_term_micro").alias("psi_micro"))
+
+
+def ks_distance(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    value_range: tuple[float, float],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance — the
+    nonparametric companion to :func:`psi_drift` (no binning choice:
+    D = max |F̂_base(v) − F̂_curr(v)| over the merged empirical CDFs).
+
+    Exactness + scale: one union-and-count to per-distinct-value
+    (cₐ, c_b) rows, then the curve engine's two-level bucketed cumsum
+    (evaluate._bucketed_cumsum — no global window, no single-partition
+    Exchange) provides both running counts and grand totals in one
+    pass. The sup statistic compares |cₐ·n_b − c_b·nₐ| — exact
+    DECIMAL(38,0) cross-multiplication, no float CDF — and the
+    micro-unit D with its arg-sup value comes out of one
+    TakeOrdered(1). ``value_range`` only balances the cumsum buckets
+    (approximate bounds are fine — out-of-range values clamp into the
+    edge buckets, order preserved).
+
+    Output: 1 row (n_base, n_curr, ks_micro, at_value) — at_value is
+    the smallest value attaining the sup (deterministic tie-break).
+    """
+    from diagnosisextraction_ml_spark.operators.evaluate import _bucketed_cumsum
+
+    tagged = base.select(
+        F.col(value_col).cast("double").alias("v"),
+        F.lit(1).alias("a"),
+        F.lit(0).alias("b"),
+    ).unionByName(
+        current.select(
+            F.col(value_col).cast("double").alias("v"),
+            F.lit(0).alias("a"),
+            F.lit(1).alias("b"),
+        )
+    )
+    per = tagged.groupBy("v").agg(
+        F.sum("a").cast("double").alias("ca"),
+        F.sum("b").cast("double").alias("cb"),
+    )
+    cum = _bucketed_cumsum(
+        per,
+        "v",
+        {"ca": "cum_a", "cb": "cum_b"},
+        descending=False,
+        n_buckets=n_buckets,
+        score_range=value_range,
+    )
+    na = F.col("__tot_ca").cast("long").cast("decimal(38,0)")
+    nb = F.col("__tot_cb").cast("long").cast("decimal(38,0)")
+    d = F.abs(
+        F.col("cum_a").cast("long").cast("decimal(38,0)") * nb
+        - F.col("cum_b").cast("long").cast("decimal(38,0)") * na
+    )
+    staged = cum.select(
+        F.col("__tot_ca").cast("long").alias("n_base"),
+        F.col("__tot_cb").cast("long").alias("n_curr"),
+        F.expr("CAST(1000000 AS DECIMAL(38,0))").alias("__m"),
+        d.alias("__d"),
+        na.alias("__na"),
+        nb.alias("__nb"),
+        F.col("v"),
+    ).select(
+        "n_base",
+        "n_curr",
+        F.expr("CAST(__m * __d div (__na * __nb) AS BIGINT)").alias("ks_micro"),
+        F.col("v").alias("at_value"),
+    )
+    return staged.orderBy(F.desc("ks_micro"), F.asc("at_value")).limit(1)
+
+
+def woe_iv(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Weight-of-evidence binning + information-value terms — the
+    classic feature-screening table (IV < 0.02 useless, 0.1-0.3
+    medium, > 0.5 suspicious).
+
+    Same shared-equal-width-bin/add-1 discipline as :func:`psi_drift`,
+    with the two distributions being the positives and negatives of
+    ONE frame (a single scan with conditional counts — the IV term is
+    exactly the PSI term with p = positive mass, q = negative mass,
+    and WOE is its ln factor alone). All counts exact integers; the
+    single ln per bin is rounded to micro-nats before any summation.
+
+    Output: (bin, n_pos, n_neg, woe_micro, iv_term_micro); total IV =
+    sum(iv_term_micro).
+    """
+    if n_bins < 2 or not hi > lo:
+        raise ValueError("woe_iv needs n_bins >= 2 and hi > lo")
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(value_col).cast("double") - lo) / width).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    y = F.col(label_col).cast("long")
+    per = df.select(b.alias("bin"), y.alias("y")).groupBy("bin").agg(
+        F.sum("y").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
+    )
+    bins = F.broadcast(
+        df.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    )
+    joined = bins.join(per, "bin", "left").na.fill({"n_pos": 0, "n_neg": 0})
+    from pyspark.sql import Window
+
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    staged = joined.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        (F.col("n_pos") + 1).alias("a"),
+        (F.col("n_neg") + 1).alias("c"),
+        F.sum(F.col("n_pos") + 1).over(w).alias("ta"),
+        F.sum(F.col("n_neg") + 1).over(w).alias("tc"),
+    )
+    ln_ratio = (
+        F.log(F.col("a").cast("double"))
+        - F.log(F.col("ta").cast("double"))
+        - F.log(F.col("c").cast("double"))
+        + F.log(F.col("tc").cast("double"))
+    )
+    p_minus_q = F.col("a") / F.col("ta") - F.col("c") / F.col("tc")
+    return staged.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        F.round(ln_ratio * 1_000_000, 0).cast("long").alias("woe_micro"),
+        F.round(p_minus_q * ln_ratio * 1_000_000, 0).cast("long").alias("iv_term_micro"),
+    )

@@ -5328,3 +5328,95 @@ def _dup_matrix_entry() -> None:
 
 
 _dup_matrix_entry()
+
+
+# ===========================================================================
+# KS two-sample distance + WOE/IV feature screening — the nonparametric
+# and supervised members of the drift/screening trio (with qc_psi_drift).
+# ===========================================================================
+
+def _ks_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import profile as profile_ops
+
+    sql = """
+    WITH t AS (
+      SELECT value AS v,
+             CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS b
+      FROM events
+    ),
+    per AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+            FROM t GROUP BY v),
+    cum AS (SELECT v, sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b
+            FROM per WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+    tot AS (SELECT CAST(sum(ca) AS HUGEINT) AS na, CAST(sum(cb) AS HUGEINT) AS nb
+            FROM per)
+    SELECT CAST(na AS BIGINT) AS n_base, CAST(nb AS BIGINT) AS n_curr,
+           CAST((1000000 * abs(cum_a * nb - cum_b * na)) // (na * nb) AS BIGINT)
+             AS ks_micro,
+           v AS at_value
+    FROM cum, tot
+    ORDER BY ks_micro DESC, at_value ASC LIMIT 1
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return profile_ops.ks_distance(
+            ev.filter(F.col("event_id") % 2 == 0).select("value"),
+            ev.filter(F.col("event_id") % 2 == 1).select("value"),
+            "value",
+            value_range=(0.0, 350.0),
+        )
+
+    register("qc_ks_drift", sql)(_fn)
+
+
+_ks_entry()
+
+
+def _woe_entry(lo: float = 0.0, hi: float = 600.0, n_bins: int = 10) -> None:
+    from diagnosisextraction_ml_spark.operators import profile as profile_ops
+
+    width = (hi - lo) / n_bins
+    bexpr = (
+        f"least(greatest(CAST(floor((n_chars - {lo}) / {width}) AS INT), 0),"
+        f" {n_bins - 1})"
+    )
+    sql = f"""
+    WITH lab AS (SELECT {bexpr} AS bin,
+                        CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+                 FROM documents),
+    per AS (SELECT bin, CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(1 - y) AS BIGINT) AS n_neg
+            FROM lab GROUP BY bin),
+    grid AS (SELECT CAST(unnest(range({n_bins})) AS INT) AS bin),
+    j AS (SELECT g.bin, coalesce(per.n_pos, 0) AS n_pos,
+                 coalesce(per.n_neg, 0) AS n_neg
+          FROM grid g LEFT JOIN per USING (bin)),
+    st AS (SELECT bin, n_pos, n_neg, n_pos + 1 AS a, n_neg + 1 AS c,
+                  CAST(sum(n_pos + 1) OVER () AS BIGINT) AS ta,
+                  CAST(sum(n_neg + 1) OVER () AS BIGINT) AS tc
+           FROM j)
+    SELECT bin, n_pos, n_neg,
+           CAST(round((ln(CAST(a AS DOUBLE)) - ln(CAST(ta AS DOUBLE))
+                       - ln(CAST(c AS DOUBLE)) + ln(CAST(tc AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS woe_micro,
+           CAST(round((CAST(a AS DOUBLE) / ta - CAST(c AS DOUBLE) / tc)
+                      * (ln(CAST(a AS DOUBLE)) - ln(CAST(ta AS DOUBLE))
+                         - ln(CAST(c AS DOUBLE)) + ln(CAST(tc AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS iv_term_micro
+    FROM st
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        lab = docs.select(
+            "n_chars",
+            F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0).alias("y"),
+        )
+        return profile_ops.woe_iv(lab, "n_chars", "y", lo, hi, n_bins)
+
+    register("qc_woe_iv", sql)(_fn)
+
+
+_woe_entry()

@@ -313,3 +313,70 @@ def test_cusum_closed_form_equals_recursive_many_series(spark):
             s += 1_000_000 * v - mu
             smin, smax = min(smin, s), max(smax, s)
             assert got[(f"k{k}", t)] == (s - min(0, smin), max(0, smax) - s), (k, t)
+
+
+def test_ks_distance_hand_case(spark):
+    from diagnosisextraction_ml_spark.operators.profile import ks_distance
+
+    # base uniform {1..4}, current all at 4: D = 3/4 at v=3
+    base = spark.createDataFrame([(float(v),) for v in (1, 2, 3, 4)], "v double")
+    curr = spark.createDataFrame([(4.0,)] * 4, "v double")
+    r = ks_distance(base, curr, "v", value_range=(0.0, 5.0)).collect()[0]
+    assert r["n_base"] == 4 and r["n_curr"] == 4
+    assert r["ks_micro"] == 750_000
+    assert r["at_value"] == 3.0
+    # identical samples: D = 0
+    same = ks_distance(base, base, "v", value_range=(0.0, 5.0)).collect()[0]
+    assert same["ks_micro"] == 0
+
+
+def test_ks_distance_matches_numpy(spark):
+    import numpy as np
+
+    from diagnosisextraction_ml_spark.operators.profile import ks_distance
+
+    a = [((i * 37) % 100) / 10.0 for i in range(200)]
+    b = [((i * 53) % 100) / 10.0 + 1.5 for i in range(150)]
+    dfa = spark.createDataFrame([(v,) for v in a], "v double")
+    dfb = spark.createDataFrame([(v,) for v in b], "v double")
+    r = ks_distance(dfa, dfb, "v", value_range=(0.0, 12.0)).collect()[0]
+    xs = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+    d = np.abs(fa - fb).max()
+    assert r["ks_micro"] == int(1_000_000 * d)  # exact rational floor
+    # bucketed cumsum invariance: different bucket counts, same answer
+    r2 = ks_distance(dfa, dfb, "v", value_range=(0.0, 12.0), n_buckets=7).collect()[0]
+    assert (r["ks_micro"], r["at_value"]) == (r2["ks_micro"], r2["at_value"])
+
+
+def test_woe_iv_hand_case(spark):
+    import math
+
+    from diagnosisextraction_ml_spark.operators.profile import woe_iv
+
+    # bin 0: 30 pos / 10 neg; bin 1: 10 pos / 30 neg
+    rows = (
+        [(1.0, 1)] * 30 + [(1.0, 0)] * 10 + [(9.0, 1)] * 10 + [(9.0, 0)] * 30
+    )
+    df = spark.createDataFrame(rows, "v double, y int")
+    out = {r["bin"]: r for r in woe_iv(df, "v", "y", 0.0, 10.0, 2).collect()}
+    a, ta, c, tc = 31, 42, 11, 42
+    woe = math.log(a) - math.log(ta) - math.log(c) + math.log(tc)
+    assert out[0]["woe_micro"] == round(woe * 1e6)
+    assert out[1]["woe_micro"] == -round(woe * 1e6) + round(
+        (math.log(11) - math.log(42) - math.log(31) + math.log(42)) * 1e6
+    ) + round(woe * 1e6)  # symmetric bins: equal magnitude, opposite sign
+    assert out[0]["iv_term_micro"] == round((a / ta - c / tc) * woe * 1e6)
+    assert out[0]["iv_term_micro"] == out[1]["iv_term_micro"]
+    assert out[0]["n_pos"] == 30 and out[1]["n_neg"] == 30
+
+
+def test_woe_iv_validation(spark):
+    import pytest
+
+    from diagnosisextraction_ml_spark.operators.profile import woe_iv
+
+    df = spark.createDataFrame([(1.0, 1)], "v double, y int")
+    with pytest.raises(ValueError):
+        woe_iv(df, "v", "y", 1.0, 1.0, 5)
