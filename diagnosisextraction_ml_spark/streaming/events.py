@@ -268,3 +268,96 @@ def windowed_distinct_registers(
             "rho_max",
         )
     )
+
+
+CUSUM_SCHEMA = (
+    "key string, n_seen bigint, s_micro bigint, cusum_up_micro bigint,"
+    " cusum_down_micro bigint, drift_up boolean, drift_down boolean"
+)
+_CUSUM_STATE_SCHEMA = "n bigint, s bigint, smin bigint, smax bigint"
+
+
+def streaming_cusum_drift(
+    events: DataFrame,
+    mu_micro: int,
+    threshold_micro: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming CUSUM control chart against a fixed reference mean.
+
+    The monitoring twin of :func:`~..operators.rollup.cusum_drift`:
+    the batch op *estimates* μ from the window it sees; a monitor
+    tracks deviation from a KNOWN target (μ fitted on history — the
+    standard control-chart formulation), so the state is just the
+    running deviation sum and its running extrema:
+
+        C⁺ = S − min(0, min S),   C⁻ = max(0, max S) − S
+
+    — three BIGINTs per key (micro value-units), updated with
+    arrival-ordered integer arithmetic; ``applyInPandasWithState``
+    because the running-extrema recursion is not a windowed aggregate.
+    Within a micro-batch rows fold in (ts, tiebreak) order; across
+    batches the fold follows arrival order, so stream ≡ replay holds
+    exactly when ingestion is time-ordered (the usual monitoring
+    setup; the test feeds time-ordered files and pins the final state
+    to a literal replay).
+
+    Emits one row per key per micro-batch with the post-batch state
+    (output mode "update").
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    mu = int(mu_micro)
+    thr = int(threshold_micro)
+
+    def update(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        n, s, smin, smax = state.get if state.exists else (0, 0, 0, 0)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([ts_col, tiebreak_col])
+            dev = np.rint(pdf[value_col].to_numpy() * 1_000_000).astype(
+                np.int64
+            ) - mu
+            cs = s + np.cumsum(dev)
+            smin = min(smin, int(np.minimum.accumulate(cs).min()))
+            smax = max(smax, int(np.maximum.accumulate(cs).max()))
+            s = int(cs[-1])
+            n += len(pdf)
+        state.update((n, s, smin, smax))
+        up = s - min(0, smin)
+        down = max(0, smax) - s
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_seen": [n],
+                "s_micro": [s],
+                "cusum_up_micro": [up],
+                "cusum_down_micro": [down],
+                "drift_up": [up >= thr],
+                "drift_down": [down >= thr],
+            }
+        )
+
+    return (
+        events.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(ts_col).alias(ts_col),
+            F.col(value_col).cast("double").alias(value_col),
+            F.col(tiebreak_col).alias(tiebreak_col),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CUSUM_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

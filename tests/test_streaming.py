@@ -334,3 +334,60 @@ def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, est_stream.collect())) == sorted(
         map(tuple, est_batch.collect())
     )
+
+
+def test_streaming_cusum_matches_replay(spark, sf_dir, tmp_path):
+    """Time-ordered files through the stateful CUSUM: the final state
+    per key must equal a literal integer replay over the same order."""
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+    from diagnosisextraction_ml_spark.streaming.events import (
+        read_events_stream,
+        streaming_cusum_drift,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(1000)
+    rows = ev.select("event_id", "ts", "event_type", "value").orderBy(
+        "ts", "event_id"
+    ).collect()
+    # two sequential time-ordered files => arrival order == ts order
+    path = str(tmp_path / "cusum_stream")
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], ev.select("event_id", "ts", "event_type", "value").schema) \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    spark.createDataFrame(rows[half:], ev.select("event_id", "ts", "event_type", "value").schema) \
+        .coalesce(1).write.mode("append").parquet(path)
+
+    mu = 50_000_000  # fixed reference mean: 50.0 in micro-units
+    thr = 10**9
+    schema = spark.read.parquet(path).schema
+    stream = read_events_stream(spark, path, schema, max_files_per_trigger=1)
+    out = streaming_cusum_drift(stream, mu, thr)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["key"]: (r["n_seen"], r["s_micro"], r["cusum_up_micro"], r["cusum_down_micro"])
+        for r in spark.sql(
+            "SELECT * FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY key ORDER BY n_seen DESC) rn"
+            "  FROM cusum_stream) WHERE rn = 1"
+        ).collect()
+    }
+
+    # literal replay in the same (ts, event_id) order
+    import numpy as np
+
+    series: dict[str, list[float]] = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append(r["value"])
+    for k, vals in series.items():
+        s = smin = smax = 0
+        for v in vals:
+            s += int(np.rint(v * 1_000_000)) - mu
+            smin, smax = min(smin, s), max(smax, s)
+        assert got[k] == (len(vals), s, s - min(0, smin), max(0, smax) - s), k
