@@ -415,6 +415,8 @@ def calibration_bins(
 
     Output: (bin, n, n_pos, mean_score_micro, pos_rate_micro).
     """
+    if n_bins < 2:
+        raise ValueError(f"calibration_bins needs n_bins >= 2, got {n_bins}")
     s = F.col(score_col).cast("double")
     b = F.least(
         F.greatest(F.floor(s * n_bins).cast("int"), F.lit(0)), F.lit(n_bins - 1)

@@ -227,6 +227,8 @@ def top_event_paths(
     Output: (path string "a>b>c", n_occurrences, n_users), ordered by
     (n_occurrences desc, path asc) limit ``k``.
     """
+    if n < 1 or k < 1:
+        raise ValueError(f"top_event_paths needs n >= 1 and k >= 1, got n={n} k={k}")
     seq = (
         events.groupBy(F.col(user_col).alias("u"))
         .agg(

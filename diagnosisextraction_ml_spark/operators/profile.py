@@ -298,6 +298,9 @@ def ks_distance(
     Output: 1 row (n_base, n_curr, ks_micro, at_value) — at_value is
     the smallest value attaining the sup (deterministic tie-break).
     """
+    lo, hi = value_range
+    if not hi > lo or n_buckets < 1:
+        raise ValueError("ks_distance needs value_range hi > lo and n_buckets >= 1")
     from diagnosisextraction_ml_spark.operators.evaluate import _bucketed_cumsum
 
     tagged = base.select(
