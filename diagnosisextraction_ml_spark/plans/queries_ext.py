@@ -5420,3 +5420,110 @@ def _woe_entry(lo: float = 0.0, hi: float = 600.0, n_bins: int = 10) -> None:
 
 
 _woe_entry()
+
+
+# ===========================================================================
+# CCNet-style perplexity bucketing (Wenzek et al. 2020): per-language
+# head/middle/tail terciles by LM score — the classic quality split
+# that decides which third of a crawl becomes training data.
+# ===========================================================================
+
+def _ccnet_sql() -> str:
+    """The (already green) bigram-LM scoring CTEs + per-language exact
+    tercile cutoffs (order statistics off a per-language window cumsum
+    — ties resolve to the lower bucket in both engines) + the final
+    per-(lang, bucket) accounting."""
+    lm_sql = _lm_bigram_sql().strip().rstrip()
+    return f"""
+    WITH scored AS ({lm_sql}),
+    s AS (
+      SELECT d.lang, scored.doc_id,
+             CAST(lp_sum // n_bigrams AS BIGINT) AS sm
+      FROM scored JOIN documents d ON scored.doc_id = d.doc_id
+      WHERE n_bigrams > 0
+    ),
+    per AS (SELECT lang, sm, CAST(count(*) AS BIGINT) AS n
+            FROM s GROUP BY lang, sm),
+    cum AS (SELECT lang, sm, n,
+                   CAST(sum(n) OVER (PARTITION BY lang ORDER BY sm
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+                   CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS tot
+            FROM per),
+    cuts AS (SELECT lang,
+                    min(CASE WHEN c >= (tot + 2) // 3 THEN sm END) AS c1,
+                    min(CASE WHEN c >= (2 * tot + 2) // 3 THEN sm END) AS c2
+             FROM cum GROUP BY lang),
+    lab AS (
+      SELECT s.lang,
+             CASE WHEN s.sm <= cuts.c1 THEN 'tail'
+                  WHEN s.sm <= cuts.c2 THEN 'middle'
+                  ELSE 'head' END AS bucket,
+             s.sm
+      FROM s JOIN cuts ON s.lang = cuts.lang
+    )
+    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(sm AS HUGEINT)) // count(*) AS BIGINT)
+             AS mean_lp_micro
+    FROM lab GROUP BY lang, bucket
+    """
+
+
+def _ccnet_buckets(spark, sf_dir):
+    """head/middle/tail per language by bigram-LM score.
+
+    Plan shape: the LM train+score plan (one pass over EN docs for
+    counts, one over all docs to score) → per-(lang, score) counts →
+    per-language window cumsum (partitioned, bounded by distinct
+    scores per language — never corpus-global) → tercile cutoffs as
+    exact order statistics (ceil(n/3) ranks; score quantized to
+    integral micro-nats per bigram BEFORE ranking, so ties and cuts
+    are bit-identical cross-engine) → broadcast cutoffs back onto the
+    doc scores. Ref doctrine: Wenzek et al. 2020 §4.3 (CCNet), the
+    per-language perplexity terciles.
+    """
+    from pyspark.sql import Window
+
+    scored = _lm_bigram(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    s = (
+        scored.filter(F.col("n_bigrams") > 0)
+        .join(docs, "doc_id")
+        .select("lang", "doc_id", F.expr("lp_sum div n_bigrams").alias("sm"))
+    )
+    per = s.groupBy("lang", "sm").agg(F.count(F.lit(1)).alias("n"))
+    w_run = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("sm").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.withColumn("c", F.sum("n").over(w_run)).withColumn(
+        "tot", F.sum("n").over(w_all)
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("c") >= F.expr("(tot + 2) div 3"), F.col("sm"))
+        ).alias("c1"),
+        F.min(
+            F.when(F.col("c") >= F.expr("(2 * tot + 2) div 3"), F.col("sm"))
+        ).alias("c2"),
+    )
+    lab = s.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        F.when(F.col("sm") <= F.col("c1"), F.lit("tail"))
+        .when(F.col("sm") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+        "sm",
+    )
+    return lab.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            "CAST(sum(CAST(sm AS DECIMAL(38,0))) div count(*) AS BIGINT)"
+        ).alias("mean_lp_micro"),
+    )
+
+
+register("pipeline_ccnet_buckets", _ccnet_sql())(_ccnet_buckets)
