@@ -368,3 +368,129 @@ def cusum_drift(
         (up >= F.lit(int(threshold_micro)).cast("decimal(38,0)")).alias("drift_up"),
         (down >= F.lit(int(threshold_micro)).cast("decimal(38,0)")).alias("drift_down"),
     )
+
+
+def time_weighted_avg_hourly(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    max_span_hours: int = 24,
+) -> DataFrame:
+    """Per-(key, hour) time-weighted average over irregular samples —
+    the hypertable TWA: each sample holds its value until the next
+    sample (LOCF), and an hour's average weights each held value by
+    the seconds it covered within the hour.
+
+    Plan shape: one per-key ``lead`` window (ordered by ts — bounded
+    per-key sort) turns samples into [ts, next_ts) intervals; each
+    interval explodes to the hours it covers (the interval_join
+    bucketization trick — fan-out bounded by ``max_span_hours``, which
+    clips pathological gaps so one silent sensor cannot explode rows;
+    clipping truncates the held duration, the standard guard) and one
+    map-side-combined groupBy accumulates Σ value·overlap / Σ overlap
+    in exact integer micro-seconds. The LAST sample of each key has no
+    successor and contributes no covered time (a TWA needs a duration;
+    callers wanting an open-ended hold should append a sentinel
+    sample at their horizon).
+
+    Output: key..., hour (epoch-hours BIGINT), covered_s, twa_micro.
+    """
+    key_cols = list(key_cols)
+    es = F.col(ts_col).cast("long")
+    iv = (
+        df.select(*key_cols, es.alias("__s"),
+                  F.round(F.col(value_col).cast("double") * 1_000_000, 0)
+                  .cast("long").alias("__vm"))
+        .withColumn("__e", F.lead("__s").over(
+            # __vm as tiebreak: equal-second samples get a total order,
+            # so which value holds the post-tie interval is
+            # partition-independent and engine-identical
+            Window.partitionBy(*key_cols).orderBy(
+                F.col("__s").asc(), F.col("__vm").asc())))
+        .filter(F.col("__e").isNotNull() & (F.col("__e") > F.col("__s")))
+        .withColumn(
+            "__e", F.least(F.col("__e"), F.col("__s") + max_span_hours * 3600)
+        )
+    )
+    hours = iv.withColumn(
+        "hour",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__s") / 3600),
+                F.floor((F.col("__e") - 1) / 3600),
+            )
+        ),
+    )
+    overlap = (
+        F.least(F.col("__e"), (F.col("hour") + 1) * 3600)
+        - F.greatest(F.col("__s"), F.col("hour") * 3600)
+    )
+    per = hours.select(
+        *key_cols, "hour", overlap.alias("__o"),
+        (F.col("__vm").cast("decimal(38,0)") * overlap).alias("__vo"),
+    )
+    return (
+        per.groupBy(*key_cols, "hour")
+        .agg(
+            F.sum("__o").cast("long").alias("covered_s"),
+            F.sum("__vo").alias("__svo"),
+        )
+        .select(
+            *key_cols,
+            "hour",
+            "covered_s",
+            F.expr("CAST(__svo div covered_s AS BIGINT)").alias("twa_micro"),
+        )
+    )
+
+
+def gapfill_locf_hourly(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dense per-(key, hour) series with last-observation-carried-
+    forward gap filling — the hypertable ``time_bucket_gapfill`` +
+    ``locf`` pair.
+
+    Per key: the observed hours (last sample per hour wins, tie-broken
+    by ts then value for total determinism), a generated dense hour
+    axis spanning [first, last] observed hour (``sequence`` — fan-out
+    bounded by the key's calendar span, rows carry only key + hour),
+    and one per-key ``last(ignorenulls)`` window to carry values
+    forward. No corpus-global window; everything is partitioned by key.
+
+    Output: key..., hour, value_micro, is_gap (true for filled rows).
+    """
+    key_cols = list(key_cols)
+    es = F.col(ts_col).cast("long")
+    vm = F.round(F.col(value_col).cast("double") * 1_000_000, 0).cast("long")
+    obs = df.select(*key_cols, F.floor(es / 3600).alias("hour"), es.alias("__ts"), vm.alias("__vm"))
+    w_last = Window.partitionBy(*key_cols, "hour").orderBy(
+        F.col("__ts").desc(), F.col("__vm").desc()
+    )
+    hourly = (
+        obs.withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select(*key_cols, "hour", F.col("__vm").alias("value_obs"))
+    )
+    span = hourly.groupBy(*key_cols).agg(
+        F.min("hour").alias("__h0"), F.max("hour").alias("__h1")
+    )
+    axis = span.select(
+        *key_cols, F.explode(F.sequence(F.col("__h0"), F.col("__h1"))).alias("hour")
+    )
+    joined = axis.join(hourly, [*key_cols, "hour"], "left")
+    w_ffill = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("hour").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *key_cols,
+        "hour",
+        F.last("value_obs", ignorenulls=True).over(w_ffill).alias("value_micro"),
+        F.col("value_obs").isNull().alias("is_gap"),
+    )

@@ -52,7 +52,8 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "eval_kappa_mcc", "eval_auc_by_group", "events_kaplan_meier",
     "events_top_paths", "prep_temperature_mixture", "qc_psi_drift",
     "ts_cusum_drift", "dedup_cross_source_matrix", "qc_ks_drift",
-    "qc_woe_iv", "pipeline_ccnet_buckets",
+    "qc_woe_iv", "pipeline_ccnet_buckets", "ts_twa_hourly",
+    "ts_gapfill_locf",
     # round 4-7 families with no driver row yet
     "quality_token_logodds", "lm_bigram_logprob", "lm_trigram_interp",
     "langid_char_ngram", "search_bm25_topk", "bpe_token_stats",

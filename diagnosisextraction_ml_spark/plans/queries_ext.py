@@ -5527,3 +5527,108 @@ def _ccnet_buckets(spark, sf_dir):
 
 
 register("pipeline_ccnet_buckets", _ccnet_sql())(_ccnet_buckets)
+
+
+# ===========================================================================
+# Hypertable staples: time-weighted average + LOCF gap filling over
+# the irregular per-user event samples.
+# ===========================================================================
+
+def _twa_entry(max_span_hours: int = 24) -> None:
+    from diagnosisextraction_ml_spark.operators import rollup as rollup_ops
+
+    clamp = max_span_hours * 3600
+    sql = f"""
+    WITH s AS (
+      SELECT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+             CAST(round(value * 1000000) AS BIGINT) AS vm
+      FROM events
+    ),
+    nx AS (
+      -- last-sample exclusion BEFORE the clamp: DuckDB's least()
+      -- ignores NULLs (Spark's propagates), so clamping first would
+      -- silently give tail samples an open-ended hold
+      SELECT user_id, es AS s0,
+             lead(es) OVER (PARTITION BY user_id ORDER BY es, vm) AS nxt,
+             vm
+      FROM s
+      QUALIFY nxt IS NOT NULL AND nxt > es
+    ),
+    iv AS (
+      SELECT user_id, s0, least(nxt, s0 + {clamp}) AS e0, vm FROM nx
+    ),
+    h AS (
+      SELECT user_id, vm, s0, e0, CAST(u.h AS BIGINT) AS hour
+      FROM iv CROSS JOIN UNNEST(range(s0 // 3600, (e0 - 1) // 3600 + 1)) u(h)
+    ),
+    per AS (
+      SELECT user_id, hour,
+             least(e0, (hour + 1) * 3600) - greatest(s0, hour * 3600) AS o,
+             CAST(vm AS HUGEINT)
+               * (least(e0, (hour + 1) * 3600) - greatest(s0, hour * 3600)) AS vo
+      FROM h
+    )
+    SELECT user_id, hour, CAST(sum(o) AS BIGINT) AS covered_s,
+           CAST(sum(vo) // sum(o) AS BIGINT) AS twa_micro
+    FROM per GROUP BY user_id, hour
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return rollup_ops.time_weighted_avg_hourly(
+            ev.select(F.col("user_id"), F.col("ts"), F.col("value")),
+            key_cols=["user_id"],
+            ts_col="ts",
+            value_col="value",
+            max_span_hours=max_span_hours,
+        )
+
+    register("ts_twa_hourly", sql)(_fn)
+
+
+_twa_entry()
+
+
+def _gapfill_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import rollup as rollup_ops
+
+    sql = """
+    WITH s AS (
+      SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+             CAST(round(value * 1000000) AS BIGINT) AS vm
+      FROM events
+    ),
+    hourly AS (
+      SELECT event_type, es // 3600 AS hour, vm AS value_obs
+      FROM s
+      QUALIFY row_number() OVER (PARTITION BY event_type, es // 3600
+                                 ORDER BY es DESC, vm DESC) = 1
+    ),
+    span AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+             FROM hourly GROUP BY event_type),
+    axis AS (SELECT event_type, CAST(u.h AS BIGINT) AS hour
+             FROM span CROSS JOIN UNNEST(range(h0, h1 + 1)) u(h)),
+    j AS (SELECT a.event_type, a.hour, hourly.value_obs
+          FROM axis a LEFT JOIN hourly
+            ON a.event_type = hourly.event_type AND a.hour = hourly.hour)
+    SELECT event_type, hour,
+           CAST(last_value(value_obs IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY hour
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS value_micro,
+           value_obs IS NULL AS is_gap
+    FROM j
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return rollup_ops.gapfill_locf_hourly(
+            ev.select("event_type", "ts", "value"),
+            key_cols=["event_type"],
+            ts_col="ts",
+            value_col="value",
+        )
+
+    register("ts_gapfill_locf", sql)(_fn)
+
+
+_gapfill_entry()

@@ -380,3 +380,93 @@ def test_woe_iv_validation(spark):
     df = spark.createDataFrame([(1.0, 1)], "v double, y int")
     with pytest.raises(ValueError):
         woe_iv(df, "v", "y", 1.0, 1.0, 5)
+
+
+# ---------------------------------------------------------------------------
+# TWA + LOCF gapfill
+# ---------------------------------------------------------------------------
+
+def test_twa_hand_case(spark):
+    import datetime as dt
+
+    from diagnosisextraction_ml_spark.operators.rollup import (
+        time_weighted_avg_hourly,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def at(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    # value 10 held 0:00->0:30, value 20 held 0:30->1:30, sentinel at 1:30
+    rows = [("k", at(0), 10.0), ("k", at(30), 20.0), ("k", at(90), 0.0)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    out = {r["hour"]: r for r in
+           time_weighted_avg_hourly(df, ["key"], "ts", "v").collect()}
+    h0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+    # hour 0: 30 min at 10 + 30 min at 20 = avg 15
+    assert out[h0]["covered_s"] == 3600
+    assert out[h0]["twa_micro"] == 15_000_000
+    # hour 1: 30 min at 20 (sentinel ends the hold)
+    assert out[h0 + 1]["covered_s"] == 1800
+    assert out[h0 + 1]["twa_micro"] == 20_000_000
+    # last sample (the sentinel) holds nothing beyond
+    assert set(out) == {h0, h0 + 1}
+
+
+def test_twa_clamps_long_gaps(spark):
+    import datetime as dt
+
+    from diagnosisextraction_ml_spark.operators.rollup import (
+        time_weighted_avg_hourly,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [("k", t0, 5.0), ("k", t0 + dt.timedelta(days=10), 7.0),
+            ("k", t0 + dt.timedelta(days=10, hours=1), 0.0)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    out = time_weighted_avg_hourly(df, ["key"], "ts", "v", max_span_hours=2).collect()
+    # first interval clamped to 2h => 2 hourly rows; second gives 1
+    assert len(out) == 3
+    assert sum(r["covered_s"] for r in out) == 2 * 3600 + 3600
+
+
+def test_gapfill_locf_hand_case(spark):
+    import datetime as dt
+
+    from diagnosisextraction_ml_spark.operators.rollup import gapfill_locf_hourly
+
+    t0 = dt.datetime(2026, 1, 1, 0, 15)
+    rows = [
+        ("k", t0, 1.0),
+        ("k", t0 + dt.timedelta(hours=3), 4.0),   # hours 1-2 are gaps
+        ("k", t0 + dt.timedelta(hours=3, minutes=10), 5.0),  # same hour: last wins
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    out = {r["hour"]: r for r in gapfill_locf_hourly(df, ["key"], "ts", "v").collect()}
+    h0 = int(t0.replace(minute=0, tzinfo=dt.timezone.utc).timestamp()) // 3600
+    assert len(out) == 4  # dense axis h0..h0+3
+    assert out[h0]["value_micro"] == 1_000_000 and not out[h0]["is_gap"]
+    assert out[h0 + 1]["value_micro"] == 1_000_000 and out[h0 + 1]["is_gap"]
+    assert out[h0 + 2]["value_micro"] == 1_000_000 and out[h0 + 2]["is_gap"]
+    assert out[h0 + 3]["value_micro"] == 5_000_000 and not out[h0 + 3]["is_gap"]
+
+
+def test_twa_gapfill_partitioning_invariance(spark):
+    import datetime as dt
+
+    from diagnosisextraction_ml_spark.operators.rollup import (
+        gapfill_locf_hourly,
+        time_weighted_avg_hourly,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (f"k{i % 4}", t0 + dt.timedelta(minutes=7 * i), float((i * 13) % 50))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    for op in (time_weighted_avg_hourly, gapfill_locf_hourly):
+        a = sorted(map(tuple, op(df.coalesce(1), ["key"], "ts", "v").collect()))
+        b = sorted(map(tuple, op(df.repartition(7), ["key"], "ts", "v").collect()))
+        assert a == b and len(a) > 0
