@@ -632,3 +632,115 @@ def classification_report(
     scores = confusion_scores(preds, label_col, "pred")
     auc = auc_rank(df, score_col, label_col)
     return scores.crossJoin(auc)
+
+
+# Poisson(1) CDF, cumulative — the inverse-CDF thresholds for the
+# deterministic bootstrap weights (hash-uniform u -> draw k).
+_POISSON1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+)
+
+
+def auc_bootstrap_ci(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    id_col: str = "id",
+    n_boot: int = 32,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval for ROC-AUC.
+
+    "AUC = 0.953" alone cannot gate a model promotion — the CI can.
+    The classic with-replacement bootstrap doesn't distribute (sampling
+    N rows N times per replicate needs global coordination); the
+    standard scale trick is the POISSON bootstrap: each row enters
+    replicate b with weight ~ Poisson(1), independent per (row, b) —
+    and here the draw is derived from ``md5(id|b)`` through the exact
+    inverse CDF (thresholds are shared literals; u is an exact rational
+    micro-grid point, so every engine and partitioning draws identical
+    weights). Each replicate's AUC is the WEIGHTED Mann-Whitney rank
+    statistic — integer weights mean it equals the plain statistic on
+    the expanded multiset — computed for all replicates in one plan:
+    explode ``n_boot`` tags, one map-side-combined groupBy to
+    (b, score) weighted counts, per-replicate rank windows (partitioned
+    by b — bounded by distinct scores), and an exact order-statistic
+    pick of the percentile bounds over the ≤n_boot AUC rows.
+
+    Replicates that lose a whole class (possible only for tiny inputs)
+    drop out; ``n_effective`` reports how many contributed.
+
+    Output: 1 row (n_boot, n_effective, auc_lo, auc_hi) — bounds
+    rounded to 1e-6.
+    """
+    if n_boot < 4 or not 0 < alpha < 1:
+        raise ValueError("auc_bootstrap_ci needs n_boot >= 4 and 0 < alpha < 1")
+    from diagnosisextraction_ml_spark.functions.hashing import md5_hash64
+
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b")
+    base = df.select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("double").alias("y"),
+    ).select("__id", "s", "y", b)
+    u = (
+        (md5_hash64(F.concat_ws("|", F.col("__id"), F.col("b").cast("string")))
+         % 1_000_000).cast("double") + 0.5
+    ) / 1_000_000.0
+    w = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < _POISSON1_CDF[k], F.lit(k)).otherwise(w)
+    per = (
+        base.withColumn("w", w.cast("double"))
+        .groupBy("b", "s")
+        .agg(
+            F.sum(F.col("w") * F.col("y")).alias("pos"),
+            F.sum("w").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    wr = (
+        Window.partitionBy("b")
+        .orderBy(F.col("s").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = per.withColumn("cum", F.sum("cnt").over(wr)).withColumn(
+        "avg_rank", F.col("cum") - (F.col("cnt") - 1) / 2.0
+    )
+    aucs = (
+        ranked.groupBy("b")
+        .agg(
+            F.sum(F.col("avg_rank") * F.col("pos")).alias("r_pos"),
+            F.sum("pos").alias("p"),
+            F.sum(F.col("cnt") - F.col("pos")).alias("q"),
+        )
+        .filter((F.col("p") > 0) & (F.col("q") > 0))
+        .select(
+            F.round(
+                (F.col("r_pos") - F.col("p") * (F.col("p") + 1) / 2.0)
+                / (F.col("p") * F.col("q")),
+                6,
+            ).alias("auc")
+        )
+    )
+    wa = Window.orderBy(F.col("auc").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wi = Window.orderBy(F.col("auc").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked_aucs = aucs.select(
+        "auc",
+        F.count(F.lit(1)).over(wi).alias("i"),
+        F.count(F.lit(1)).over(wa).alias("m"),
+    )
+    lo_i = F.greatest(F.ceil(F.col("m") * (alpha / 2)), F.lit(1))
+    hi_i = F.least(F.ceil(F.col("m") * (1 - alpha / 2)), F.col("m"))
+    return ranked_aucs.agg(
+        F.lit(n_boot).alias("n_boot"),
+        F.max("m").cast("long").alias("n_effective"),
+        F.min(F.when(F.col("i") >= lo_i, F.col("auc"))).alias("auc_lo"),
+        F.min(F.when(F.col("i") >= hi_i, F.col("auc"))).alias("auc_hi"),
+    )

@@ -5632,3 +5632,70 @@ def _gapfill_entry() -> None:
 
 
 _gapfill_entry()
+
+
+# ===========================================================================
+# Deterministic Poisson-bootstrap AUC confidence interval.
+# ===========================================================================
+
+def _auc_ci_entry(n_boot: int = 32, alpha: float = 0.05) -> None:
+    from diagnosisextraction_ml_spark.operators.evaluate import _POISSON1_CDF
+
+    h = md5_hash64_sql("concat(id, '|', CAST(b AS VARCHAR))")
+    w_case = "CASE " + " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_POISSON1_CDF)
+    ) + f" ELSE {len(_POISSON1_CDF)} END"
+    sql = f"""
+    WITH base AS (
+      SELECT CAST(vec_id AS VARCHAR) AS id,
+             CAST(({md5_hash64_sql("concat(CAST(vec_id AS VARCHAR), 'curve')")} % 1000) AS DOUBLE) / 1000.0
+               + (label % 2) * 0.3 AS s,
+             CAST(label % 2 AS DOUBLE) AS y
+      FROM embeddings),
+    reps AS (SELECT id, s, y, CAST(u.b AS BIGINT) AS b
+             FROM base CROSS JOIN UNNEST(range({n_boot})) u(b)),
+    uw AS (SELECT b, s, y,
+                  (({h} % 1000000) + 0.5) / 1000000.0 AS u
+           FROM reps),
+    ww AS (SELECT b, s, y, CAST({w_case} AS DOUBLE) AS w FROM uw),
+    per AS (SELECT b, s, sum(w * y) AS pos, sum(w) AS cnt
+            FROM ww GROUP BY b, s HAVING sum(w) > 0),
+    ranked AS (SELECT b, s, pos, cnt,
+                      sum(cnt) OVER (PARTITION BY b ORDER BY s
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+               FROM per),
+    r2 AS (SELECT b, pos, cnt, cum - (cnt - 1) / 2.0 AS avg_rank FROM ranked),
+    aucs AS (SELECT b,
+                    round((sum(avg_rank * pos) - sum(pos) * (sum(pos) + 1) / 2.0)
+                          / (sum(pos) * sum(cnt - pos)), 6) AS auc
+             FROM r2 GROUP BY b
+             HAVING sum(pos) > 0 AND sum(cnt - pos) > 0),
+    ord AS (SELECT auc, row_number() OVER (ORDER BY auc) AS i,
+                   count(*) OVER () AS m
+            FROM aucs)
+    SELECT {n_boot} AS n_boot, CAST(max(m) AS BIGINT) AS n_effective,
+           min(CASE WHEN i >= greatest(CAST(ceil(m * {alpha / 2}) AS BIGINT), 1)
+                    THEN auc END) AS auc_lo,
+           min(CASE WHEN i >= least(CAST(ceil(m * {1 - alpha / 2}) AS BIGINT), m)
+                    THEN auc END) AS auc_hi
+    FROM ord
+    """
+
+    def _fn(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        noise = (
+            md5_hash64(F.concat(F.col("vec_id").cast("string"), F.lit("curve"))) % 1000
+        ).cast("double") / 1000.0
+        scored = emb.select(
+            F.col("vec_id").alias("id"),
+            (noise + (F.col("label") % 2) * 0.3).alias("score"),
+            (F.col("label") % 2).alias("label"),
+        )
+        return evaluate.auc_bootstrap_ci(
+            scored, "score", "label", "id", n_boot=n_boot, alpha=alpha
+        )
+
+    register("eval_auc_bootstrap_ci", sql)(_fn)
+
+
+_auc_ci_entry()

@@ -238,3 +238,34 @@ def test_auc_by_group_single_class_null(spark):
     got = {r["grp"]: r for r in auc_by_group(df, "grp").collect()}
     assert got["a"]["auc"] is None
     assert got["b"]["auc"] == pytest.approx(1.0)
+
+
+def test_auc_bootstrap_ci_brackets_point_auc(spark):
+    from diagnosisextraction_ml_spark.operators.evaluate import (
+        auc_bootstrap_ci,
+        auc_rank,
+    )
+
+    rows = [
+        (i, ((i * 37) % 100) / 100.0 + 0.3 * (i % 3 == 0), int(i % 3 == 0))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    point = auc_rank(df).collect()[0]["auc"]
+    ci = auc_bootstrap_ci(df, id_col="id", n_boot=24).collect()[0]
+    assert ci["n_boot"] == 24 and ci["n_effective"] == 24
+    assert ci["auc_lo"] <= point <= ci["auc_hi"]
+    assert ci["auc_hi"] - ci["auc_lo"] < 0.2  # a real interval, not [0,1]
+    # deterministic under repartitioning (hash-derived draws)
+    again = auc_bootstrap_ci(df.repartition(7), id_col="id", n_boot=24).collect()[0]
+    assert (ci["auc_lo"], ci["auc_hi"]) == (again["auc_lo"], again["auc_hi"])
+
+
+def test_auc_bootstrap_ci_validation(spark):
+    from diagnosisextraction_ml_spark.operators.evaluate import auc_bootstrap_ci
+
+    df = spark.createDataFrame([(1, 0.5, 1)], "id long, score double, label int")
+    with pytest.raises(ValueError):
+        auc_bootstrap_ci(df, id_col="id", n_boot=2)
+    with pytest.raises(ValueError):
+        auc_bootstrap_ci(df, id_col="id", alpha=1.5)
