@@ -145,3 +145,86 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "score_micro")
     )
+
+
+QLD_MU = 1000
+
+
+def qld_topk(
+    docs: DataFrame,
+    query_terms: list[tuple[str, str]],
+    k: int = 10,
+    mu: int = QLD_MU,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing — the second
+    classical ranking model next to :func:`bm25_topk` (Zhai & Lafferty
+    2004; QL wins on verbose queries where BM25's saturation hurts).
+
+    score(q, d) = Σ_{t∈q} ln((tf + μ·cf_t/|C|) / (|d| + μ)), computed
+    through the standard rank-equivalent split so only MATCHED postings
+    do term work:
+
+        Σ_{t∈q∩d} ln(1 + tf·|C| / (μ·cf_t))  +  |q| · ln(μ / (|d|+μ))
+
+    — the first part joins the query-pruned postings (broadcast of the
+    tiny query relation, same shape as BM25), the second is a per-doc
+    constant folded in at the aggregation. Both ln results are
+    quantized to integer micro-nats immediately (same discipline as
+    the idf path), so the per-doc sum is exact integer arithmetic and
+    the ranking is bit-identical across engines/partitionings.
+
+    Output: (query_id, rank, id, score_micro), ties on id asc.
+    """
+    spark = docs.sparkSession
+    postings, _dfreq, stats = build_bm25_index(docs, text_col, id_col)
+    cfreq = postings.groupBy("term").agg(F.sum("tf").alias("cf"))
+    qt = spark.createDataFrame(query_terms, "query_id string, term string")
+    nq = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_q"))
+
+    one = F.lit(1).alias("j")
+    st = stats.select(one, "total_dl")
+    qterms = (
+        qt.join(F.broadcast(cfreq), ["term"])
+        .select("query_id", "term", "cf", one)
+        .join(F.broadcast(st), ["j"])
+        .select("query_id", "term", "cf", "total_dl")
+    )
+    matched = postings.join(F.broadcast(qterms), ["term"])
+    part = (
+        F.round(
+            F.lit(1_000_000.0)
+            * F.log(
+                F.lit(1.0)
+                + (F.col("tf").cast("double") * F.col("total_dl").cast("double"))
+                / (F.lit(float(mu)) * F.col("cf").cast("double"))
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("s")
+    )
+    per_doc = (
+        matched.select("query_id", id_col, "dl", part)
+        .groupBy("query_id", id_col)
+        .agg(F.sum("s").alias("s_matched"), F.min("dl").alias("dl"))
+    )
+    dl_term = F.round(
+        F.lit(1_000_000.0)
+        * F.log(F.lit(float(mu)) / (F.col("dl").cast("double") + F.lit(float(mu)))),
+        0,
+    ).cast("long")
+    scored = per_doc.join(F.broadcast(nq), ["query_id"]).select(
+        "query_id",
+        id_col,
+        (F.col("s_matched") + F.col("n_q") * dl_term).alias("score_micro"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score_micro")
+    )

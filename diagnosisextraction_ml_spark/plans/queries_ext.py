@@ -5699,3 +5699,62 @@ def _auc_ci_entry(n_boot: int = 32, alpha: float = 0.05) -> None:
 
 
 _auc_ci_entry()
+
+
+# ===========================================================================
+# Query-likelihood (Dirichlet) retrieval — second ranking model next
+# to BM25, same query batch.
+# ===========================================================================
+
+def _qld_entry(k: int = 10) -> None:
+    from diagnosisextraction_ml_spark.operators import search
+
+    mu = float(search.QLD_MU)
+    toks = _toks_sql("coalesce(lower(text), '')")
+    qvals = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+    sql = f"""
+    WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+    postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY 1),
+    stats AS (SELECT SUM(dl) AS total_dl FROM dl),
+    cfreq AS (SELECT term, SUM(tf) AS cf FROM postings GROUP BY 1),
+    qt(query_id, term) AS (VALUES {qvals}),
+    nq AS (SELECT query_id, COUNT(*) AS n_q FROM qt GROUP BY 1),
+    matched AS (
+      SELECT qt.query_id, p.doc_id, d.dl,
+        CAST(round(CAST(1000000.0 AS DOUBLE) * ln(
+          CAST(1.0 AS DOUBLE)
+          + (CAST(tf AS DOUBLE) * CAST(total_dl AS DOUBLE))
+            / (CAST({mu!r} AS DOUBLE) * CAST(cf AS DOUBLE))), 0) AS BIGINT) AS s
+      FROM postings p
+      JOIN qt ON qt.term = p.term
+      JOIN cfreq ON cfreq.term = p.term
+      JOIN dl d ON d.doc_id = p.doc_id
+      CROSS JOIN stats
+    ),
+    per_doc AS (SELECT query_id, doc_id, SUM(s) AS s_matched, MIN(dl) AS dl
+                FROM matched GROUP BY 1, 2),
+    scored AS (
+      SELECT p.query_id, doc_id,
+             s_matched + n_q * CAST(round(CAST(1000000.0 AS DOUBLE) * ln(
+               CAST({mu!r} AS DOUBLE)
+               / (CAST(dl AS DOUBLE) + CAST({mu!r} AS DOUBLE))), 0) AS BIGINT)
+               AS score_micro
+      FROM per_doc p JOIN nq ON nq.query_id = p.query_id
+    )
+    SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, score_micro
+    FROM (SELECT query_id, doc_id, score_micro,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_micro DESC, doc_id) AS rnk
+          FROM scored) r
+    WHERE rnk <= {k}
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return search.qld_topk(docs, _BM25_QUERIES, k=k)
+
+    register("search_qld_topk", sql)(_fn)
+
+
+_qld_entry()

@@ -84,3 +84,40 @@ def test_bm25_rare_term_outranks_common(spark):
 def test_bm25_topk_caps_results(spark, corpus):
     res = search.bm25_topk(corpus, [("q", "join")], k=2).collect()
     assert len(res) == 2 and {r.rank for r in res} == {1, 2}
+
+
+def test_qld_topk_ranks_relevant_docs(spark):
+    from diagnosisextraction_ml_spark.operators.search import qld_topk
+
+    rows = [
+        (1, "spark shuffle join shuffle spark"),
+        (2, "spark"),
+        (3, "window sort merge"),
+        (4, "cat dog bird"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = qld_topk(df, [("q", "spark"), ("q", "shuffle")], k=4)
+    ranked = [r["doc_id"] for r in out.orderBy("rank").collect()]
+    # doc 1 has both terms with high tf -> first; doc 2 matches one
+    assert ranked[0] == 1
+    assert ranked[1] == 2
+    assert 3 not in ranked and 4 not in ranked  # no matched term, no row
+    # deterministic under repartitioning
+    again = [r["doc_id"] for r in
+             qld_topk(df.repartition(5), [("q", "spark"), ("q", "shuffle")], k=4)
+             .orderBy("rank").collect()]
+    assert ranked == again
+
+
+def test_qld_dirichlet_length_normalization(spark):
+    """Same tf, longer doc => lower score (the mu/(dl+mu) term)."""
+    from diagnosisextraction_ml_spark.operators.search import qld_topk
+
+    rows = [
+        (1, "apple " + "x " * 5),
+        (2, "apple " + "y " * 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["score_micro"] for r in
+           qld_topk(df, [("q", "apple")], k=2).collect()}
+    assert out[1] > out[2]
