@@ -228,3 +228,49 @@ def qld_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "score_micro")
     )
+
+
+RRF_K = 60
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = RRF_K,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranker outputs (Cormack et al. 2009) —
+    the standard way to combine BM25 + QL (+ dense) lists without
+    score calibration: fused(d) = Σ_r 1/(rrf_k + rank_r(d)).
+
+    Each input carries (query_id, rank, id) from a ``*_topk`` call.
+    The contribution is quantized to exact micro-units per (ranker,
+    doc) — round(10⁶/(rrf_k+rank)) — so the fused sum is integer
+    arithmetic: deterministic ties, engine-identical hashes. Union +
+    one groupBy; the inputs are already top-k-sized per query.
+
+    Output: (query_id, rank, id, rrf_micro).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contrib = None
+    for r in rankings:
+        c = r.select(
+            "query_id",
+            F.col(id_col),
+            F.round(F.lit(1_000_000.0) / (F.lit(float(rrf_k)) + F.col("rank")), 0)
+            .cast("long")
+            .alias("c"),
+        )
+        contrib = c if contrib is None else contrib.unionByName(c)
+    fused = contrib.groupBy("query_id", id_col).agg(
+        F.sum("c").alias("rrf_micro")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "rrf_micro")
+    )

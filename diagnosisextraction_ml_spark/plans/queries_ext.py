@@ -5758,3 +5758,55 @@ def _qld_entry(k: int = 10) -> None:
 
 
 _qld_entry()
+
+
+# ===========================================================================
+# Hybrid retrieval: RRF fusion of the BM25 and QL rankers.
+# ===========================================================================
+
+def _rrf_entry(k: int = 10) -> None:
+    from diagnosisextraction_ml_spark.operators import search
+
+    from diagnosisextraction_ml_spark.plans.queries import _REGISTRY
+
+    rk = float(search.RRF_K)
+    bm25 = _REGISTRY["search_bm25_topk"][1]
+    qld = _REGISTRY["search_qld_topk"][1]
+    sql = f"""
+    WITH bm25 AS ({bm25}),
+    qld AS ({qld}),
+    contrib AS (
+      SELECT query_id, doc_id,
+             CAST(round(CAST(1000000.0 AS DOUBLE)
+                        / (CAST({rk!r} AS DOUBLE) + rank)) AS BIGINT) AS c
+      FROM bm25
+      UNION ALL
+      SELECT query_id, doc_id,
+             CAST(round(CAST(1000000.0 AS DOUBLE)
+                        / (CAST({rk!r} AS DOUBLE) + rank)) AS BIGINT) AS c
+      FROM qld
+    ),
+    fused AS (SELECT query_id, doc_id, SUM(c) AS rrf_micro
+              FROM contrib GROUP BY 1, 2)
+    SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, rrf_micro
+    FROM (SELECT query_id, doc_id, rrf_micro,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rrf_micro DESC, doc_id) AS rnk
+          FROM fused) r
+    WHERE rnk <= {k}
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return search.rrf_fuse(
+            [
+                search.bm25_topk(docs, _BM25_QUERIES, k=k),
+                search.qld_topk(docs, _BM25_QUERIES, k=k),
+            ],
+            k=k,
+        )
+
+    register("pipeline_search_rrf", sql)(_fn)
+
+
+_rrf_entry()

@@ -121,3 +121,25 @@ def test_qld_dirichlet_length_normalization(spark):
     out = {r["doc_id"]: r["score_micro"] for r in
            qld_topk(df, [("q", "apple")], k=2).collect()}
     assert out[1] > out[2]
+
+
+def test_rrf_fuse_combines_rankers(spark):
+    from diagnosisextraction_ml_spark.operators.search import rrf_fuse
+
+    import pytest
+
+    r1 = spark.createDataFrame(
+        [("q", 1, 10), ("q", 2, 20), ("q", 3, 30)],
+        "query_id string, rank int, doc_id long",
+    )
+    r2 = spark.createDataFrame(
+        [("q", 1, 20), ("q", 2, 40)],
+        "query_id string, rank int, doc_id long",
+    )
+    out = rrf_fuse([r1, r2], k=10).orderBy("rank").collect()
+    # doc 20: 1/(60+2) + 1/(60+1) — two lists beat any single first place
+    assert out[0]["doc_id"] == 20
+    assert out[0]["rrf_micro"] == round(1e6 / 62) + round(1e6 / 61)
+    assert [r["doc_id"] for r in out] == [20, 10, 40, 30]
+    with pytest.raises(ValueError):
+        rrf_fuse([])
