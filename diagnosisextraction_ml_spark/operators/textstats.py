@@ -769,3 +769,49 @@ def pmi_token_pairs(
     return out.orderBy(
         F.desc("pmi_micro"), F.asc("token_a"), F.asc("token_b")
     ).limit(top_k)
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token-distribution entropy in micro-nats — the
+    standard gibberish/boilerplate signal (near-zero entropy =
+    repeated tokens / templated text; anomalously high for length =
+    random-token noise).
+
+    H = ln(n) − (Σ c·ln c)/n over the doc's token counts, computed so
+    the value is partition- and engine-independent: each (doc, token)
+    term c·ln(c) is quantized to integer micro-nats BEFORE the per-doc
+    sum (float Σ would depend on accumulation order), then one integer
+    division — the engine's usual discipline for ln paths. One explode
+    + two map-side-combined groupBys; only (id, token-count) pairs
+    shuffle.
+
+    Output: (id, n_tokens, n_distinct, entropy_micro).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("t")
+    )
+    per = tok.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    clnc = F.round(
+        F.lit(1_000_000.0)
+        * F.col("c").cast("double")
+        * F.log(F.col("c").cast("double")),
+        0,
+    ).cast("long")
+    agg = per.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(clnc).alias("__sclnc"),
+    )
+    h = (
+        F.round(F.lit(1_000_000.0) * F.log(F.col("n_tokens").cast("double")), 0)
+        .cast("long")
+        - F.expr("__sclnc div n_tokens")
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct",
+        h.cast("long").alias("entropy_micro"),
+    )

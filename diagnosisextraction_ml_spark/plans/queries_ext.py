@@ -5810,3 +5810,37 @@ def _rrf_entry(k: int = 10) -> None:
 
 
 _rrf_entry()
+
+
+# ===========================================================================
+# Per-document token entropy — gibberish/template detector.
+# ===========================================================================
+
+def _entropy_entry() -> None:
+    toks = _toks_sql("lower(text)")
+    sql = f"""
+    WITH tok AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
+    per AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+            FROM tok WHERE t != '' GROUP BY doc_id, t),
+    agg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(CAST(round(CAST(1000000.0 AS DOUBLE) * c
+                                 * ln(CAST(c AS DOUBLE))) AS BIGINT))
+                  AS BIGINT) AS sclnc
+      FROM per GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(CAST(round(CAST(1000000.0 AS DOUBLE)
+                           * ln(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                - sclnc // n_tokens AS BIGINT) AS entropy_micro
+    FROM agg
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return textstats.token_entropy(docs)
+
+    register("text_token_entropy", sql)(_fn)
+
+
+_entropy_entry()

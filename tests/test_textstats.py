@@ -352,3 +352,29 @@ def test_pmi_pairs_collocation_beats_independent(spark):
     # perfectly-correlated pair ranks above the promiscuous "the" pairs
     the_pairs = [r.pmi_micro for (a, b), r in got.items() if "the" in (a, b)]
     assert all(pb.pmi_micro > p for p in the_pairs)
+
+
+def test_token_entropy_hand_cases(spark):
+    import math
+
+    from diagnosisextraction_ml_spark.operators.textstats import token_entropy
+
+    rows = [
+        (1, "a a a a"),                # zero entropy
+        (2, "a b c d"),               # ln(4), maximal for 4 tokens
+        (3, "a a b b"),               # ln(2)
+        (4, ""),                      # no tokens -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert out[1]["entropy_micro"] == round(1e6 * math.log(4)) - round(1e6 * 4 * math.log(4)) // 4
+    assert out[1]["entropy_micro"] <= 1  # == 0 up to rounding split
+    assert out[2]["entropy_micro"] == round(1e6 * math.log(4))
+    assert out[2]["n_distinct"] == 4
+    # ln(4) - (2·(2ln2))/4 = ln4 - ln2 = ln2
+    assert abs(out[3]["entropy_micro"] - round(1e6 * math.log(2))) <= 1
+    assert 4 not in out
+    # repartition invariance (per-term rounding before the sum)
+    a = sorted(map(tuple, token_entropy(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, token_entropy(df.repartition(5)).collect()))
+    assert a == b
