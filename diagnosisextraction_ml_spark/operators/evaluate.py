@@ -744,3 +744,80 @@ def auc_bootstrap_ci(
         F.min(F.when(F.col("i") >= lo_i, F.col("auc"))).alias("auc_lo"),
         F.min(F.when(F.col("i") >= hi_i, F.col("auc"))).alias("auc_hi"),
     )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """NDCG@k per query — the graded ranking metric for the retrieval
+    stack (BM25 / QL / RRF emit the ``ranked`` shape directly).
+
+    ``ranked``: (query_id, rank, id...) — a ``*_topk`` output.
+    ``relevance``: (query_id, id, rel) integer grades ≥ 0; missing
+    (query, doc) pairs grade 0.
+
+    Exactness: the per-rank discount 1/log₂(rank+1) enters as a
+    PRECOMPUTED literal per rank (k literals — no runtime log), each
+    gain (2^rel − 1)·discount is rounded to micro-units per row, and
+    DCG/IDCG are integer sums of those — so the ratio is one integral
+    division, bit-identical across engines. IDCG ranks each query's
+    top-k grades with a per-query window (bounded by |relevance| per
+    query). Queries with IDCG = 0 (no relevant docs) yield NULL.
+
+    Output: (query_id, dcg_micro, idcg_micro, ndcg_micro).
+    """
+    if k < 1:
+        raise ValueError(f"ndcg_at_k needs k >= 1, got {k}")
+    import math
+
+    discounts = {r: 1.0 / math.log2(r + 1) for r in range(1, k + 1)}
+    disc = F.lit(None).cast("double")
+    for r, d in discounts.items():
+        disc = F.when(F.col("rank") == r, F.lit(d)).otherwise(disc)
+    gain = F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - F.lit(1.0)
+
+    hits = (
+        ranked.filter(F.col("rank") <= k)
+        .join(relevance, ["query_id", id_col], "left")
+        .na.fill({rel_col: 0})
+        .select(
+            "query_id",
+            F.round(gain * disc * 1_000_000, 0).cast("long").alias("g"),
+        )
+    )
+    dcg = hits.groupBy("query_id").agg(F.sum("g").alias("dcg_micro"))
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(rel_col).desc(), F.col(id_col).asc()
+    )
+    ideal = (
+        relevance.filter(F.col(rel_col) > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.round(gain * disc * 1_000_000, 0).cast("long").alias("g"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("g").alias("idcg_micro"))
+    )
+    return (
+        dcg.join(ideal, ["query_id"], "left")
+        .na.fill({"idcg_micro": 0})
+        .select(
+            "query_id",
+            "dcg_micro",
+            "idcg_micro",
+            F.when(
+                F.col("idcg_micro") > 0,
+                F.expr(
+                    "CAST(CAST(1000000 AS DECIMAL(38,0)) * dcg_micro"
+                    " div idcg_micro AS BIGINT)"
+                ),
+            ).alias("ndcg_micro"),
+        )
+    )

@@ -54,7 +54,7 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "ts_cusum_drift", "dedup_cross_source_matrix", "qc_ks_drift",
     "qc_woe_iv", "pipeline_ccnet_buckets", "ts_twa_hourly",
     "ts_gapfill_locf", "eval_auc_bootstrap_ci", "search_qld_topk",
-    "pipeline_search_rrf", "text_token_entropy",
+    "pipeline_search_rrf", "text_token_entropy", "eval_ndcg_rrf",
     # round 4-7 families with no driver row yet
     "quality_token_logodds", "lm_bigram_logprob", "lm_trigram_interp",
     "langid_char_ngram", "search_bm25_topk", "bpe_token_stats",

@@ -5844,3 +5844,91 @@ def _entropy_entry() -> None:
 
 
 _entropy_entry()
+
+
+# ===========================================================================
+# NDCG@10 of the hybrid (RRF) ranking against hash-synthetic graded
+# relevance — closes the retrieval loop: rank -> fuse -> measure.
+# ===========================================================================
+
+def _ndcg_entry(k: int = 10) -> None:
+    import math
+
+    from diagnosisextraction_ml_spark.operators import search
+
+    disc_sql = "CASE " + " ".join(
+        f"WHEN rank = {r} THEN {1.0 / math.log2(r + 1)!r}" for r in range(1, k + 1)
+    ) + " ELSE NULL END"
+    from diagnosisextraction_ml_spark.plans.queries import _REGISTRY
+
+    rrf_sql = _REGISTRY["pipeline_search_rrf"][1]
+    h = md5_hash64_sql("concat(query_id, '|', CAST(doc_id AS VARCHAR))")
+    sql = f"""
+    WITH ranked AS ({rrf_sql}),
+    qd AS (SELECT d.doc_id, q.query_id
+           FROM documents d CROSS JOIN (VALUES ('q1'), ('q2'), ('q3')) q(query_id)),
+    rel AS (
+      SELECT query_id, doc_id, CAST(({h} % 3) + 1 AS INT) AS rel
+      FROM qd WHERE {h} % 20 = 0
+    ),
+    hits AS (
+      SELECT r.query_id,
+             CAST(round((pow(2.0, coalesce(rel.rel, 0)) - 1.0)
+                        * ({disc_sql}) * 1000000) AS BIGINT) AS g
+      FROM ranked r
+      LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+      WHERE r.rank <= {k}
+    ),
+    dcg AS (SELECT query_id, CAST(sum(g) AS BIGINT) AS dcg_micro
+            FROM hits GROUP BY query_id),
+    ideal_ranked AS (
+      SELECT query_id, rel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, doc_id ASC) AS rank
+      FROM rel WHERE rel > 0
+    ),
+    idcg AS (
+      SELECT query_id,
+             CAST(sum(CAST(round((pow(2.0, rel) - 1.0) * ({disc_sql})
+                                 * 1000000) AS BIGINT)) AS BIGINT) AS idcg_micro
+      FROM ideal_ranked WHERE rank <= {k} GROUP BY query_id
+    )
+    SELECT dcg.query_id, dcg_micro,
+           coalesce(idcg_micro, 0) AS idcg_micro,
+           CASE WHEN coalesce(idcg_micro, 0) > 0
+                THEN CAST((CAST(1000000 AS HUGEINT) * dcg_micro)
+                          // idcg_micro AS BIGINT)
+                ELSE NULL END AS ndcg_micro
+    FROM dcg LEFT JOIN idcg ON idcg.query_id = dcg.query_id
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        qd = docs.select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.lit(q) for q in ("q1", "q2", "q3")])
+            ).alias("query_id"),
+        )
+        hh = md5_hash64(
+            F.concat_ws("|", F.col("query_id"), F.col("doc_id").cast("string"))
+        )
+        rel = qd.select(
+            "query_id",
+            "doc_id",
+            ((hh % 3) + 1).cast("int").alias("rel"),
+            (hh % 20).alias("__m"),
+        ).filter(F.col("__m") == 0).drop("__m")
+        ranked = search.rrf_fuse(
+            [
+                search.bm25_topk(docs, _BM25_QUERIES, k=k),
+                search.qld_topk(docs, _BM25_QUERIES, k=k),
+            ],
+            k=k,
+        )
+        return evaluate.ndcg_at_k(ranked, rel, k=k)
+
+    register("eval_ndcg_rrf", sql)(_fn)
+
+
+_ndcg_entry()

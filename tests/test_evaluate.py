@@ -269,3 +269,37 @@ def test_auc_bootstrap_ci_validation(spark):
         auc_bootstrap_ci(df, id_col="id", n_boot=2)
     with pytest.raises(ValueError):
         auc_bootstrap_ci(df, id_col="id", alpha=1.5)
+
+
+def test_ndcg_hand_case(spark):
+    import math
+
+    from diagnosisextraction_ml_spark.operators.evaluate import ndcg_at_k
+
+    ranked = spark.createDataFrame(
+        [("q", 1, 10), ("q", 2, 20), ("q", 3, 30)],
+        "query_id string, rank int, doc_id long",
+    )
+    rel = spark.createDataFrame(
+        [("q", 10, 3), ("q", 30, 1), ("q", 99, 2)],
+        "query_id string, doc_id long, rel int",
+    )
+    r = ndcg_at_k(ranked, rel, k=3).collect()[0]
+    d2, d3 = 1 / math.log2(3), 1 / math.log2(4)
+    dcg = round(7 * 1 * 1e6) + round(0 * d2 * 1e6) + round(1 * d3 * 1e6)
+    # ideal: grades 3, 2, 1 -> 7 + 3·d2 + 1·d3
+    idcg = round(7 * 1e6) + round(3 * d2 * 1e6) + round(1 * d3 * 1e6)
+    assert r["dcg_micro"] == dcg
+    assert r["idcg_micro"] == idcg
+    assert r["ndcg_micro"] == (1_000_000 * dcg) // idcg
+
+
+def test_ndcg_no_relevant_is_null(spark):
+    from diagnosisextraction_ml_spark.operators.evaluate import ndcg_at_k
+
+    ranked = spark.createDataFrame(
+        [("q", 1, 10)], "query_id string, rank int, doc_id long"
+    )
+    rel = spark.createDataFrame([], "query_id string, doc_id long, rel int")
+    r = ndcg_at_k(ranked, rel, k=3).collect()[0]
+    assert r["dcg_micro"] == 0 and r["ndcg_micro"] is None
