@@ -5932,3 +5932,53 @@ def _ndcg_entry(k: int = 10) -> None:
 
 
 _ndcg_entry()
+
+
+# ===========================================================================
+# Gini coefficient of per-customer revenue — concentration QC.
+# ===========================================================================
+
+def _gini_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import profile as profile_ops
+
+    sql = """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    per AS (SELECT CAST(round(rev * 1000000) AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM rev GROUP BY 1),
+    cum AS (SELECT v, c,
+                   CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                        AS HUGEINT) AS cm,
+                   CAST(sum(c) OVER () AS HUGEINT) AS n
+            FROM per),
+    agg AS (SELECT max(n) AS n,
+                   sum(CAST(v AS HUGEINT)
+                       * (CAST(c AS HUGEINT) * (cm - c)
+                          + (CAST(c AS HUGEINT) * (c + 1)) // 2)) AS s1,
+                   sum(CAST(v AS HUGEINT) * c) AS sx
+            FROM cum)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(sx AS DECIMAL(38,0)) AS sum_micro,
+           CAST(CASE WHEN sx > 0
+                THEN (2000000 * s1 - 1000000 * (n + 1) * sx) // (n * sx)
+                ELSE NULL END AS BIGINT) AS gini_micro
+    FROM agg
+    """
+
+    def _fn(spark, sf_dir):
+        orders = _t(spark, sf_dir, "orders")
+        rev = orders.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+        return profile_ops.gini_coefficient(rev, "rev", (0.0, 1e7))
+
+    register("qc_gini_revenue", sql)(_fn)
+
+
+_gini_entry()

@@ -470,3 +470,25 @@ def test_twa_gapfill_partitioning_invariance(spark):
         a = sorted(map(tuple, op(df.coalesce(1), ["key"], "ts", "v").collect()))
         b = sorted(map(tuple, op(df.repartition(7), ["key"], "ts", "v").collect()))
         assert a == b and len(a) > 0
+
+
+def test_gini_hand_cases(spark):
+    from diagnosisextraction_ml_spark.operators.profile import gini_coefficient
+
+    # perfect equality -> 0
+    eq = spark.createDataFrame([(10.0,)] * 5, "v double")
+    r = gini_coefficient(eq, "v", (0.0, 100.0)).collect()[0]
+    assert r["n"] == 5 and r["gini_micro"] == 0
+    # one holder of everything among n=5: G = (n-1)/n = 0.8
+    conc = spark.createDataFrame([(0.0,)] * 4 + [(50.0,)], "v double")
+    r = gini_coefficient(conc, "v", (0.0, 100.0)).collect()[0]
+    assert r["gini_micro"] == 800_000
+    # textbook small case: [1,2,3,4] -> G = 2*(1*1+2*2+3*3+4*4)/(4*10) - 5/4 = 0.25
+    sm = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
+    r = gini_coefficient(sm, "v", (0.0, 10.0)).collect()[0]
+    assert r["gini_micro"] == 250_000
+    # ties collapse exactly + partition invariance
+    t = spark.createDataFrame([(1.0,), (1.0,), (3.0,), (3.0,)], "v double")
+    a = gini_coefficient(t.coalesce(1), "v", (0.0, 10.0)).collect()[0]
+    b = gini_coefficient(t.repartition(5), "v", (0.0, 10.0)).collect()[0]
+    assert a["gini_micro"] == b["gini_micro"] == 250_000
