@@ -264,3 +264,50 @@ def top_event_paths(
         .orderBy(F.desc("n_occurrences"), F.asc("path"))
         .limit(k)
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU + rolling WAU/MAU — the canonical engagement metric.
+
+    Exact distinct-users-over-a-sliding-window without a distinct
+    window aggregate (which Spark lacks and which would hold per-user
+    state): dedupe to (user, active-day) pairs first (one
+    map-side-combined groupBy — the heavy reduction), then each pair
+    contributes to the ``window_days`` trailing windows that cover it
+    via a bounded explode (fan-out = window_days over the ALREADY
+    deduped pairs, not over raw events), and one count-distinct per
+    (window-end day). DAU rides the same pair relation. Days with no
+    activity in the window produce no row (join against a calendar
+    axis for dense output — :func:`~..operators.rollup.gapfill_locf_hourly`
+    shows the pattern).
+
+    Output: (day epoch-days BIGINT, dau BIGINT, rolling_active BIGINT)
+    — rolling_active = distinct users in [day − window_days + 1, day].
+    """
+    if window_days < 1:
+        raise ValueError(f"rolling_active_users needs window_days >= 1")
+    day = F.floor(F.col(ts_col).cast("long") / 86400)
+    pairs = events.select(
+        F.col(user_col).alias("u"), day.alias("d")
+    ).distinct()
+    dau = pairs.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = pairs.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit(window_days - 1))
+        ).alias("day"),
+    )
+    rolling = contrib.groupBy("day").agg(
+        F.countDistinct("u").alias("rolling_active")
+    )
+    # only days that themselves saw activity (inner join on DAU days)
+    return (
+        dau.select(F.col("d").alias("day"), "dau")
+        .join(rolling, "day")
+        .select("day", "dau", "rolling_active")
+    )

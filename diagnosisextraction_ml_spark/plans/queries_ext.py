@@ -5982,3 +5982,38 @@ def _gini_entry() -> None:
 
 
 _gini_entry()
+
+
+# ===========================================================================
+# Rolling active users (DAU / trailing 7-day WAU) over events.
+# ===========================================================================
+
+def _wau_entry(window_days: int = 7) -> None:
+    from diagnosisextraction_ml_spark.operators import funnel
+
+    sql = f"""
+    WITH pairs AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS d
+      FROM events
+    ),
+    dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+            FROM pairs GROUP BY d),
+    contrib AS (
+      SELECT u, CAST(d + o.i AS BIGINT) AS day
+      FROM pairs CROSS JOIN UNNEST(range({window_days})) o(i)
+    ),
+    rolling AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS rolling_active
+                FROM contrib GROUP BY day)
+    SELECT dau.day, dau, rolling_active
+    FROM dau JOIN rolling ON rolling.day = dau.day
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return funnel.rolling_active_users(ev, window_days=window_days)
+
+    register("events_rolling_active", sql)(_fn)
+
+
+_wau_entry()

@@ -154,3 +154,30 @@ def test_top_event_paths_tiebreak_total_order(spark):
     b = sorted(map(tuple, top_event_paths(df.repartition(5), n=2, k=10).collect()))
     assert a == b
     assert ("x>y", 2, 1) in a  # positions (0,1) and (3,4)
+
+
+def test_rolling_active_users_hand_case(spark):
+    import datetime as dt
+
+    from diagnosisextraction_ml_spark.operators.funnel import rolling_active_users
+
+    d0 = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    # user 1 active days 0,1; user 2 active day 0; user 3 active day 8
+    for u, day in [(1, 0), (1, 0), (1, 1), (2, 0), (3, 8)]:
+        rows.append((eid, d0 + dt.timedelta(days=day, hours=1), u))
+        eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r["day"]: r for r in rolling_active_users(df, window_days=7).collect()}
+    day0 = int(d0.replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+    assert out[day0]["dau"] == 2 and out[day0]["rolling_active"] == 2
+    assert out[day0 + 1]["dau"] == 1
+    assert out[day0 + 1]["rolling_active"] == 2  # u1 + u2 within 7 days
+    # day 8: only u3 (u1/u2 activity aged out of the 7-day window)
+    assert out[day0 + 8]["dau"] == 1 and out[day0 + 8]["rolling_active"] == 1
+    assert set(out) == {day0, day0 + 1, day0 + 8}  # only active days emit
+    # invariance
+    a = sorted(map(tuple, rolling_active_users(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, rolling_active_users(df.repartition(5)).collect()))
+    assert a == b
