@@ -6017,3 +6017,71 @@ def _wau_entry(window_days: int = 7) -> None:
 
 
 _wau_entry()
+
+
+# ===========================================================================
+# A/B test on an ORDERED funnel conversion (view -> later purchase):
+# the funnel chain supplies the denominator/numerator per arm, the
+# exact-rational two-proportion inequality decides significance.
+# ===========================================================================
+
+def _ab_funnel_entry() -> None:
+    from diagnosisextraction_ml_spark.operators import experiment
+
+    sql = """
+    WITH v AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    u AS (
+      SELECT v.user_id,
+             max(CASE WHEN e.event_type = 'purchase'
+                       AND CAST(e.ts AS TIMESTAMP) >= v.t0
+                      THEN 1 ELSE 0 END) AS conv
+      FROM v LEFT JOIN events e ON e.user_id = v.user_id
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n_0,
+        CAST(sum(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS x_0,
+        CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n_1,
+        CAST(sum(CASE WHEN user_id % 2 = 1 AND conv = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS x_1
+      FROM u
+    )
+    SELECT CAST(n_0 AS BIGINT) AS n_0, CAST(x_0 AS BIGINT) AS x_0,
+           CAST(n_1 AS BIGINT) AS n_1, CAST(x_1 AS BIGINT) AS x_1,
+           CAST(CASE WHEN (x_1 * n_0 - x_0 * n_1) < 0 THEN -1 ELSE 1 END
+                * ((1000000 * abs(x_1 * n_0 - x_0 * n_1)) // (n_0 * n_1))
+                AS BIGINT) AS diff_micro,
+           (625 * (n_0 + n_1) * (x_1 * n_0 - x_0 * n_1) * (x_1 * n_0 - x_0 * n_1))
+             > (2401 * (x_0 + x_1) * ((n_0 + n_1) - (x_0 + x_1)) * (n_0 * n_1))
+             AS significant
+    FROM agg
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+            F.min("ts").alias("t0")
+        )
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("t_ev")
+        )
+        units = (
+            v.join(p, ["user_id"], "left")
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    F.when(F.col("t_ev") >= F.col("t0"), 1).otherwise(0)
+                ).alias("converted")
+            )
+            .na.fill({"converted": 0})
+            .select((F.col("user_id") % 2).alias("arm"), "converted")
+        )
+        return experiment.two_proportion_test(units)
+
+    register("ab_funnel_conversion", sql)(_fn)
+
+
+_ab_funnel_entry()
