@@ -6085,3 +6085,186 @@ def _ab_funnel_entry() -> None:
 
 
 _ab_funnel_entry()
+
+
+# ===========================================================================
+# Bounce rate over gap-based sessions + RFM customer segmentation —
+# two more recognizable analytics staples, both pure compositions.
+# ===========================================================================
+
+def _bounce_entry() -> None:
+    sql = """
+    WITH base AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, tsu,
+             CASE WHEN lag(tsu) OVER w IS NULL THEN 0
+                  WHEN epoch_us(tsu) - epoch_us(lag(tsu) OVER w) > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    ), per AS (
+      SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM sessions GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST((1000000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS bounce_rate_micro
+    FROM per
+    """
+
+    def _fn(spark, sf_dir):
+        from diagnosisextraction_ml_spark.plans.queries import events_sessionize
+
+        sess = events_sessionize(spark, sf_dir)
+        return sess.agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+        ).select(
+            "n_sessions",
+            "n_bounces",
+            F.expr("1000000 * n_bounces div n_sessions").alias(
+                "bounce_rate_micro"
+            ),
+        )
+
+    register("events_bounce_rate", sql)(_fn)
+
+
+_bounce_entry()
+
+
+def _rfm_entry() -> None:
+    """RFM segmentation: per-customer Recency/Frequency/Monetary tercile
+    buckets (the classic CRM segmentation), counted per segment cell.
+
+    Scale shape: the three dimensions UNPIVOT to (dim, value) rows so
+    ONE per-dim window pass over per-(dim, value) COUNTS computes all
+    tercile cutoffs (the ccnet order-statistic pattern — cutoffs are
+    exact ceil(n/3) ranks, ties to the lower bucket); monetary is
+    quantized to whole currency units so each dim's distinct-value
+    relation stays bounded. Cutoffs broadcast back, buckets re-pivot
+    with one groupBy(customer) max-per-dim, segments are one final
+    count. Everything integer; hash-exact cross-engine."""
+    sql = """
+    WITH mx AS (SELECT max(CAST(o_orderdate AS TIMESTAMP)) AS mxd FROM orders),
+    per AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(CAST(o_orderdate AS TIMESTAMP)), (SELECT mxd FROM mx)) AS BIGINT) AS r,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT) AS m
+      FROM orders GROUP BY o_custkey
+    ),
+    stacked AS (
+      SELECT o_custkey, 'r' AS dim, r AS v FROM per
+      UNION ALL SELECT o_custkey, 'f', f FROM per
+      UNION ALL SELECT o_custkey, 'm', m FROM per
+    ),
+    perv AS (SELECT dim, v, CAST(count(*) AS BIGINT) AS c
+             FROM stacked GROUP BY dim, v),
+    cum AS (SELECT dim, v, c,
+                   CAST(sum(c) OVER (PARTITION BY dim ORDER BY v
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm,
+                   CAST(sum(c) OVER (PARTITION BY dim) AS BIGINT) AS tot
+            FROM perv),
+    cuts AS (SELECT dim,
+                    min(CASE WHEN cm >= (tot + 2) // 3 THEN v END) AS c1,
+                    min(CASE WHEN cm >= (2 * tot + 2) // 3 THEN v END) AS c2
+             FROM cum GROUP BY dim),
+    lab AS (
+      SELECT s.o_custkey, s.dim,
+             1 + CASE WHEN s.v > cuts.c1 THEN 1 ELSE 0 END
+               + CASE WHEN s.v > cuts.c2 THEN 1 ELSE 0 END AS b
+      FROM stacked s JOIN cuts ON cuts.dim = s.dim
+    ),
+    piv AS (
+      SELECT o_custkey,
+             max(CASE WHEN dim = 'r' THEN b END) AS r_bucket,
+             max(CASE WHEN dim = 'f' THEN b END) AS f_bucket,
+             max(CASE WHEN dim = 'm' THEN b END) AS m_bucket
+      FROM lab GROUP BY o_custkey
+    )
+    SELECT r_bucket, f_bucket, m_bucket,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM piv GROUP BY 1, 2, 3
+    """
+
+    def _fn(spark, sf_dir):
+        from pyspark.sql import Window
+
+        orders = _t(spark, sf_dir, "orders")
+        mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+        per = (
+            orders.groupBy("o_custkey")
+            .agg(
+                F.max("o_orderdate").alias("last"),
+                F.count(F.lit(1)).alias("f"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 0)
+                .cast("long")
+                .alias("m"),
+            )
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "o_custkey",
+                F.datediff(
+                    F.col("mxd").cast("date"), F.col("last").cast("date")
+                ).cast("long").alias("r"),
+                "f",
+                "m",
+            )
+        )
+        stacked = per.select(
+            "o_custkey",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("r").alias("dim"), F.col("r").alias("v")),
+                    F.struct(F.lit("f").alias("dim"), F.col("f").alias("v")),
+                    F.struct(F.lit("m").alias("dim"), F.col("m").alias("v")),
+                )
+            ).alias("s"),
+        ).select("o_custkey", F.col("s.dim").alias("dim"), F.col("s.v").alias("v"))
+        perv = stacked.groupBy("dim", "v").agg(F.count(F.lit(1)).alias("c"))
+        w_run = (
+            Window.partitionBy("dim")
+            .orderBy(F.col("v").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_all = Window.partitionBy("dim").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = perv.withColumn("cm", F.sum("c").over(w_run)).withColumn(
+            "tot", F.sum("c").over(w_all)
+        )
+        cuts = cum.groupBy("dim").agg(
+            F.min(F.when(F.col("cm") >= F.expr("(tot + 2) div 3"), F.col("v"))).alias("c1"),
+            F.min(F.when(F.col("cm") >= F.expr("(2 * tot + 2) div 3"), F.col("v"))).alias("c2"),
+        )
+        lab = stacked.join(F.broadcast(cuts), "dim").select(
+            "o_custkey",
+            "dim",
+            (
+                F.lit(1)
+                + (F.col("v") > F.col("c1")).cast("int")
+                + (F.col("v") > F.col("c2")).cast("int")
+            ).alias("b"),
+        )
+        piv = lab.groupBy("o_custkey").agg(
+            F.max(F.when(F.col("dim") == "r", F.col("b"))).alias("r_bucket"),
+            F.max(F.when(F.col("dim") == "f", F.col("b"))).alias("f_bucket"),
+            F.max(F.when(F.col("dim") == "m", F.col("b"))).alias("m_bucket"),
+        )
+        return piv.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+            F.count(F.lit(1)).alias("n_customers")
+        )
+
+    register("rel_rfm_segments", sql)(_fn)
+
+
+_rfm_entry()
