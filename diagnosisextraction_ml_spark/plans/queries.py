@@ -56,7 +56,8 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "ts_gapfill_locf", "eval_auc_bootstrap_ci", "search_qld_topk",
     "pipeline_search_rrf", "text_token_entropy", "eval_ndcg_rrf",
     "qc_gini_revenue", "events_rolling_active", "ab_funnel_conversion",
-    "events_bounce_rate", "rel_rfm_segments",
+    "events_bounce_rate", "rel_rfm_segments", "rel_pareto_share",
+    "text_hapax_profile",
     # round 4-7 families with no driver row yet
     "quality_token_logodds", "lm_bigram_logprob", "lm_trigram_interp",
     "langid_char_ngram", "search_bm25_topk", "bpe_token_stats",

@@ -6268,3 +6268,139 @@ def _rfm_entry() -> None:
 
 
 _rfm_entry()
+
+
+# ===========================================================================
+# Pareto share (top-decile revenue concentration) + hapax ratio
+# (vocabulary health) — final round-8 composition pair.
+# ===========================================================================
+
+def _pareto_entry() -> None:
+    """Revenue share of the top decile of customers. Tie convention
+    (documented, engine-identical): the decile cutoff is the revenue
+    value at rank ceil(n/10) from the top, and EVERY customer at or
+    above that value counts as top — ties inflate the group rather
+    than splitting it arbitrarily."""
+    sql = """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(round(100 * sum(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    perv AS (SELECT cents AS v, CAST(count(*) AS BIGINT) AS c FROM rev GROUP BY 1),
+    cum AS (SELECT v, c,
+                   CAST(sum(c) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm,
+                   CAST(sum(c) OVER () AS BIGINT) AS n
+            FROM perv),
+    cut AS (SELECT max(CASE WHEN cm >= (n + 9) // 10 THEN v END) AS c10, max(n) AS n
+            FROM cum),
+    agg AS (
+      SELECT cut.n,
+             CAST(sum(CASE WHEN rev.cents >= cut.c10 THEN 1 ELSE 0 END) AS BIGINT) AS top_n,
+             CAST(sum(CASE WHEN rev.cents >= cut.c10 THEN CAST(rev.cents AS HUGEINT) ELSE 0 END) AS HUGEINT) AS top_cents,
+             CAST(sum(CAST(rev.cents AS HUGEINT)) AS HUGEINT) AS all_cents
+      FROM rev CROSS JOIN cut GROUP BY cut.n
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers, top_n,
+           CAST((1000000 * top_cents) // all_cents AS BIGINT) AS top_share_micro
+    FROM agg
+    """
+
+    def _fn(spark, sf_dir):
+        from pyspark.sql import Window
+
+        orders = _t(spark, sf_dir, "orders")
+        rev = orders.groupBy("o_custkey").agg(
+            F.round(
+                F.lit(100) * F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 0
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        perv = rev.groupBy(F.col("cents").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w_run = (
+            Window.orderBy(F.col("v").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_all = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = perv.withColumn("cm", F.sum("c").over(w_run)).withColumn(
+            "n", F.sum("c").over(w_all)
+        )
+        cut = cum.groupBy().agg(
+            F.max(
+                F.when(F.col("cm") >= F.expr("(n + 9) div 10"), F.col("v"))
+            ).alias("c10"),
+            F.max("n").alias("n"),
+        )
+        agg = rev.crossJoin(F.broadcast(cut)).groupBy("n").agg(
+            F.sum((F.col("cents") >= F.col("c10")).cast("long")).alias("top_n"),
+            F.sum(
+                F.when(F.col("cents") >= F.col("c10"), F.col("cents")).otherwise(0)
+                .cast("decimal(38,0)")
+            ).alias("top_cents"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("all_cents"),
+        )
+        return agg.select(
+            F.col("n").alias("n_customers"),
+            "top_n",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * top_cents"
+                " div all_cents AS BIGINT)"
+            ).alias("top_share_micro"),
+        )
+
+    register("rel_pareto_share", sql)(_fn)
+
+
+_pareto_entry()
+
+
+def _hapax_entry() -> None:
+    """Hapax-legomena profile of the corpus vocabulary: how much of the
+    vocabulary occurs exactly once (healthy natural text ≈ 40-60%;
+    far lower means templated/duplicated corpus, far higher means
+    noise/gibberish tokens)."""
+    toks = _toks_sql("lower(text)")
+    sql = f"""
+    WITH tok AS (SELECT unnest({toks}) AS t FROM documents),
+    per AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+            FROM tok WHERE t != '' GROUP BY t)
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST((1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS hapax_vocab_micro,
+           CAST((1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+                // sum(c) AS BIGINT) AS hapax_mass_micro
+    FROM per
+    """
+
+    def _fn(spark, sf_dir):
+        from diagnosisextraction_ml_spark.operators.textstats import ws_tokens
+
+        docs = _t(spark, sf_dir, "documents")
+        per = (
+            docs.select(F.explode(ws_tokens(F.col("text"))).alias("t"))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return per.agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+            F.sum("c").alias("n_tokens"),
+        ).select(
+            "vocab_size",
+            "n_hapax",
+            "n_tokens",
+            F.expr("1000000 * n_hapax div vocab_size").alias("hapax_vocab_micro"),
+            F.expr("1000000 * n_hapax div n_tokens").alias("hapax_mass_micro"),
+        )
+
+    register("text_hapax_profile", sql)(_fn)
+
+
+_hapax_entry()
