@@ -229,6 +229,14 @@ def minhash_lsh_pairs(
     scale) are exactly where LSH cost would otherwise grow
     superlinearly.
     """
+    if k % bands != 0:
+        # The fused band construction enumerates exactly `bands` bands of
+        # k//bands rows; a non-divisible (k, bands) would silently drop
+        # the trailing hash rows and change the S-curve.
+        raise ValueError(
+            f"minhash_lsh_pairs needs k divisible by bands, got k={k}, "
+            f"bands={bands} (k % bands = {k % bands})"
+        )
     if collapse_exact:
         groups = (
             df.groupBy(F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__fp"))
@@ -1392,9 +1400,24 @@ def cross_source_dup_matrix(
                     F.struct(
                         x.getField("src").alias("source_a"),
                         x.getField("src").alias("source_b"),
-                        (
-                            x.getField("n") * (x.getField("n") - 1) / 2
-                        ).cast("long").alias("np"),
+                        # n·(n−1)/2 in pure integer arithmetic: halve the
+                        # even factor FIRST so the product never exceeds
+                        # the final count (Spark's `/` is double division,
+                        # which silently loses precision past 2^53 —
+                        # ~9.4e7-member groups — while the DuckDB twin's
+                        # `//` stays exact). Exact for every n whose pair
+                        # count fits the int64 output column.
+                        F.when(
+                            x.getField("n") % 2 == 0,
+                            F.shiftright(x.getField("n"), 1)
+                            * (x.getField("n") - 1),
+                        )
+                        .otherwise(
+                            x.getField("n")
+                            * F.shiftright(x.getField("n") - 1, 1)
+                        )
+                        .cast("long")
+                        .alias("np"),
                     )
                 ),
                 F.transform(

@@ -418,8 +418,11 @@ def calibration_bins(
     if n_bins < 2:
         raise ValueError(f"calibration_bins needs n_bins >= 2, got {n_bins}")
     s = F.col(score_col).cast("double")
+    # bin is LONG to match the oracle twin's BIGINT final (int-width
+    # drift is hash-safe today but costs nothing to normalize away)
     b = F.least(
-        F.greatest(F.floor(s * n_bins).cast("int"), F.lit(0)), F.lit(n_bins - 1)
+        F.greatest(F.floor(s * n_bins).cast("long"), F.lit(0).cast("long")),
+        F.lit(n_bins - 1).cast("long"),
     )
     sm = F.round(s * 1_000_000, 0).cast("long")
     per = (

@@ -469,9 +469,12 @@ def gini_coefficient(
     agg = staged.groupBy("__n").agg(
         F.sum("__s1").alias("s1"), F.sum("__vx").alias("sx")
     )
+    # sum_micro final is BIGINT (internal math stays DECIMAL(38,0)):
+    # DECIMAL finals hash differently across engines' pandas round-trips
+    # (Spark object-Decimal vs DuckDB float64) — round-8 driver finding.
     return agg.select(
         F.col("__n").alias("n"),
-        F.col("sx").cast("decimal(38,0)").alias("sum_micro"),
+        F.col("sx").cast("long").alias("sum_micro"),
         F.expr(
             "CAST(CASE WHEN sx > 0 THEN"
             " (CAST(2000000 AS DECIMAL(38,0)) * s1"

@@ -144,13 +144,21 @@ def trailing_anomaly(
     bound = F.lit(k * k).cast("decimal(38,0)") * (
         nd * F.col("__q") - F.col("__s") * F.col("__s")
     )
+    # dev2/bound finals are DOUBLE, not DECIMAL(38,0): the anomaly TEST
+    # itself still runs on the exact decimals (so the boolean can never
+    # drift), but DECIMAL finals round-trip to pandas as object Decimals
+    # on Spark vs float64 on DuckDB and trip a representation-sensitive
+    # hash (round-8 driver finding), while BIGINT finals would wrap for
+    # hot keys (d² crosses 2^63 near 1.3e8 events/hour·key). Casting the
+    # SAME exact decimal to double is correctly rounded on both engines
+    # → identical bits, and doubles never overflow.
     return stats.select(
         *key_cols,
         bucket_col,
         value_col,
         "n_win",
-        dev2.cast("decimal(38,0)").alias("dev2"),
-        bound.cast("decimal(38,0)").alias("bound"),
+        dev2.cast("double").alias("dev2"),
+        bound.cast("double").alias("bound"),
         ((F.col("n_win") >= min_points) & (dev2 > bound)).alias("is_anomaly"),
     )
 
@@ -358,13 +366,20 @@ def cusum_drift(
     zero = F.lit(0).cast("decimal(38,0)")
     up = F.col("__s") - F.least(zero, F.col("__smin"))
     down = F.greatest(zero, F.col("__smax")) - F.col("__s")
+    # Finals are BIGINT, not DECIMAL(38,0): the internal running sums
+    # stay exact-decimal, but a DECIMAL final column round-trips to
+    # pandas as object Decimals on Spark vs float64 on DuckDB, so a
+    # representation-sensitive hash trips even on equal values (round-8
+    # driver finding). Micro-unit CUSUM magnitudes fit int64 far past
+    # the tested scales (|S| < 1e6·Σ|v|; overflow would need ~9e12
+    # value-units of accumulated one-sided deviation per key).
     return staged.select(
         *key_cols,
         bucket_col,
         value_col,
-        F.col("__s").cast("decimal(38,0)").alias("s_micro"),
-        up.cast("decimal(38,0)").alias("cusum_up_micro"),
-        down.cast("decimal(38,0)").alias("cusum_down_micro"),
+        F.col("__s").cast("long").alias("s_micro"),
+        up.cast("long").alias("cusum_up_micro"),
+        down.cast("long").alias("cusum_down_micro"),
         (up >= F.lit(int(threshold_micro)).cast("decimal(38,0)")).alias("drift_up"),
         (down >= F.lit(int(threshold_micro)).cast("decimal(38,0)")).alias("drift_down"),
     )

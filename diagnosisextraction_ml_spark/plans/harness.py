@@ -54,6 +54,12 @@ class FoldResult:
     pr_auc: float
     max_f1: float
     curve: list[dict] = field(repr=False, default_factory=list)
+    # PR-AUC under the OPPOSITE tie convention (curve anchored at
+    # recall=0, precision=1, the sklearn-style start). For probabilistic
+    # scorers the two agree to ~1e-3; for hard 0/1 predictors the PR
+    # "curve" is a step function and the two conventions bracket the
+    # artifact range (WordMatching: 0.04 vs 0.99 around golden 0.988).
+    pr_auc_anchored: float = 0.0
 
 
 class TextClassificationHarness:
@@ -130,11 +136,20 @@ class TextClassificationHarness:
             curve = curve_by_threshold(scored, "score", "label")
             curve_rows = [row.asDict() for row in curve.collect()]
             roc = auc_rank(scored, "score", "label").collect()[0]["auc"]
-            pr = auc_trapezoid(
-                curve.select(F.col("tpr").alias("x"), F.col("precision").alias("y")),
-                "x",
-                "y",
-                anchor_origin=False,
+            pr_pts = curve.select(
+                F.col("tpr").alias("x"), F.col("precision").alias("y")
+            )
+            pr = auc_trapezoid(pr_pts, "x", "y", anchor_origin=False).collect()[0][
+                "auc"
+            ]
+            # Opposite tie convention: prepend the (recall=0, precision=1)
+            # anchor sklearn's precision_recall_curve adds, so hard-0/1
+            # predictors report both ends of their step-function artifact.
+            anchor = pr_pts.sparkSession.range(1).select(
+                F.lit(0.0).alias("x"), F.lit(1.0).alias("y")
+            )
+            pr_anchored = auc_trapezoid(
+                pr_pts.unionByName(anchor), "x", "y", anchor_origin=False
             ).collect()[0]["auc"]
             max_f1 = max((c["f1"] for c in curve_rows), default=0.0)
         finally:
@@ -147,6 +162,7 @@ class TextClassificationHarness:
             pr_auc=float(pr or 0.0),
             max_f1=float(max_f1),
             curve=curve_rows,
+            pr_auc_anchored=float(pr_anchored or 0.0),
         )
 
     # -- E4/E5 aggregation ---------------------------------------------------
@@ -166,6 +182,9 @@ class TextClassificationHarness:
                 "roc_auc_std": statistics.pstdev(rocs),
                 "pr_auc_mean": statistics.mean(prs),
                 "pr_auc_std": statistics.pstdev(prs),
+                "pr_auc_anchored_mean": statistics.mean(
+                    [x.pr_auc_anchored for x in results]
+                ),
                 "f1_mean": statistics.mean(f1s),
                 "f1_std": statistics.pstdev(f1s),
             }

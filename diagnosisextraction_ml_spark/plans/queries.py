@@ -47,38 +47,36 @@ def register(name: str, sql: str | None):
 # full registry is still verified every round by
 # tools/compare_oracle.py (ORACLE_FULL_r*.txt).
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # round-8 additions
-    "dedup_span_intervals", "eval_calibration_bins", "eval_ece",
-    "eval_kappa_mcc", "eval_auc_by_group", "events_kaplan_meier",
-    "events_top_paths", "prep_temperature_mixture", "qc_psi_drift",
-    "ts_cusum_drift", "dedup_cross_source_matrix", "qc_ks_drift",
-    "qc_woe_iv", "pipeline_ccnet_buckets", "ts_twa_hourly",
-    "ts_gapfill_locf", "eval_auc_bootstrap_ci", "search_qld_topk",
-    "pipeline_search_rrf", "text_token_entropy", "eval_ndcg_rrf",
-    "qc_gini_revenue", "events_rolling_active", "ab_funnel_conversion",
-    "events_bounce_rate", "rel_rfm_segments", "rel_pareto_share",
-    "text_hapax_profile",
-    # round 4-7 families with no driver row yet
+    # Round 9, slots 1-9: the nine r8 driver-RED queries (final-column
+    # type drift — DuckDB HUGEINT sums / Spark DECIMAL(38,0) finals —
+    # fixed this round by casting finals to BIGINT on both engines).
+    # They lead the prefix so the driver re-hashes them green.
+    "search_bm25_topk", "search_qld_topk", "pipeline_search_rrf",
     "quality_token_logodds", "lm_bigram_logprob", "lm_trigram_interp",
-    "langid_char_ngram", "search_bm25_topk", "bpe_token_stats",
-    "bpe_vocab_threshold_cut", "vocab_coverage_curve",
-    "sketch_hll_distinct", "sketch_hll_overlap", "sketch_cms_heavy_hitters",
-    "sketch_bloom_probe", "sketch_bottomk_distinct",
-    "sketch_logbin_quantiles", "sketch_logbin_by_type",
-    "graph_pagerank_top", "graph_hits_top", "graph_triangle_count",
-    "assoc_rules_pairs", "er_blocked_pairs", "join_bloom_semi",
-    "dedup_span_removal", "dedup_prefix_jaccard_pairs",
-    "dedup_containment_pairs", "dedup_boilerplate_sentences",
-    "dedup_semantic", "dedup_dup_gram_stats", "decontam_ngram_overlap",
-    "upsert_latest_state", "upsert_snapshot_diff", "scd2_order_priority",
-    "rollup_incremental_hourly", "ts_anomaly_hourly", "ts_trend_ols",
-    "ts_robust_stats", "qc_profile_documents", "qc_expectations_orders",
-    "qc_table_checksum", "qc_key_skew_events", "qc_source_scorecard",
-    "qc_benford_digits", "events_funnel_conversion",
-    "events_cohort_retention", "events_funnel_latency",
-    "events_peak_concurrency", "events_markov_transitions",
-    "ab_proportion_test", "filter_gopher_rules", "filter_c4_lines",
-    "zorder_morton_codes", "pipeline_corpus_gate", "pipeline_llm_prep",
+    "langid_char_ngram", "ts_cusum_drift", "qc_gini_revenue",
+    # Slots 10-50: never-yet-driver-checked entries (41 of the 49
+    # remaining after rounds 1-8's cumulative 107), leading with the two
+    # this round's hardened type sweep also had to fix
+    # (dedup_dup_gram_stats, pipeline_search_rerank).
+    "dedup_dup_gram_stats", "pipeline_search_rerank",
+    "rel_grouping_sets", "rel_pivot_event_counts", "rel_unpivot_part_attrs",
+    "events_props_json", "decontam_ngram_overlap", "prep_stratified_sample",
+    "pack_greedy_sequences", "text_nfc_normalized", "prep_mixture_resample",
+    "doc_token_commonness", "dedup_incremental_batch", "pipeline_corpus_gate",
+    "emb_quantize_int8", "upsert_latest_state", "qc_profile_documents",
+    "qc_expectations_orders", "rollup_incremental_hourly",
+    "filter_gopher_rules", "filter_c4_lines", "text_mojibake_fixed",
+    "stream_hourly_distinct", "dedup_semantic", "dedup_prefix_jaccard_pairs",
+    "events_funnel_conversion", "events_cohort_retention",
+    "zorder_morton_codes", "pipeline_text_semdedup", "upsert_snapshot_diff",
+    "prep_weighted_sample_es", "scd2_order_priority", "ts_anomaly_hourly",
+    "qc_table_checksum", "dedup_boilerplate_sentences", "ts_trend_ols",
+    "qc_key_skew_events", "text_zipf_slope", "text_kl_divergence",
+    "events_funnel_latency", "dedup_containment_pairs",
+    # The 8 still-unchecked entries queue here for the round-10 prefix.
+    "events_peak_concurrency", "text_pmi_pairs", "qc_source_scorecard",
+    "ab_proportion_test", "stream_sliding_counts",
+    "events_markov_transitions", "qc_benford_digits", "ts_robust_stats",
 )
 
 

@@ -1766,7 +1766,7 @@ def _quality_logodds_sql() -> str:
                  AS weight_micro
           FROM agg, tot),
     s AS (SELECT doc_id, COUNT(*) AS n_tok,
-                 SUM(COALESCE(weight_micro, 0)) AS w_sum
+                 CAST(SUM(COALESCE(weight_micro, 0)) AS BIGINT) AS w_sum
           FROM tok LEFT JOIN w USING (bucket) GROUP BY doc_id)
     SELECT doc_id, n_tok, w_sum,
            w_sum / (1000000.0 * n_tok) AS score,
@@ -1815,9 +1815,9 @@ def _lm_bigram_sql() -> str:
             WHERE lang = 'en' GROUP BY b1),
     s AS (
       SELECT g.doc_id, COUNT(*) AS n_bigrams,
-             SUM(CAST(ROUND(1000000 * (LN(COALESCE(c_bigram, 0) + 1)
-                                       - LN(COALESCE(c_left, 0) + {b})))
-                      AS BIGINT)) AS lp_sum
+             CAST(SUM(CAST(ROUND(1000000 * (LN(COALESCE(c_bigram, 0) + 1)
+                                            - LN(COALESCE(c_left, 0) + {b})))
+                           AS BIGINT)) AS BIGINT) AS lp_sum
       FROM bg_all g
       LEFT JOIN big USING (b1, b2)
       LEFT JOIN uni USING (b1)
@@ -1930,7 +1930,8 @@ def _dup_gram_sql(n: int = 5) -> str:
     freq AS (SELECT gram_hash, COUNT(*) AS gram_df FROM ch GROUP BY gram_hash)
     SELECT doc_id,
            COUNT(*) AS n_grams,
-           SUM(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END) AS n_dup_grams,
+           CAST(SUM(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
            SUM(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END) / COUNT(*) AS dup_fraction
     FROM ch JOIN freq USING (gram_hash)
     GROUP BY doc_id
@@ -2837,7 +2838,7 @@ def _bm25_entry() -> None:
       JOIN dl d ON d.doc_id = p.doc_id
       CROSS JOIN stats
     ),
-    agg AS (SELECT query_id, doc_id, SUM(s) AS score_micro
+    agg AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score_micro
             FROM scored GROUP BY 1, 2)
     SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, score_micro
     FROM (SELECT query_id, doc_id, score_micro,
@@ -2911,9 +2912,10 @@ def _langid_entry() -> None:
     ), dg AS (
       SELECT doc_id, {bkt} AS b, COUNT(*) AS nb FROM dgrams GROUP BY 1, 2
     ), ntri AS (
-      SELECT doc_id, SUM(nb) AS n_tri FROM dg GROUP BY 1
+      SELECT doc_id, CAST(SUM(nb) AS BIGINT) AS n_tri FROM dg GROUP BY 1
     ), adj AS (
-      SELECT doc_id, model.lang, SUM(nb * adj_micro) AS adj_sum
+      SELECT doc_id, model.lang,
+             CAST(SUM(nb * adj_micro) AS BIGINT) AS adj_sum
       FROM dg JOIN model ON model.b = dg.b GROUP BY 1, 2
     ), scores AS (
       SELECT ntri.doc_id, base.lang,
@@ -3099,7 +3101,7 @@ def _lm_trigram_sql() -> str:
             WHERE lang = 'en' GROUP BY 1, 2, 3),
     s AS (
       SELECT g.doc_id, COUNT(*) AS n_trigrams,
-             SUM(CAST(round({dbl(1_000_000.0)} * ln(
+             CAST(SUM(CAST(round({dbl(1_000_000.0)} * ln(
                {dbl(JM_L3)} * (CASE WHEN coalesce(ctx.c_big, 0) > 0
                  THEN CAST(coalesce(tri.c_tri, 0) AS DOUBLE)
                       / CAST(coalesce(ctx.c_big, 0) AS DOUBLE)
@@ -3111,7 +3113,7 @@ def _lm_trigram_sql() -> str:
              + {dbl(JM_L1)} * ((CAST(coalesce(ul.c_uni, 0) AS DOUBLE)
                                 + {dbl(1.0)})
                  / (CAST(n_total AS DOUBLE) + {dbl(float(b))}))
-             ), 0) AS BIGINT)) AS lp_sum
+             ), 0) AS BIGINT)) AS BIGINT) AS lp_sum
       FROM tg_all g
       LEFT JOIN tri ON tri.b1 = g.b1 AND tri.b2 = g.b2 AND tri.b3 = g.b3
       LEFT JOIN big ctx ON ctx.b1 = g.b1 AND ctx.b2 = g.b2
@@ -3680,8 +3682,8 @@ def _anomaly_entry(trailing: int = 24, min_points: int = 12, k: int = 3) -> None
                    RANGE BETWEEN {trailing - 1} PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, hr, cnt, n_win,
-           CAST((n_win * cnt - s) * (n_win * cnt - s) AS DECIMAL(38,0)) AS dev2,
-           CAST({k * k} * (n_win * q - s * s) AS DECIMAL(38,0)) AS bound,
+           CAST((n_win * cnt - s) * (n_win * cnt - s) AS DOUBLE) AS dev2,
+           CAST({k * k} * (n_win * q - s * s) AS DOUBLE) AS bound,
            (n_win >= {min_points}
             AND (n_win * cnt - s) * (n_win * cnt - s)
                 > {k * k} * (n_win * q - s * s)) AS is_anomaly
@@ -4362,7 +4364,7 @@ def _rerank_entry(n_cand: int = 20, k: int = 10) -> None:
       JOIN dl d ON d.doc_id = p.doc_id
       CROSS JOIN stats
     ),
-    agg AS (SELECT query_id, doc_id, SUM(s) AS score_micro
+    agg AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score_micro
             FROM scored GROUP BY 1, 2),
     cand AS (
       SELECT query_id, doc_id, score_micro
@@ -5247,9 +5249,9 @@ def _cusum_entry(threshold_micro: int = 20_000_000) -> None:
       WINDOW w AS (PARTITION BY event_type ORDER BY hr ROWS UNBOUNDED PRECEDING)
     )
     SELECT event_type, hr, cnt,
-           CAST(s AS DECIMAL(38,0)) AS s_micro,
-           CAST(s - least(0, smin) AS DECIMAL(38,0)) AS cusum_up_micro,
-           CAST(greatest(0, smax) - s AS DECIMAL(38,0)) AS cusum_down_micro,
+           CAST(s AS BIGINT) AS s_micro,
+           CAST(s - least(0, smin) AS BIGINT) AS cusum_up_micro,
+           CAST(greatest(0, smax) - s AS BIGINT) AS cusum_down_micro,
            s - least(0, smin) >= {threshold_micro} AS drift_up,
            greatest(0, smax) - s >= {threshold_micro} AS drift_down
     FROM run
@@ -5559,7 +5561,11 @@ def _twa_entry(max_span_hours: int = 24) -> None:
     ),
     h AS (
       SELECT user_id, vm, s0, e0, CAST(u.h AS BIGINT) AS hour
-      FROM iv CROSS JOIN UNNEST(range(s0 // 3600, (e0 - 1) // 3600 + 1)) u(h)
+      -- floor-division (toward -inf) like Spark's F.floor, not DuckDB's
+      -- truncating `//`: the two disagree on pre-1970 negative epochs
+      FROM iv CROSS JOIN UNNEST(range(
+        (s0 - ((s0 % 3600) + 3600) % 3600) // 3600,
+        ((e0 - 1) - (((e0 - 1) % 3600) + 3600) % 3600) // 3600 + 1)) u(h)
     ),
     per AS (
       SELECT user_id, hour,
@@ -5599,10 +5605,15 @@ def _gapfill_entry() -> None:
       FROM events
     ),
     hourly AS (
-      SELECT event_type, es // 3600 AS hour, vm AS value_obs
+      -- floor-division (toward -inf) like Spark's F.floor, not DuckDB's
+      -- truncating `//`: the two disagree on pre-1970 negative epochs
+      SELECT event_type,
+             (es - ((es % 3600) + 3600) % 3600) // 3600 AS hour,
+             vm AS value_obs
       FROM s
-      QUALIFY row_number() OVER (PARTITION BY event_type, es // 3600
-                                 ORDER BY es DESC, vm DESC) = 1
+      QUALIFY row_number() OVER (
+          PARTITION BY event_type, (es - ((es % 3600) + 3600) % 3600) // 3600
+          ORDER BY es DESC, vm DESC) = 1
     ),
     span AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
              FROM hourly GROUP BY event_type),
@@ -5732,7 +5743,8 @@ def _qld_entry(k: int = 10) -> None:
       JOIN dl d ON d.doc_id = p.doc_id
       CROSS JOIN stats
     ),
-    per_doc AS (SELECT query_id, doc_id, SUM(s) AS s_matched, MIN(dl) AS dl
+    per_doc AS (SELECT query_id, doc_id,
+                       CAST(SUM(s) AS BIGINT) AS s_matched, MIN(dl) AS dl
                 FROM matched GROUP BY 1, 2),
     scored AS (
       SELECT p.query_id, doc_id,
@@ -5786,7 +5798,7 @@ def _rrf_entry(k: int = 10) -> None:
                         / (CAST({rk!r} AS DOUBLE) + rank)) AS BIGINT) AS c
       FROM qld
     ),
-    fused AS (SELECT query_id, doc_id, SUM(c) AS rrf_micro
+    fused AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro
               FROM contrib GROUP BY 1, 2)
     SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, rrf_micro
     FROM (SELECT query_id, doc_id, rrf_micro,
@@ -5962,7 +5974,7 @@ def _gini_entry() -> None:
                    sum(CAST(v AS HUGEINT) * c) AS sx
             FROM cum)
     SELECT CAST(n AS BIGINT) AS n,
-           CAST(sx AS DECIMAL(38,0)) AS sum_micro,
+           CAST(sx AS BIGINT) AS sum_micro,
            CAST(CASE WHEN sx > 0
                 THEN (2000000 * s1 - 1000000 * (n + 1) * sx) // (n * sx)
                 ELSE NULL END AS BIGINT) AS gini_micro

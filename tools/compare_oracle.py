@@ -38,6 +38,57 @@ def approx_eq(a, b) -> bool:
     return a == b
 
 
+def norm_spark_type(t: str) -> str:
+    """Canonical family for a Spark simpleString dtype."""
+    t = t.strip().lower()
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{norm_spark_type(t[6:-1])}>"
+    if t.startswith("decimal"):
+        return t.replace(" ", "")  # decimal(38,0)
+    return {
+        "tinyint": "int8",
+        "smallint": "int16",
+        "int": "int32",
+        "integer": "int32",
+        "bigint": "int64",
+        "float": "float32",
+        "double": "float64",
+        "string": "str",
+        "boolean": "bool",
+        "date": "date",
+        "timestamp": "ts",
+        "timestamp_ntz": "ts",
+    }.get(t, t)
+
+
+def norm_duck_type(t: str) -> str:
+    """Canonical family for a native DuckDB relation type string."""
+    t = str(t).strip().upper()
+    if t.endswith("[]"):
+        return f"array<{norm_duck_type(t[:-2])}>"
+    if t.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    return {
+        "TINYINT": "int8",
+        "SMALLINT": "int16",
+        "INTEGER": "int32",
+        "BIGINT": "int64",
+        "HUGEINT": "int128",
+        "UTINYINT": "uint8",
+        "USMALLINT": "uint16",
+        "UINTEGER": "uint32",
+        "UBIGINT": "uint64",
+        "FLOAT": "float32",
+        "REAL": "float32",
+        "DOUBLE": "float64",
+        "VARCHAR": "str",
+        "BOOLEAN": "bool",
+        "DATE": "date",
+        "TIMESTAMP": "ts",
+        "TIMESTAMP_NS": "ts",
+    }.get(t, t.lower())
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
@@ -59,9 +110,10 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, oracles = queries(), oracle_sql()
+    filters = [f for f in name_filter.split(",") if f]
     failures = []
     for name, fn in qs.items():
-        if name_filter and name_filter not in name:
+        if filters and not any(f in name for f in filters):
             continue
         t0 = time.time()
         try:
@@ -87,18 +139,44 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             status.append(f"schema {sorted(scols)} vs {sorted(dcols)}")
         else:
-            # surface integer-width / type drift even when values match —
-            # a type-sensitive driver hash would trip on these.
+            # Compare NATIVE final-column types on both engines and FAIL on
+            # any family mismatch — the driver's value hash is
+            # type/representation-sensitive (round 8: DuckDB HUGEINT sums
+            # and Spark DECIMAL(38,0) finals hashed differently from BIGINT
+            # even with identical values). res.description collapses types
+            # (HUGEINT -> 'NUMBER'), so use the relation's .types instead.
             stypes = dict(sdf.dtypes)
-            dtypes = {d[0]: str(d[1]) for d in res.description}
-            int_drift = [
-                (c, stypes.get(c), dtypes.get(c))
-                for c in scols
-                if (stypes.get(c) == "int" and "BIGINT" in str(dtypes.get(c, "")).upper())
-                or (stypes.get(c) == "bigint" and str(dtypes.get(c, "")).upper() in ("INTEGER", "HUGEINT"))
-            ]
-            if int_drift:
-                print(f"note  {name}: integer-width drift {int_drift}")
+            try:
+                rel = con.sql(oracles[name])
+                native = dict(zip(rel.columns, [str(t) for t in rel.types]))
+            except Exception:
+                native = {d[0]: str(d[1]) for d in res.description}
+            # Policy (driver-evidence-based, round 8):
+            #  - HUGEINT / DECIMAL finals are UNSAFE on either engine even
+            #    when both engines agree: duckdb .df() converts both to
+            #    float64 while Spark toPandas keeps DECIMAL as object
+            #    Decimals, so the driver's pandas-level hash trips
+            #    (ts_cusum_drift / qc_gini_revenue were DECIMAL(38,0) on
+            #    BOTH engines and still hashed red).
+            #  - int-width drift (int32 vs int64) is hash-safe in practice
+            #    (eval_calibration_bins was int-vs-BIGINT and hashed green
+            #    in r8) — report as a note, not a failure.
+            ints = {"int8", "int16", "int32", "int64"}
+            type_drift, width_note = [], []
+            for c in scols:
+                st = norm_spark_type(str(stypes.get(c)))
+                dt = norm_duck_type(native.get(c, ""))
+                if st.startswith("decimal") or dt.startswith("decimal") or dt == "int128":
+                    type_drift.append((c, stypes.get(c), native.get(c)))
+                elif st in ints and dt in ints:
+                    if st != dt:
+                        width_note.append((c, st, dt))
+                elif st != dt:
+                    type_drift.append((c, stypes.get(c), native.get(c)))
+            if type_drift:
+                status.append(f"TYPE drift (hash would fail): {type_drift}")
+            if width_note:
+                print(f"note  {name}: int-width drift (hash-safe): {width_note}")
         if len(srows) != len(drows):
             status.append(f"rows {len(srows)} vs {len(drows)}")
         if not status:

@@ -98,16 +98,38 @@ def main() -> int:
     print(hdr)
     print("|---|---|---|---|---|---|---|---|")
     all_ok = True
+    # Documented stand-ins (SURVEY §7 doctrine): Spark MLlib has no native
+    # analogue, so cohort-level AUC is gated, not per-row score parity.
+    stand_ins = {"SVM": "LinearSVC+Platt", "XGBoost": "GBTClassifier"}
+    tie_notes = []
     for name, (g_roc, g_pr, g_f1, tol) in TARGETS.items():
         s = summary[name]
         delta = s["roc_auc_mean"] - g_roc
         ok = abs(delta) <= tol
         all_ok &= ok
+        pr_cell = f"{s['pr_auc_mean']:.3f} / {g_pr:.3f}"
+        # PR-AUC tie-convention artifact: a hard 0/1 predictor's PR
+        # "curve" is a step function, so unanchored vs (0,1)-anchored
+        # trapezoids bracket a huge range (WordMatching 0.04 vs 0.99
+        # around golden 0.988*). Star the cell and report both.
+        anch = s.get("pr_auc_anchored_mean", s["pr_auc_mean"])
+        if abs(anch - s["pr_auc_mean"]) > 0.2:
+            pr_cell = f"{s['pr_auc_mean']:.3f}†/ {g_pr:.3f}"
+            tie_notes.append(
+                f"† {name}: hard-prediction step-function artifact — PR-AUC is "
+                f"{s['pr_auc_mean']:.3f} unanchored vs {anch:.3f} with the "
+                f"sklearn-style (recall=0, precision=1) anchor; the golden "
+                f"{g_pr:.3f} uses the anchored convention. BASELINE.md stars "
+                f"this row and gates on ROC/F1 only."
+            )
+        label = f"{name} ({stand_ins[name]} stand-in)" if name in stand_ins else name
         print(
-            f"| {name} | {s['roc_auc_mean']:.3f}±{s['roc_auc_std']:.3f} | {g_roc:.3f} "
-            f"| {delta:+.3f} | ±{tol:.2f} | {s['pr_auc_mean']:.3f} / {g_pr:.3f} "
+            f"| {label} | {s['roc_auc_mean']:.3f}±{s['roc_auc_std']:.3f} | {g_roc:.3f} "
+            f"| {delta:+.3f} | ±{tol:.2f} | {pr_cell} "
             f"| {s['f1_mean']:.3f} / {g_f1:.3f} | {'PASS' if ok else 'FAIL'} |"
         )
+    for note in tie_notes:
+        print(note)
     # 5x2cv paired t-test, the notebook's significance check
     t, p = harness.compare_5x2cv("NaiveBayes", "WordMatching")
     print()
