@@ -129,7 +129,17 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     documents table). Docs shorter than n tokens contribute their
     whole text as the single shingle (same as the clamped-slice
     semantics the DuckDB oracle twin reproduces).
+
+    Runs at the INPUT's parallelism, so a narrow source (a 1-2
+    partition single-file scan) would pin the tokenize+zip+concat CPU
+    to 1-2 cores; fan out round-robin when the input is narrower than
+    the session parallelism (no-op for wide scans — the 100 TB case —
+    and for shuffle-produced inputs, which already arrive at
+    spark.sql.shuffle.partitions).
     """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
     if n == 1:
         grams = toks
@@ -752,6 +762,17 @@ def _dup_gram_positions(
     only exchanges carry gram_hash (frequency count, map-side combined)
     and (id, pos int) rows — text never shuffles.
     """
+    # The tokenize→arrays_zip→md5 projection is the CPU-heavy part of
+    # this family, and it runs at the INPUT's parallelism: a small
+    # single-file parquet scan (1-2 partitions) would pin the whole
+    # corpus's gram hashing to 1-2 cores while 30 idle. Fan out once,
+    # round-robin, when the scan is narrower than the session's
+    # parallelism — a no-op at scale, where a 100 TB scan already has
+    # thousands of splits (this is the one place the family shuffles
+    # text, and only in the small-input regime).
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
     )

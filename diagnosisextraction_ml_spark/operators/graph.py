@@ -48,6 +48,83 @@ def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFram
     ).distinct()
 
 
+def _pagerank_symmetric(
+    edges: DataFrame,
+    n_iter: int,
+    src: str,
+    dst: str,
+    checkpoint_every: int,
+) -> DataFrame:
+    """Exchange-free PageRank over an UNDIRECTED edge list.
+
+    Takes the raw undirected edges (NOT pre-symmetrized) and exploits
+    symmetry twice:
+
+    - **Build is ONE shuffle.** Both arc orientations union'd (dupes
+      fine) → ``groupBy(node).collect_set`` builds the neighbor list —
+      the dedup that ``symmetrize().distinct()`` + a separate degree agg
+      would each pay a shuffle for happens inside the single
+      aggregation's map-side partials. On a symmetric graph the in- and
+      out-neighbor sets coincide, so one adjacency serves both the
+      degree (``size(nbrs)``) and the inbound sum.
+    - **Iterations have ZERO exchanges.** The checkpointed adjacency is
+      hash-partitioned on ``node`` from the build; per iteration,
+      ``explode(nbrs)`` + broadcast-join of the (node, contrib) state +
+      ``groupBy(node)`` all preserve that partitioning, so the per-edge
+      contribution rows never cross the wire — the general path's
+      per-iteration 85·|E|-row shuffle disappears. Every node has
+      deg ≥ 1 on a symmetric graph, so the aggregation covers the full
+      node set and no dangling-node union is needed.
+
+    The state broadcast carries ``contrib = rank div deg`` (deg is a
+    node-local fact), so the arithmetic — div before sum, exact BIGINT —
+    is identical bit-for-bit to the general edge-relation path and the
+    oracle's unrolled CTE.
+
+    Scale bound, stated plainly: rows hold full neighbor lists, so the
+    widest row is O(max degree) — the right representation exactly in
+    the broadcast-state regime (|V| small enough to broadcast implies
+    adjacency rows fit); a billion-node/power-law graph should use the
+    general path, whose edge relation never widens.
+    """
+    und = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    both = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    adj = (
+        both.groupBy(F.col("dst").alias("node"))
+        .agg(F.collect_set("src").alias("nbrs"))
+        .select("node", "nbrs", F.size("nbrs").cast("long").alias("deg"))
+        .localCheckpoint()
+    )
+    state = adj.select(
+        "node",
+        F.lit(BASE_MICRO).cast("long").alias("rank_micro"),
+        F.expr(f"CAST({BASE_MICRO} AS BIGINT) div deg").alias("contrib"),
+    )
+    for i in range(n_iter):
+        stt = F.broadcast(state.select(F.col("node").alias("u"), "contrib"))
+        ranked = (
+            adj.select("node", "deg", F.explode("nbrs").alias("u"))
+            .join(stt, "u")
+            .groupBy("node", "deg")
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                "node",
+                "deg",
+                (F.lit(TELEPORT_MICRO) + F.expr("85 * s div 100"))
+                .cast("long")
+                .alias("rank_micro"),
+            )
+        )
+        state = ranked.select(
+            "node", "rank_micro", F.expr("rank_micro div deg").alias("contrib")
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
+            state = state.localCheckpoint()
+    return state.select("node", "rank_micro")
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 5,
@@ -57,6 +134,7 @@ def pagerank(
     assume_distinct: bool = False,
     broadcast_state: bool | None = None,
     broadcast_threshold: int = 2_000_000,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Exact-integer PageRank over a directed edge list.
 
@@ -88,7 +166,15 @@ def pagerank(
     the |V|-row state per iteration (a billion-node state cannot
     broadcast). The arithmetic is partition-independent either way, so
     both strategies return bit-identical ranks.
+
+    ``symmetric=True`` declares ``edges`` an UNDIRECTED edge list (do
+    NOT pre-:func:`symmetrize` — both orientations are generated and
+    deduplicated internally) and takes :func:`_pagerank_symmetric`'s
+    one-shuffle-build / zero-exchange-iteration plan. Results are
+    bit-identical to ``pagerank(symmetrize(e), assume_distinct=True)``.
     """
+    if symmetric:
+        return _pagerank_symmetric(edges, n_iter, src, dst, checkpoint_every)
     arcs = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         # contract on arbitrary input; symmetrize() output is already
@@ -165,11 +251,12 @@ def pagerank_top(
     src: str = "src",
     dst: str = "dst",
     assume_distinct: bool = False,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Top-k PageRank nodes with a total (rank desc, node asc) order."""
     return (
         pagerank(edges, n_iter=n_iter, src=src, dst=dst,
-                 assume_distinct=assume_distinct)
+                 assume_distinct=assume_distinct, symmetric=symmetric)
         .orderBy(F.desc("rank_micro"), F.asc("node"))
         .limit(k)
     )

@@ -3546,10 +3546,11 @@ def _pagerank_entry(n_iter: int = 5, k: int = 20) -> None:
             (F.col("l_partkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
-        # symmetrize() dedups its union, so the walk input is distinct
-        top = graph.pagerank_top(
-            graph.symmetrize(edges), n_iter=n_iter, k=k, assume_distinct=True
-        )
+        # symmetric=True: raw undirected edges go straight in — the
+        # one-shuffle adjacency build dedups internally and the
+        # iterations run exchange-free (bit-identical to the
+        # symmetrize()+general-path plan; see _pagerank_symmetric)
+        top = graph.pagerank_top(edges, n_iter=n_iter, k=k, symmetric=True)
         return top.select(
             "node",
             F.when(F.col("node") % 2 == 0, F.lit("part"))

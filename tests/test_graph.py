@@ -41,6 +41,25 @@ def test_pagerank_matches_manual_on_triangle_plus_tail(spark):
     assert got[3] > got[4]
 
 
+def test_pagerank_symmetric_path_bit_identical(spark):
+    # symmetric=True (adjacency build, exchange-free iterations) must
+    # reproduce the general edge-relation path bit-for-bit — including
+    # duplicate input edges (collect_set dedups) and both orientations
+    # of the caller's undirected list.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (2, 3), (3, 1)],
+        "src long, dst long",
+    )
+    general = _ranks(graph.pagerank(graph.symmetrize(edges), n_iter=4,
+                                    assume_distinct=True))
+    fast = _ranks(graph.pagerank(edges, n_iter=4, symmetric=True))
+    assert fast == general
+    top_g = graph.pagerank_top(graph.symmetrize(edges), n_iter=3, k=3,
+                               assume_distinct=True).collect()
+    top_f = graph.pagerank_top(edges, n_iter=3, k=3, symmetric=True).collect()
+    assert [tuple(r) for r in top_g] == [tuple(r) for r in top_f]
+
+
 def test_pagerank_sink_node_keeps_teleport_only(spark):
     # directed 1 -> 2: node 1 gets no inbound mass after iteration 1
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
