@@ -5279,6 +5279,55 @@ _cusum_entry()
 
 
 # ===========================================================================
+# Streaming CUSUM final state, batch replay — the driver-checkable twin
+# of streaming/events.streaming_cusum_drift (whose parity otherwise
+# rests on the stream-vs-replay pytest alone). Same output schema as
+# the stateful op's last micro-batch row per key.
+# ===========================================================================
+
+def _stream_cusum_state_entry(
+    mu_micro: int = 50_000_000, threshold_micro: int = 1_000_000_000
+) -> None:
+    from diagnosisextraction_ml_spark.streaming.events import cusum_drift_replay
+
+    sql = f"""
+    WITH d AS (
+      SELECT CAST(event_type AS VARCHAR) AS key, ts, event_id,
+             CAST(round(value * 1000000) AS BIGINT) - {mu_micro} AS dev
+      FROM events
+    ),
+    cs AS (
+      SELECT key, dev,
+             CAST(sum(dev) OVER (PARTITION BY key ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+      FROM d
+    ),
+    agg AS (
+      SELECT key, CAST(count(*) AS BIGINT) AS n_seen,
+             CAST(sum(dev) AS BIGINT) AS s_micro,
+             CAST(min(s) AS BIGINT) AS smin,
+             CAST(max(s) AS BIGINT) AS smax
+      FROM cs GROUP BY key
+    )
+    SELECT key, n_seen, s_micro,
+           s_micro - least(0, smin) AS cusum_up_micro,
+           greatest(0, smax) - s_micro AS cusum_down_micro,
+           s_micro - least(0, smin) >= {threshold_micro} AS drift_up,
+           greatest(0, smax) - s_micro >= {threshold_micro} AS drift_down
+    FROM agg
+    """
+
+    def _fn(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return cusum_drift_replay(ev, mu_micro, threshold_micro)
+
+    register("stream_cusum_state", sql)(_fn)
+
+
+_stream_cusum_state_entry()
+
+
+# ===========================================================================
 # Cross-source duplicate-leakage matrix — which sources re-scraped
 # which (and held-out contamination view). Dup-injected corpus keeps
 # its source column, with the injected copies tagged 'recrawl'.

@@ -277,6 +277,74 @@ CUSUM_SCHEMA = (
 _CUSUM_STATE_SCHEMA = "n bigint, s bigint, smin bigint, smax bigint"
 
 
+def cusum_drift_replay(
+    events: DataFrame,
+    mu_micro: int,
+    threshold_micro: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """BATCH replay of :func:`streaming_cusum_drift`'s final state.
+
+    One row per key with exactly the streaming op's last-micro-batch
+    output (same column names and types as ``CUSUM_SCHEMA``), computed
+    as a relational plan: the per-key running deviation sum is a
+    (ts, tiebreak)-ordered window cumsum, and the state triple
+    (S, min S, max S) collapses to one groupBy — so the stateful
+    streaming operator's semantics are pinned by an oracle-checkable
+    query, not only by the stream-vs-replay pytest. Parity caveat,
+    stated plainly: the stream path rounds ``value·1e6`` with
+    numpy ``rint`` (half-to-even) while this twin uses ``round``
+    (half-away-from-zero) to stay bit-identical with the DuckDB
+    oracle; they differ only for values landing exactly on a
+    half-micro boundary, which the parity test's corpus (2-decimal
+    values) cannot produce.
+
+    Scale: window + groupBy both partition by key; the shuffle payload
+    is (key, dev BIGINT) rows. Deviation sums stay in int64 (a 3e8-µ
+    deviation per row needs ~3e10 rows on one key to approach 2^63).
+    """
+    from pyspark.sql import Window
+
+    mu = int(mu_micro)
+    thr = int(threshold_micro)
+    dev = (
+        F.round(F.col(value_col).cast("double") * 1_000_000, 0).cast("long")
+        - F.lit(mu)
+    )
+    w_run = (
+        Window.partitionBy("key")
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        dev.alias("__dev"),
+    ).select("key", F.col("__dev"), F.sum("__dev").over(w_run).alias("__cs"))
+    agg = staged.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum("__dev").alias("s_micro"),
+        F.min("__cs").alias("__smin"),
+        F.max("__cs").alias("__smax"),
+    )
+    zero = F.lit(0).cast("long")
+    up = F.col("s_micro") - F.least(zero, F.col("__smin"))
+    down = F.greatest(zero, F.col("__smax")) - F.col("s_micro")
+    return agg.select(
+        "key",
+        "n_seen",
+        "s_micro",
+        up.alias("cusum_up_micro"),
+        down.alias("cusum_down_micro"),
+        (up >= F.lit(thr)).alias("drift_up"),
+        (down >= F.lit(thr)).alias("drift_down"),
+    )
+
+
 def streaming_cusum_drift(
     events: DataFrame,
     mu_micro: int,

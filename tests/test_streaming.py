@@ -391,3 +391,14 @@ def test_streaming_cusum_matches_replay(spark, sf_dir, tmp_path):
             s += int(np.rint(v * 1_000_000)) - mu
             smin, smax = min(smin, s), max(smax, s)
         assert got[k] == (len(vals), s, s - min(0, smin), max(0, smax) - s), k
+
+    # and the oracle-checkable batch twin reproduces the same state
+    from diagnosisextraction_ml_spark.streaming.events import cusum_drift_replay
+
+    batch = {
+        r["key"]: (
+            r["n_seen"], r["s_micro"], r["cusum_up_micro"], r["cusum_down_micro"]
+        )
+        for r in cusum_drift_replay(ev, mu, thr).collect()
+    }
+    assert batch == got
