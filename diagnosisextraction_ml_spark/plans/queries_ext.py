@@ -3215,7 +3215,8 @@ def _cohort_sql() -> str:
     ), sz AS (
       SELECT cohort_week, users AS cohort_size FROM grid WHERE week_offset = 0
     )
-    SELECT g.cohort_week, g.week_offset, g.users,
+    SELECT CAST(g.cohort_week AS TIMESTAMP) AS cohort_week,
+           g.week_offset, g.users,
            g.users / s.cohort_size AS retention
     FROM grid g JOIN sz s ON s.cohort_week = g.cohort_week
     """

@@ -77,9 +77,12 @@ def test_cohort_retention_grid(spark):
     df = spark.createDataFrame(
         rows, "user_id long, event_type string, ts timestamp"
     )
+    out = funnel.cohort_retention(df)
+    # cohort_week is a TIMESTAMP final (midnight Monday) — see operator
+    assert dict(out.dtypes)["cohort_week"] == "timestamp"
     got = {
-        (str(r.cohort_week), r.week_offset): (r.users, r.retention)
-        for r in funnel.cohort_retention(df).collect()
+        (str(r.cohort_week.date()), r.week_offset): (r.users, r.retention)
+        for r in out.collect()
     }
     assert got[("2024-01-01", 0)] == (2, 1.0)
     assert got[("2024-01-01", 1)] == (1, 0.5)

@@ -177,6 +177,15 @@ def main() -> int:
                 status.append(f"TYPE drift (hash would fail): {type_drift}")
             if width_note:
                 print(f"note  {name}: int-width drift (hash-safe): {width_note}")
+            # DATE finals have no driver-green precedent (timestamp has
+            # several) and round-trip to pandas differently per engine —
+            # warn so new queries prefer TIMESTAMP finals.
+            date_cols = [
+                c for c in scols if norm_spark_type(str(stypes.get(c))) == "date"
+            ]
+            if date_cols:
+                print(f"note  {name}: DATE finals (driver-hash-unproven class, "
+                      f"prefer TIMESTAMP): {date_cols}")
         if len(srows) != len(drows):
             status.append(f"rows {len(srows)} vs {len(drows)}")
         if not status:
