@@ -1888,6 +1888,10 @@ register("pipeline_corpus_gate", _corpus_gate_sql())(_corpus_gate)
 # Embedding int8 quantization (storage path for the ANN stack)
 # ===========================================================================
 
+# The registered query flattens the int8 vector to (vec_id, idx, q_val)
+# rows: ARRAY finals have no driver-hash-green precedent (each engine's
+# pandas round-trip wraps them differently), while bigint/double rows
+# are the proven class. The operator itself still returns the array.
 register(
     "emb_quantize_int8",
     """
@@ -1896,18 +1900,24 @@ register(
                FROM embeddings),
     m AS (SELECT vec_id, v,
                  list_max(list_transform(v, x -> abs(x))) AS max_abs
-          FROM e)
-    SELECT vec_id,
-           max_abs / 127 AS scale,
-           CASE WHEN max_abs = 0 THEN list_transform(v, x -> 0)
-                ELSE list_transform(v, x -> CAST(ROUND(x / (max_abs / 127)) AS INT))
-           END AS q
-    FROM m
+          FROM e),
+    qv AS (SELECT vec_id,
+                  max_abs / 127 AS scale,
+                  CASE WHEN max_abs = 0 THEN list_transform(v, x -> 0)
+                       ELSE list_transform(v, x -> CAST(ROUND(x / (max_abs / 127)) AS INT))
+                  END AS q
+           FROM m)
+    SELECT vec_id, scale, CAST(u.i - 1 AS BIGINT) AS idx, q[u.i] AS q_val
+    FROM qv CROSS JOIN UNNEST(range(1, len(q) + 1)) u(i)
     """,
 )(
     lambda spark, sf_dir: similarity.quantize_embeddings_int8(
         _t(spark, sf_dir, "embeddings")
-    )
+    ).select(
+        "vec_id",
+        "scale",
+        F.posexplode("q").alias("idx", "q_val"),
+    ).select("vec_id", "scale", F.col("idx").cast("long").alias("idx"), "q_val")
 )
 
 
@@ -3432,8 +3442,8 @@ def _snapshot_diff_entry() -> None:
            CASE WHEN NOT in_old THEN 'added'
                 WHEN NOT in_new THEN 'removed'
                 ELSE 'changed' END AS change_type,
-           CASE WHEN in_old AND in_new THEN ch
-                ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+           CASE WHEN in_old AND in_new THEN array_to_string(ch, ',')
+                ELSE '' END AS changed_cols
     FROM j
     WHERE NOT in_old OR NOT in_new OR len(ch) > 0
     """
@@ -3452,8 +3462,16 @@ def _snapshot_diff_entry() -> None:
             .otherwise(F.col("o_totalprice"))
             .alias("o_totalprice"),
         )
-        return upsert.snapshot_diff(
+        diff = upsert.snapshot_diff(
             old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+        )
+        # ARRAY final flattened to a comma-joined string for the driver
+        # hash (no green precedent for array finals; the changed-column
+        # list is ordered deterministically by the operator)
+        return diff.select(
+            "o_orderkey",
+            "change_type",
+            F.array_join("changed_cols", ",").alias("changed_cols"),
         )
 
     register("upsert_snapshot_diff", sql)(_fn)
