@@ -1069,29 +1069,44 @@ def prefix_filter_jaccard_pairs(
         base = df.select(F.col(id_col), F.col(text_col))
     sh = shingles(base, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    # Document frequency is keyed by the 60-bit gram HASH, not the
+    # string: the (hash, df) relation is 16 B/row, so at modest scale
+    # AQE demotes the rarity join to a runtime broadcast (the string
+    # relation blows the 10 MB threshold and forced a full shuffle of
+    # the shingle rows), and at 100 TB the sort-merge fallback shuffles
+    # 8-byte keys instead of strings. Completeness is unaffected:
+    # prefix filtering only needs ONE consistent global total order —
+    # (df, shingle) over hash-merged counts is still a total order, a
+    # collision merely perturbs where the merged shingles rank, and the
+    # verify join recomputes exact string-level Jaccard, so the output
+    # pair set is bit-identical (the DuckDB twin's string-df order
+    # needs no change).
+    shh = sh.withColumn("__h", md5_hash64(F.col("shingle")))
+    dfreq = shh.groupBy("__h").agg(F.count("*").alias("__df"))
 
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("shingle"))
     ranked = (
-        sh.join(dfreq, "shingle")
+        shh.join(dfreq, "__h")
         .withColumn("__rn", F.row_number().over(w))
         .join(sizes, [id_col])
     )
     prefix = ranked.filter(
         F.col("__rn")
         <= F.col("sz") - F.expr(f"({num} * sz + {den - 1}) DIV {den}") + F.lit(1)
-    ).select(F.col(id_col), "shingle", "sz")
+    ).select(F.col(id_col), "__h", "sz")
 
+    # Candidate equi-join on the hash (8-byte shuffle keys); a collision
+    # can only ADD a candidate pair, which the exact verify join removes.
     a = prefix.select(
-        F.col(id_col).alias("id_a"), "shingle", F.col("sz").alias("sz_a")
+        F.col(id_col).alias("id_a"), "__h", F.col("sz").alias("sz_a")
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), "shingle", F.col("sz").alias("sz_b")
+        F.col(id_col).alias("id_b"), "__h", F.col("sz").alias("sz_b")
     )
     cands = (
-        a.join(b, "shingle")
+        a.join(b, "__h")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.lit(num) * F.greatest("sz_a", "sz_b")
