@@ -58,7 +58,7 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # remaining after rounds 1-8's cumulative 107), leading with the two
     # this round's hardened type sweep also had to fix
     # (dedup_dup_gram_stats, pipeline_search_rerank).
-    "dedup_dup_gram_stats", "pipeline_search_rerank",
+    "dedup_dup_gram_stats", "pipeline_search_rerank", "stream_cusum_state",
     "rel_grouping_sets", "rel_pivot_event_counts", "rel_unpivot_part_attrs",
     "events_props_json", "decontam_ngram_overlap", "prep_stratified_sample",
     "pack_greedy_sequences", "text_nfc_normalized", "prep_mixture_resample",
@@ -72,8 +72,9 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "prep_weighted_sample_es", "scd2_order_priority", "ts_anomaly_hourly",
     "qc_table_checksum", "dedup_boilerplate_sentences", "ts_trend_ols",
     "qc_key_skew_events", "text_zipf_slope", "text_kl_divergence",
-    "events_funnel_latency", "dedup_containment_pairs",
-    # The 8 still-unchecked entries queue here for the round-10 prefix.
+    "events_funnel_latency",
+    # The 9 still-unchecked entries queue here for the round-10 prefix.
+    "dedup_containment_pairs",
     "events_peak_concurrency", "text_pmi_pairs", "qc_source_scorecard",
     "ab_proportion_test", "stream_sliding_counts",
     "events_markov_transitions", "qc_benford_digits", "ts_robust_stats",
