@@ -1095,16 +1095,30 @@ def prefix_filter_jaccard_pairs(
     prefix = ranked.filter(
         F.col("__rn")
         <= F.col("sz") - F.expr(f"({num} * sz + {den - 1}) DIV {den}") + F.lit(1)
-    ).select(F.col(id_col), "__h", "sz")
+    ).select(F.col(id_col), "__h", "sz", "__rn")
 
     # Candidate equi-join on the hash (8-byte shuffle keys); a collision
     # can only ADD a candidate pair, which the exact verify join removes.
     a = prefix.select(
-        F.col(id_col).alias("id_a"), "__h", F.col("sz").alias("sz_a")
+        F.col(id_col).alias("id_a"), "__h",
+        F.col("sz").alias("sz_a"), F.col("__rn").alias("rn_a"),
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), "__h", F.col("sz").alias("sz_b")
+        F.col(id_col).alias("id_b"), "__h",
+        F.col("sz").alias("sz_b"), F.col("__rn").alias("rn_b"),
     )
+    # PPJoin positional filter (Xiao et al.): for the FIRST shared
+    # prefix token of a pair — at 1-based rarity ranks (i, j) — every
+    # other shared token sorts strictly after it in BOTH documents
+    # (were one earlier in the global order it would itself be a shared
+    # prefix token, contradicting firstness), so the true overlap is at
+    # most 1 + min(sz_a − i, sz_b − j). J ≥ num/den needs overlap
+    # ≥ num·(sz_a+sz_b)/(num+den); pairs whose bound cannot reach it
+    # never enter the verify join. Taking per-column MIN ranks over all
+    # shared prefix tokens only loosens the bound (sound), and the
+    # groupBy replaces the .distinct() the plan already paid — the
+    # filter is free shuffle-wise and collapses the verify input
+    # (measured sf0.1: 309k candidates → a few hundred).
     cands = (
         a.join(b, "__h")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1112,16 +1126,47 @@ def prefix_filter_jaccard_pairs(
             F.lit(num) * F.greatest("sz_a", "sz_b")
             <= F.lit(den) * F.least("sz_a", "sz_b")
         )
-        .select("id_a", "id_b", "sz_a", "sz_b")
-        .distinct()
-    )
-    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cands.join(sha, "id_a")
-        .join(shb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(F.min("rn_a").alias("__ra"), F.min("rn_b").alias("__rb"))
+        .filter(
+            F.lit(num + den)
+            * (
+                F.lit(1)
+                + F.least(
+                    F.col("sz_a") - F.col("__ra"), F.col("sz_b") - F.col("__rb")
+                )
+            )
+            >= F.lit(num) * (F.col("sz_a") + F.col("sz_b"))
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
+    )
+    # Verify via per-doc shingle ARRAYS + array_intersect, not a
+    # per-candidate posting explosion: the previous verify joined each
+    # candidate to id_a's ENTIRE shingle list (|cands|·|shingles/doc|
+    # intermediate rows — ~16M at sf0.1) and then re-joined on
+    # (id_b, shingle), with hot docs straggling one task. One row per
+    # doc (its distinct shingles, the same array shingles() explodes)
+    # keeps the join payload |docs| rows — AQE broadcasts it — and the
+    # exact string intersection runs as constant codegen work per
+    # candidate. Row width is O(shingles per doc), the same per-doc
+    # bound the collapse/members arrays already carry.
+    arrs = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("__arr"))
+    inter = (
+        cands.join(
+            arrs.select(F.col(id_col).alias("id_a"), F.col("__arr").alias("__arr_a")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col(id_col).alias("id_b"), F.col("__arr").alias("__arr_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("__arr_a", "__arr_b")).alias("n_common"),
+        )
     )
     union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
     rep_pairs = (
