@@ -94,14 +94,25 @@ def association_rules(
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("item_count"))
     )
-    pairs = (
-        capped.select("tx", F.explode("items").alias("item_a"), "items")
-        .select(
-            "item_a",
-            F.explode(F.filter("items", lambda x: x > F.col("item_a"))).alias(
-                "item_b"
+    # In-basket pair expansion as ONE Generate: items is sorted, so the
+    # (a, b) a<b pairs are a flatten of per-index suffix slices built
+    # inside a single expression. The previous two-explode form first
+    # materialized |items| rows each carrying the FULL basket array
+    # (O(basket²) array copies as Generate input) before the second
+    # explode; this emits the same pair rows with no intermediate
+    # array-per-row blowup.
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
             ),
         )
+    )
+    pairs = (
+        capped.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= min_pair_support)
