@@ -67,6 +67,50 @@ def build_bm25_index(
     return postings, dfreq, stats
 
 
+def _scan_term_tf(
+    docs: DataFrame, terms: list[str], text_col: str, id_col: str
+) -> DataFrame:
+    """(id, dl, __tf0..__tfN) — per-doc term frequencies for a LITERAL
+    term batch, computed in one corpus scan with zero shuffle.
+
+    The query batch is metadata-sized by API contract, so per-doc tf of
+    each term is a projection over the token array (|terms| counted
+    scans of an in-memory array — whole-stage codegen, no (doc, term)
+    row ever exists, nothing exchanges until the vocabulary-sized stats
+    aggregate). This replaces a full-corpus postings build whose
+    groupBy shuffled EVERY token of EVERY document to score a
+    handful of terms — the dominant cost at every scale and pure waste
+    at 100 TB. ``build_bm25_index`` remains the amortized path when a
+    large standing query workload justifies a term-partitioned index.
+
+    Docs with no tokens are excluded, matching the postings-relation
+    semantics (they produce no postings, so they never reach stats or
+    rankings). null text → empty array → excluded likewise.
+    """
+    # The tokenize + per-term counts are CPU-bound projection work that
+    # runs at the input's parallelism — fan a narrow (small single-file)
+    # scan out to the session default, same guard as dedup.shingles();
+    # a wide scan or shuffle-produced input skips it.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
+    toks = ws_tokens(F.col(text_col))
+
+    def _eq(term: str):
+        # single-parameter lambda: a two-parameter one would be taken
+        # as Spark's (element, index) variant
+        return lambda x: x == F.lit(term)
+
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).cast("long").alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).filter(F.col("dl") > 0)
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[tuple[str, str]],
@@ -79,61 +123,94 @@ def bm25_topk(
     ``query_terms`` is [(query_id, term), ...] — already-tokenized
     queries (a retrieval batch is metadata-sized by definition).
     Scores are integer micro-nat-scaled BM25; ties break on id asc.
-    """
-    spark = docs.sparkSession
-    postings, dfreq, stats = build_bm25_index(docs, text_col, id_col)
-    qt = spark.createDataFrame(query_terms, "query_id string, term string")
 
-    one = F.lit(1).alias("j")
-    st = stats.select(one, "n_docs", "total_dl")
-    # idf per (query, term), micro-nat integer from the start
-    idf = (
-        qt.join(F.broadcast(dfreq), ["term"])
-        .select("query_id", "term", "df", one)
-        .join(F.broadcast(st), ["j"])
-        .select(
-            "query_id",
-            "term",
+    Plan: one :func:`_scan_term_tf` corpus pass, one 1-row stats/df
+    aggregate broadcast back, then per-query scores as column
+    arithmetic and one per-query top-k window over matched docs. The
+    arithmetic is the exact expression chain of the indexed
+    formulation (idf quantized to micro-nats first, one rounded
+    double chain per term, integer per-doc sum), so scores — and the
+    DuckDB oracle twin, which still builds postings — are
+    bit-identical; a term with tf = 0 contributes an exact 0, so
+    summing all of a query's terms equals summing matched postings.
+    """
+    terms = sorted({t for _, t in query_terms})
+    tidx = {t: i for i, t in enumerate(terms)}
+    by_query: dict[str, list[int]] = {}
+    for qid, t in query_terms:
+        by_query.setdefault(qid, []).append(tidx[t])
+
+    base = _scan_term_tf(docs, terms, text_col, id_col)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+
+    def term_score(i: int):
+        idf_micro = (
             F.round(
                 F.lit(1_000_000.0)
                 * F.log(
-                    (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
-                    / (F.col("df").cast("double") + F.lit(0.5))
+                    (
+                        F.col("n_docs").cast("double")
+                        - F.col(f"__df{i}").cast("double")
+                        + F.lit(0.5)
+                    )
+                    / (F.col(f"__df{i}").cast("double") + F.lit(0.5))
                     + F.lit(1.0)
                 ),
                 0,
             )
             .cast("long")
-            .alias("idf_micro"),
         )
-    )
-    matched = (
-        postings.join(F.broadcast(idf), ["term"])
-        .select("query_id", id_col, "tf", "dl", "idf_micro", one)
-        .join(F.broadcast(st), ["j"])
-    )
-    tf_d = F.col("tf").cast("double")
-    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
-    term_score = (
-        F.round(
-            (F.col("idf_micro").cast("double") * (tf_d * F.lit(1.0 + BM25_K1)))
-            / (
-                tf_d
-                + F.lit(BM25_K1)
-                * (
-                    F.lit(1.0 - BM25_B)
-                    + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
-                )
-            ),
-            0,
+        tf_d = F.col(f"__tf{i}").cast("double")
+        return (
+            F.round(
+                (idf_micro.cast("double") * (tf_d * F.lit(1.0 + BM25_K1)))
+                / (
+                    tf_d
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+                    )
+                ),
+                0,
+            )
+            .cast("long")
         )
-        .cast("long")
-        .alias("s")
-    )
+
+    q_structs = []
+    for qid, idxs in by_query.items():
+        total = None
+        matched = None
+        for i in idxs:
+            s = term_score(i)
+            total = s if total is None else total + s
+            m = F.col(f"__tf{i}") > 0
+            matched = m if matched is None else (matched | m)
+        q_structs.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                total.alias("score_micro"),
+                matched.alias("matched"),
+            )
+        )
     per_doc = (
-        matched.select("query_id", id_col, term_score)
-        .groupBy("query_id", id_col)
-        .agg(F.sum("s").alias("score_micro"))
+        scored.select(F.col(id_col), F.explode(F.array(*q_structs)).alias("q"))
+        .filter(F.col("q.matched"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col(id_col),
+            F.col("q.score_micro").alias("score_micro"),
+        )
     )
     from pyspark.sql import Window
 
@@ -177,54 +254,79 @@ def qld_topk(
 
     Output: (query_id, rank, id, score_micro), ties on id asc.
     """
-    spark = docs.sparkSession
-    postings, _dfreq, stats = build_bm25_index(docs, text_col, id_col)
-    cfreq = postings.groupBy("term").agg(F.sum("tf").alias("cf"))
-    qt = spark.createDataFrame(query_terms, "query_id string, term string")
-    nq = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_q"))
+    terms = sorted({t for _, t in query_terms})
+    tidx = {t: i for i, t in enumerate(terms)}
+    by_query: dict[str, list[int]] = {}
+    for qid, t in query_terms:
+        by_query.setdefault(qid, []).append(tidx[t])
 
-    one = F.lit(1).alias("j")
-    st = stats.select(one, "total_dl")
-    qterms = (
-        qt.join(F.broadcast(cfreq), ["term"])
-        .select("query_id", "term", "cf", one)
-        .join(F.broadcast(st), ["j"])
-        .select("query_id", "term", "cf", "total_dl")
+    # Same one-scan plan as bm25_topk (see _scan_term_tf): collection
+    # frequencies ride the single stats aggregate, per-(query, doc)
+    # scores are column arithmetic — bit-identical to the indexed
+    # formulation because a tf = 0 term is an exact 0 in the matched
+    # sum (guarded, since cf may be 0 for a term absent from the
+    # corpus) and the dl part is a per-doc constant.
+    base = _scan_term_tf(docs, terms, text_col, id_col)
+    stats = base.agg(
+        F.sum("dl").alias("total_dl"),
+        *[F.sum(f"__tf{i}").alias(f"__cf{i}") for i in range(len(terms))],
     )
-    matched = postings.join(F.broadcast(qterms), ["term"])
-    part = (
-        F.round(
-            F.lit(1_000_000.0)
-            * F.log(
-                F.lit(1.0)
-                + (F.col("tf").cast("double") * F.col("total_dl").cast("double"))
-                / (F.lit(float(mu)) * F.col("cf").cast("double"))
-            ),
-            0,
-        )
-        .cast("long")
-        .alias("s")
-    )
-    per_doc = (
-        matched.select("query_id", id_col, "dl", part)
-        .groupBy("query_id", id_col)
-        .agg(F.sum("s").alias("s_matched"), F.min("dl").alias("dl"))
-    )
+    scored = base.crossJoin(F.broadcast(stats))
+
+    def term_part(i: int):
+        return F.when(
+            F.col(f"__tf{i}") > 0,
+            F.round(
+                F.lit(1_000_000.0)
+                * F.log(
+                    F.lit(1.0)
+                    + (
+                        F.col(f"__tf{i}").cast("double")
+                        * F.col("total_dl").cast("double")
+                    )
+                    / (F.lit(float(mu)) * F.col(f"__cf{i}").cast("double"))
+                ),
+                0,
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
     dl_term = F.round(
         F.lit(1_000_000.0)
         * F.log(F.lit(float(mu)) / (F.col("dl").cast("double") + F.lit(float(mu)))),
         0,
     ).cast("long")
-    scored = per_doc.join(F.broadcast(nq), ["query_id"]).select(
-        "query_id",
-        id_col,
-        (F.col("s_matched") + F.col("n_q") * dl_term).alias("score_micro"),
+    q_structs = []
+    for qid, idxs in by_query.items():
+        total = None
+        matched = None
+        for i in idxs:
+            s = term_part(i)
+            total = s if total is None else total + s
+            m = F.col(f"__tf{i}") > 0
+            matched = m if matched is None else (matched | m)
+        q_structs.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                (total + F.lit(len(idxs)).cast("long") * dl_term).alias(
+                    "score_micro"
+                ),
+                matched.alias("matched"),
+            )
+        )
+    per_doc = (
+        scored.select(F.col(id_col), F.explode(F.array(*q_structs)).alias("q"))
+        .filter(F.col("q.matched"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col(id_col),
+            F.col("q.score_micro").alias("score_micro"),
+        )
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        per_doc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "score_micro")
     )
