@@ -536,3 +536,58 @@ def test_cross_source_dup_matrix(spark):
         for r in cross_source_dup_matrix(df.repartition(5)).collect()
     }
     assert got == again
+
+
+def test_prefix_jaccard_matches_bruteforce_on_random_corpora(spark):
+    """Exact-complete contract under the PPJoin positional filter and
+    hash-keyed rarity order: on random corpora with heavy vocabulary
+    overlap, the operator must return EXACTLY the brute-force all-pairs
+    Jaccard answer — no pair lost to the prefix/positional pruning, no
+    extra pair admitted."""
+    import itertools
+    import random
+
+    from diagnosisextraction_ml_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    def py_shingles(text, n):
+        toks = [t for t in text.lower().strip().split() if t]
+        if not toks:
+            return set()
+        if len(toks) >= n:
+            grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        else:
+            grams = {" ".join(toks)}
+        grams.discard("")
+        return grams
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    for seed, (num, den) in [(0, (1, 2)), (1, (1, 2)), (2, (1, 3))]:
+        rng = random.Random(seed)
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        want = {}
+        sh = {i: py_shingles(t, 2) for i, t in rows}
+        for a, b in itertools.combinations(range(40), 2):
+            sa, sb = sh[a], sh[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if den * inter >= num * union:
+                want[(a, b)] = inter
+        for collapse in (True, False):
+            out = prefix_filter_jaccard_pairs(
+                df, "text", "doc_id", n=2,
+                threshold_num=num, threshold_den=den, collapse_exact=collapse,
+            ).collect()
+            got = {(r["id_a"], r["id_b"]): r["n_common"] for r in out}
+            assert got == want, (seed, num, den, collapse)
+            for r in out:
+                inter = want[(r["id_a"], r["id_b"])]
+                union = len(sh[r["id_a"]] | sh[r["id_b"]])
+                assert abs(r["jaccard"] - inter / union) <= 1e-6

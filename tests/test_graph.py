@@ -114,3 +114,21 @@ def test_hits_partitioning_invariant(spark):
     a = sorted(map(tuple, graph.hits_top(edges.repartition(1), n_iter=3).collect()))
     b = sorted(map(tuple, graph.hits_top(edges.repartition(9), n_iter=3).collect()))
     assert a == b
+
+
+def test_pagerank_symmetric_random_graphs(spark):
+    """Random undirected multigraphs (dupes, reversed dupes, self-loops):
+    the symmetric adjacency path must be bit-identical to
+    symmetrize()+general on every one."""
+    import random
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randint(0, 14), rng.randint(0, 14)) for _ in range(40)
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        general = _ranks(graph.pagerank(graph.symmetrize(df), n_iter=4,
+                                        assume_distinct=True))
+        fast = _ranks(graph.pagerank(df, n_iter=4, symmetric=True))
+        assert fast == general, seed
