@@ -143,3 +143,60 @@ def test_rrf_fuse_combines_rankers(spark):
     assert [r["doc_id"] for r in out] == [20, 10, 40, 30]
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_bm25_and_qld_match_python_on_random_corpora(spark):
+    """Randomized pin of the one-scan scoring path: full output rows
+    (ranking included) must match an independent Python model."""
+    import random
+
+    def py_qld(rows, queries, mu=search.QLD_MU):
+        docs = {i: (t or "").split() for i, t in rows}
+        docs = {i: t for i, t in docs.items() if t}
+        total_dl = sum(len(t) for t in docs.values())
+        cf = {}
+        for toks in docs.values():
+            for term in toks:
+                cf[term] = cf.get(term, 0) + 1
+        n_q = {}
+        for qid, _ in queries:
+            n_q[qid] = n_q.get(qid, 0) + 1
+        matched = {}
+        for qid, term in queries:
+            if term not in cf:
+                continue
+            for i, toks in docs.items():
+                tf = toks.count(term)
+                if not tf:
+                    continue
+                s = round(1e6 * math.log(1.0 + (tf * total_dl) / (mu * cf[term])))
+                key = (qid, i)
+                matched[key] = matched.get(key, 0) + int(s)
+        out = {}
+        for (qid, i), sm in matched.items():
+            dl = len(docs[i])
+            out[(qid, i)] = sm + n_q[qid] * int(
+                round(1e6 * math.log(mu / (dl + mu)))
+            )
+        return out
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg"]
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        queries = [("q1", "aa"), ("q1", "bb"), ("q2", "cc"),
+                   ("q2", "zz"), ("q3", "dd"), ("q3", "dd")]
+        got_b = {
+            (r.query_id, r.doc_id): r.score_micro
+            for r in search.bm25_topk(df, queries, k=100).collect()
+        }
+        assert got_b == _py_bm25(rows, queries), ("bm25", seed)
+        got_q = {
+            (r.query_id, r.doc_id): r.score_micro
+            for r in search.qld_topk(df, queries, k=100).collect()
+        }
+        assert got_q == py_qld(rows, queries), ("qld", seed)
