@@ -1378,6 +1378,7 @@ def ngram_containment_pairs(
     threshold_num: int = 4,
     threshold_den: int = 5,
     max_doc_freq: int | None = 1000,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Asymmetric n-gram containment — quote/subset detection.
 
@@ -1395,20 +1396,58 @@ def ngram_containment_pairs(
 
     Output: (id_a, id_b, n_common, containment_a, containment_b) with
     id_a < id_b; containment_x = n_common / |shingles(x)|.
+
+    ``collapse_exact`` (default on) is the duplicate-multiplicity
+    defense the LSH/prefix operators already carry, and it matters MOST
+    here: the inverted-index join pays C(m,2) pair rows for every
+    m-copy duplicate group INSIDE the doc-freq cap, so a crawl-scale
+    corpus of verbatim clones blows the join quadratically (measured
+    34s at sf1 under gen_sf's 10× multiplicity). Byte-identical texts
+    collapse to one representative BEFORE the index; the doc-freq cap
+    stays exact by weighting each representative's shingles with its
+    group size (Σ sizes = raw doc count per shingle); cross-group pairs
+    expand from representative pairs with the containment values
+    swapped when member order inverts (identical shingle sets ⇒
+    identical values, but the a/b roles follow the id order); and
+    within-group pairs are emitted closed-form with
+    n_common = |allowed shingles| (capped shingles drop out of the
+    intersection exactly as they do uncollapsed). Output row-identical
+    to the uncollapsed run.
     """
     num, den = threshold_num, threshold_den
-    sh = shingles(df, text_col, id_col, n)
+    if collapse_exact:
+        groups = df.groupBy(
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__fp")
+        ).agg(
+            F.array_sort(F.collect_list(id_col)).alias("__members"),
+            F.min(text_col).alias(text_col),
+        )
+        reps = groups.select(
+            F.col("__members")[0].alias(id_col),
+            F.col(text_col),
+            F.col("__members"),
+            F.size("__members").cast("long").alias("__gsz"),
+        ).localCheckpoint()
+        base = reps.select(F.col(id_col), F.col(text_col))
+    else:
+        base = df.select(F.col(id_col), F.col(text_col))
+    sh = shingles(base, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     if max_doc_freq is not None:
-        allowed = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(allowed, "shingle", "left_semi")
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        if collapse_exact:
+            # exact raw-corpus doc frequency: each representative's
+            # shingle counts for its whole duplicate group
+            wsh = sh.join(reps.select(F.col(id_col), "__gsz"), id_col)
+            dfreq = wsh.groupBy("shingle").agg(F.sum("__gsz").alias("__df"))
+        else:
+            dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        allowed = dfreq.filter(F.col("__df") <= max_doc_freq).select("shingle")
+        shf = sh.join(allowed, "shingle", "left_semi")
+    else:
+        shf = sh
+    asz = shf.groupBy(id_col).agg(F.count("*").alias("asz"))
+    a = shf.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shf.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1417,7 +1456,7 @@ def ngram_containment_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
+    rep_pairs = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(
@@ -1432,6 +1471,69 @@ def ngram_containment_pairs(
             F.round(F.col("n_common") / F.col("sz_b"), 6).alias("containment_b"),
         )
     )
+    if not collapse_exact:
+        return rep_pairs
+
+    ma = reps.select(F.col(id_col).alias("id_a"), F.col("__members").alias("__ma"))
+    mb = reps.select(F.col(id_col).alias("id_b"), F.col("__members").alias("__mb"))
+    swap = F.col("u") > F.col("v")
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.explode("__ma").alias("u"), "__mb",
+            "n_common", "containment_a", "containment_b",
+        )
+        .select(
+            "u", F.explode("__mb").alias("v"),
+            "n_common", "containment_a", "containment_b",
+        )
+        .select(
+            F.least("u", "v").alias("id_a"),
+            F.greatest("u", "v").alias("id_b"),
+            "n_common",
+            # containment is ASYMMETRIC: when the member order inverts
+            # the representative order, the a/b values swap roles
+            F.when(swap, F.col("containment_b"))
+            .otherwise(F.col("containment_a"))
+            .alias("containment_a"),
+            F.when(swap, F.col("containment_a"))
+            .otherwise(F.col("containment_b"))
+            .alias("containment_b"),
+        )
+    )
+    intra = (
+        reps.filter(F.size("__members") >= 2)
+        .join(sizes, id_col)
+        .join(asz, id_col)
+        .filter(F.lit(den) * F.col("asz") >= F.lit(num) * F.col("sz"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("__members"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("__members"), i + 2,
+                                F.size(F.col("__members")),
+                            ),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p"),
+            F.col("asz"),
+            F.round(F.col("asz") / F.col("sz"), 6).alias("__c"),
+        )
+        .select(
+            F.col("p.id_a"),
+            F.col("p.id_b"),
+            F.col("asz").alias("n_common"),
+            F.col("__c").alias("containment_a"),
+            F.col("__c").alias("containment_b"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def cross_source_dup_matrix(

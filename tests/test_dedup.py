@@ -591,3 +591,37 @@ def test_prefix_jaccard_matches_bruteforce_on_random_corpora(spark):
                 inter = want[(r["id_a"], r["id_b"])]
                 union = len(sh[r["id_a"]] | sh[r["id_b"]])
                 assert abs(r["jaccard"] - inter / union) <= 1e-6
+
+
+def test_containment_collapse_equivalence(spark):
+    """collapse_exact must be row-identical to the uncollapsed run —
+    including the weighted doc-freq cap (duplicate copies count toward
+    a shingle's raw document frequency) and the swapped asymmetric
+    containment values when member order inverts the rep order."""
+    import random
+
+    for seed, max_df in [(0, None), (1, 3), (2, 2)]:
+        rng = random.Random(seed)
+        vocab = ["aa", "bb", "cc", "dd", "ee"]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 8)))
+            for _ in range(12)
+        ]
+        rows = []
+        i = 0
+        for t in texts:
+            for _ in range(rng.randint(1, 3)):  # planted exact dups
+                rows.append((i, t))
+                i += 1
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kw = dict(n=2, threshold_num=1, threshold_den=2, max_doc_freq=max_df)
+        plain = sorted(
+            map(tuple, dedup.ngram_containment_pairs(
+                df, collapse_exact=False, **kw).collect())
+        )
+        collapsed = sorted(
+            map(tuple, dedup.ngram_containment_pairs(
+                df, collapse_exact=True, **kw).collect())
+        )
+        assert plain == collapsed, (seed, max_df)
