@@ -625,3 +625,35 @@ def test_containment_collapse_equivalence(spark):
                 df, collapse_exact=True, **kw).collect())
         )
         assert plain == collapsed, (seed, max_df)
+
+
+def test_jaccard_collapse_equivalence(spark):
+    """ngram_jaccard_pairs collapse_exact is row-identical to the
+    uncollapsed run, with and without the weighted doc-freq cap."""
+    import random
+
+    for seed, max_df in [(0, None), (1, 3), (2, 2)]:
+        rng = random.Random(seed)
+        vocab = ["aa", "bb", "cc", "dd", "ee"]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 8)))
+            for _ in range(12)
+        ]
+        rows = []
+        i = 0
+        for t in texts:
+            for _ in range(rng.randint(1, 3)):
+                rows.append((i, t))
+                i += 1
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kw = dict(n=2, threshold=0.4, max_doc_freq=max_df)
+        plain = sorted(
+            map(tuple, dedup.ngram_jaccard_pairs(
+                df, collapse_exact=False, **kw).collect())
+        )
+        collapsed = sorted(
+            map(tuple, dedup.ngram_jaccard_pairs(
+                df, collapse_exact=True, **kw).collect())
+        )
+        assert plain == collapsed, (seed, max_df)
