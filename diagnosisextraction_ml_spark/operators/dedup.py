@@ -1076,6 +1076,14 @@ def semantic_dedup(
     )
 
     cents = kmeans_centroids(emb, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    # Narrow-scan fan-out (same guard as embedding_near_dup_pairs): the
+    # k-cosine argmin and the in-cluster pair scan both run at the
+    # input's parallelism, and a small single-file scan pins them to
+    # 1-2 cores. The checkpointed assignment inherits the fanned-out
+    # partitioning, so the pair join parallelizes too.
+    parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < parallelism:
+        emb = emb.repartition(parallelism)
     # localCheckpoint (eager): the k-cosine argmin is the expensive
     # expression — materialize it exactly once and cut the lineage, so
     # neither pair-join side recomputes it and no persisted entry is

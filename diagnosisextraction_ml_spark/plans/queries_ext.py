@@ -3317,7 +3317,12 @@ def _text_semdedup_entry(dim: int = 16, tau: float = 0.99) -> None:
         "SELECT doc_id AS vec_id, list(CAST(v AS DOUBLE) ORDER BY k) AS ev "
         "FROM srp_proj GROUP BY doc_id"
     )
-    cte = _kmeans_assign_cte(k=8, iters=2, emb_body=emb_body)
+    # k=32, not 8: SemDeDup's k must scale with the corpus (clusters of
+    # n/k vectors each pay C(n/k, 2) pair-scan rows — k=8 over the sf1
+    # 55k-doc corpus meant ~190M in-cluster pairs and a 300s wall;
+    # k=32 bounds the quadratic term 16× lower). Both engines use the
+    # same k, so the oracle stays hash-exact.
+    cte = _kmeans_assign_cte(k=32, iters=2, emb_body=emb_body)
     cte = cte.replace("WITH", "WITH" + pre, 1)
     cos_ab = (
         "list_dot_product(a.ev, b.ev)"
@@ -3343,7 +3348,7 @@ def _text_semdedup_entry(dim: int = 16, tau: float = 0.99) -> None:
         emb = _sim.srp_embed_text(corpus, dim=dim).withColumnRenamed(
             "doc_id", "vec_id"
         )
-        return _dd.semantic_dedup(emb, k=8, iters=2, tau=tau)
+        return _dd.semantic_dedup(emb, k=32, iters=2, tau=tau)
 
     register("pipeline_text_semdedup", sql)(_fn)
 
