@@ -53,15 +53,20 @@ def basket_pairs(
         F.array_sort(F.collect_set(F.col(item_col))).alias("items")
     )
     capped = baskets.filter(F.size("items").between(2, max_basket))
-    return (
-        capped.select("tx", F.explode("items").alias("item_a"), "items")
-        .select(
-            "tx",
-            "item_a",
-            F.explode(F.filter("items", lambda x: x > F.col("item_a"))).alias(
-                "item_b"
+    # one Generate of pre-built pair structs — same fusion as
+    # association_rules (the two-explode form copied the full basket
+    # array per item row before the second explode)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
             ),
         )
+    )
+    return capped.select("tx", F.explode(pair_structs).alias("p")).select(
+        "tx", F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b")
     )
 
 
