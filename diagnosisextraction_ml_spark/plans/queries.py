@@ -47,17 +47,24 @@ def register(name: str, sql: str | None):
 # full registry is still verified every round by
 # tools/compare_oracle.py (ORACLE_FULL_r*.txt).
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round 9, slots 1-9: the nine r8 driver-RED queries (final-column
-    # type drift — DuckDB HUGEINT sums / Spark DECIMAL(38,0) finals —
-    # fixed this round by casting finals to BIGINT on both engines).
-    # They lead the prefix so the driver re-hashes them green.
+    # Round 10, slots 1-13: the final 13 registry entries that have
+    # never earned a driver-side row (slots 50-58 of round 9's order
+    # fell just past the 50-query gate; the last 4 were buried at
+    # 115-119 since round 2, when they ran rows-only before their
+    # oracles existed). Green rows here complete cumulative driver
+    # verification at 157/157. text_stemmed and mm_extract_features
+    # are rows-only by design (no SQL stemmer / decode twin).
+    "dedup_containment_pairs", "events_peak_concurrency",
+    "text_pmi_pairs", "qc_source_scorecard", "ab_proportion_test",
+    "stream_sliding_counts", "events_markov_transitions",
+    "qc_benford_digits", "ts_robust_stats", "text_typo_corrected",
+    "pipeline_llm_prep", "text_stemmed", "mm_extract_features",
+    # Slots 14+: round 9's prefix (all green in CORRECTNESS_r09) in its
+    # prior order, so a re-sample keeps re-hashing the most recently
+    # changed families first.
     "search_bm25_topk", "search_qld_topk", "pipeline_search_rrf",
     "quality_token_logodds", "lm_bigram_logprob", "lm_trigram_interp",
     "langid_char_ngram", "ts_cusum_drift", "qc_gini_revenue",
-    # Slots 10-50: never-yet-driver-checked entries (41 of the 49
-    # remaining after rounds 1-8's cumulative 107), leading with the two
-    # this round's hardened type sweep also had to fix
-    # (dedup_dup_gram_stats, pipeline_search_rerank).
     "dedup_dup_gram_stats", "pipeline_search_rerank", "stream_cusum_state",
     "rel_grouping_sets", "rel_pivot_event_counts", "rel_unpivot_part_attrs",
     "events_props_json", "decontam_ngram_overlap", "prep_stratified_sample",
@@ -73,11 +80,6 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "qc_table_checksum", "dedup_boilerplate_sentences", "ts_trend_ols",
     "qc_key_skew_events", "text_zipf_slope", "text_kl_divergence",
     "events_funnel_latency",
-    # The 9 still-unchecked entries queue here for the round-10 prefix.
-    "dedup_containment_pairs",
-    "events_peak_concurrency", "text_pmi_pairs", "qc_source_scorecard",
-    "ab_proportion_test", "stream_sliding_counts",
-    "events_markov_transitions", "qc_benford_digits", "ts_robust_stats",
 )
 
 
