@@ -1029,7 +1029,7 @@ def semantic_dedup(
     tau: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    method: str = "expr",
+    method: str = "numpy",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-cluster semantic dedup.
 
@@ -1054,18 +1054,23 @@ def semantic_dedup(
     Two pair-scan engines (the repo's parity-path/scale-path pattern,
     cf. operators/evaluate.py):
 
-    - ``method="expr"`` (default, oracle parity): equi-join on the
-      cluster id + per-pair cosine expression, rounded to 1e-6 before
-      the threshold compare — bit-identical to the DuckDB replay
+    - ``method="numpy"`` (default, production + registry path since
+      round 10): applyInPandas per cluster, the pair scan as blocked
+      BLAS matmuls (measured ~40× at sf1 k=80 — PERF.md). Same tau on
+      the same 1e-6-rounded cosines.
+    - ``method="expr"`` (oracle-twin replay): equi-join on the cluster
+      id + per-pair cosine expression, rounded to 1e-6 before the
+      threshold compare — bit-identical to the DuckDB replay
       (dedup_semantic / pipeline_text_semdedup oracles). Higher-order
-      array lambdas are interpreted, so per-pair cost is real: right
-      for oracle-scale and modest clusters.
-    - ``method="numpy"`` (scale path): applyInPandas per cluster, the
-      pair scan as blocked BLAS matmuls (measured ~40× at sf1 k=80 —
-      PERF.md). Same tau on the same 1e-6-rounded cosines; float
-      summation order differs from the sequential expression, so
-      exact-tie boundary cases could in principle differ — the fixture
-      tests pin equality of both engines on planted data.
+      array lambdas are interpreted, so per-pair cost is real: kept
+      only as the cross-engine parity witness.
+
+    Float summation order differs between the two (BLAS blocks vs the
+    sequential aggregate expression), so exact-tie boundary cases
+    could in principle diverge; equality of the two engines is pinned
+    on planted fixtures AND hash-pinned on the real testdata
+    embeddings (tests/test_dedup.py), which is what licenses serving
+    the numpy path against the expression-replay DuckDB oracle.
 
     Output: (id, cluster, is_dup) — one row per input embedding.
     """

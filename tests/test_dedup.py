@@ -473,6 +473,25 @@ def test_semantic_dedup_numpy_path_matches_expr(spark, planted_embeddings):
     assert a == b
 
 
+def test_semantic_dedup_numpy_matches_expr_on_testdata(spark, sf_dir):
+    # The registry serves the numpy scan while the DuckDB oracle
+    # replays the expression path — pin their row-level equality on
+    # the REAL embeddings table (the registered dedup_semantic args),
+    # not just planted fixtures, so the swap can't drift silently.
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(
+        map(tuple, dedup.semantic_dedup(emb, k=8, iters=2, tau=0.4,
+                                        method="expr").collect())
+    )
+    b = sorted(
+        map(tuple, dedup.semantic_dedup(emb, k=8, iters=2, tau=0.4,
+                                        method="numpy").collect())
+    )
+    assert a == b
+
+
 def test_containment_detects_subset_that_jaccard_misses(spark):
     short = "alpha beta gamma delta epsilon zeta"
     long = short + " " + " ".join(f"filler{i}" for i in range(40))
