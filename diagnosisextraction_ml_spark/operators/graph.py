@@ -54,7 +54,8 @@ def _pagerank_symmetric(
     src: str,
     dst: str,
     checkpoint_every: int,
-) -> DataFrame:
+    broadcast_threshold: int,
+) -> DataFrame | None:
     """Exchange-free PageRank over an UNDIRECTED edge list.
 
     Takes the raw undirected edges (NOT pre-symmetrized) and exploits
@@ -85,7 +86,11 @@ def _pagerank_symmetric(
     widest row is O(max degree) — the right representation exactly in
     the broadcast-state regime (|V| small enough to broadcast implies
     adjacency rows fit); a billion-node/power-law graph should use the
-    general path, whose edge relation never widens.
+    general path, whose edge relation never widens. The bound is
+    ENFORCED, not just documented: after the adjacency materializes,
+    |V| > ``broadcast_threshold`` returns None and :func:`pagerank`
+    reroutes to the general shuffle-join plan (bit-identical ranks),
+    instead of broadcasting an unbroadcastable state every iteration.
     """
     und = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     both = und.unionByName(
@@ -97,6 +102,8 @@ def _pagerank_symmetric(
         .select("node", "nbrs", F.size("nbrs").cast("long").alias("deg"))
         .localCheckpoint()
     )
+    if adj.count() > broadcast_threshold:
+        return None  # caller falls back to the general shuffle-join path
     state = adj.select(
         "node",
         F.lit(BASE_MICRO).cast("long").alias("rank_micro"),
@@ -170,11 +177,26 @@ def pagerank(
     ``symmetric=True`` declares ``edges`` an UNDIRECTED edge list (do
     NOT pre-:func:`symmetrize` — both orientations are generated and
     deduplicated internally) and takes :func:`_pagerank_symmetric`'s
-    one-shuffle-build / zero-exchange-iteration plan. Results are
-    bit-identical to ``pagerank(symmetrize(e), assume_distinct=True)``.
+    one-shuffle-build / zero-exchange-iteration plan while |V| ≤
+    ``broadcast_threshold``; above it the call falls back to the
+    general shuffle-join path automatically. Results are bit-identical
+    to ``pagerank(symmetrize(e), assume_distinct=True)`` either way.
     """
     if symmetric:
-        return _pagerank_symmetric(edges, n_iter, src, dst, checkpoint_every)
+        result = _pagerank_symmetric(
+            edges, n_iter, src, dst, checkpoint_every, broadcast_threshold
+        )
+        if result is not None:
+            return result
+        # |V| exceeds the broadcast-state bound: the zero-exchange plan
+        # would broadcast an unbroadcastable |V|-row state every
+        # iteration. Reroute to the general edge-relation path (both
+        # orientations, distinct — exactly symmetrize()'s contract) on
+        # its shuffle-join state strategy; ranks are bit-identical.
+        edges = symmetrize(edges, src=src, dst=dst)
+        src, dst = "src", "dst"
+        assume_distinct = True
+        broadcast_state = False
     arcs = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         # contract on arbitrary input; symmetrize() output is already

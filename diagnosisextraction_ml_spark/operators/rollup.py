@@ -372,14 +372,37 @@ def cusum_drift(
     # representation-sensitive hash trips even on equal values (round-8
     # driver finding). Micro-unit CUSUM magnitudes fit int64 far past
     # the tested scales (|S| < 1e6·Σ|v|; overflow would need ~9e12
-    # value-units of accumulated one-sided deviation per key).
+    # value-units of accumulated one-sided deviation per key) — and the
+    # bound is enforced, not assumed: Spark's non-ANSI decimal→long
+    # cast silently NULLs on overflow while the DuckDB twin's
+    # CAST(.. AS BIGINT) errors, so an out-of-range sum raises here
+    # (both engines fail loudly) instead of diverging silently.
+    i64 = F.lit("9223372036854775807").cast("decimal(38,0)")
+
+    def to_long_checked(c, name: str):
+        return (
+            F.when(
+                c.between(-i64, i64),
+                c.cast("long"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        f"cusum_drift: {name} overflows BIGINT (got %s)",
+                        c.cast("string"),
+                    )
+                ).cast("long")
+            )
+            .alias(name)
+        )
+
     return staged.select(
         *key_cols,
         bucket_col,
         value_col,
-        F.col("__s").cast("long").alias("s_micro"),
-        up.cast("long").alias("cusum_up_micro"),
-        down.cast("long").alias("cusum_down_micro"),
+        to_long_checked(F.col("__s"), "s_micro"),
+        to_long_checked(up, "cusum_up_micro"),
+        to_long_checked(down, "cusum_down_micro"),
         (up >= F.lit(int(threshold_micro)).cast("decimal(38,0)")).alias("drift_up"),
         (down >= F.lit(int(threshold_micro)).cast("decimal(38,0)")).alias("drift_down"),
     )

@@ -67,6 +67,28 @@ def build_bm25_index(
     return postings, dfreq, stats
 
 
+# _scan_term_tf emits one counted-projection column per distinct term,
+# so a batch of T distinct terms costs O(corpus_tokens × T) and very
+# wide batches additionally risk Catalyst expression-size limits. The
+# "metadata-sized" contract is enforced here, not just documented: a
+# standing workload wider than this belongs on build_bm25_index's
+# term-partitioned postings, amortized across queries.
+MAX_SCAN_TERMS = 256
+
+
+def _empty_topk(docs: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row (query_id, rank, id, score_micro) with the id column's
+    real type taken from ``docs`` — the shape every ``*_topk`` returns,
+    used for the empty-query-batch early exit (an empty F.array() of
+    query structs is an AnalysisException, not an empty result)."""
+    return docs.select(
+        F.lit("").alias("query_id"),
+        F.lit(1).alias("rank"),
+        F.col(id_col),
+        F.lit(0).cast("long").alias("score_micro"),
+    ).limit(0)
+
+
 def _scan_term_tf(
     docs: DataFrame, terms: list[str], text_col: str, id_col: str
 ) -> DataFrame:
@@ -91,6 +113,13 @@ def _scan_term_tf(
     # runs at the input's parallelism — fan a narrow (small single-file)
     # scan out to the session default, same guard as dedup.shingles();
     # a wide scan or shuffle-produced input skips it.
+    if len(terms) > MAX_SCAN_TERMS:
+        raise ValueError(
+            f"query batch has {len(terms)} distinct terms; the one-scan "
+            f"scorer is contracted to metadata-sized batches "
+            f"(<= {MAX_SCAN_TERMS}). Build a standing index with "
+            f"build_bm25_index and score against postings instead."
+        )
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < parallelism:
         docs = docs.repartition(parallelism)
@@ -134,6 +163,8 @@ def bm25_topk(
     bit-identical; a term with tf = 0 contributes an exact 0, so
     summing all of a query's terms equals summing matched postings.
     """
+    if not query_terms:
+        return _empty_topk(docs, id_col)
     terms = sorted({t for _, t in query_terms})
     tidx = {t: i for i, t in enumerate(terms)}
     by_query: dict[str, list[int]] = {}
@@ -254,6 +285,8 @@ def qld_topk(
 
     Output: (query_id, rank, id, score_micro), ties on id asc.
     """
+    if not query_terms:
+        return _empty_topk(docs, id_col)
     terms = sorted({t for _, t in query_terms})
     tidx = {t: i for i, t in enumerate(terms)}
     by_query: dict[str, list[int]] = {}

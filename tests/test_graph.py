@@ -132,3 +132,17 @@ def test_pagerank_symmetric_random_graphs(spark):
                                         assume_distinct=True))
         fast = _ranks(graph.pagerank(df, n_iter=4, symmetric=True))
         assert fast == general, seed
+
+
+def test_pagerank_symmetric_over_threshold_falls_back(spark):
+    # Above the broadcast-state bound the symmetric fast path must
+    # reroute to the general shuffle-join plan (not broadcast a state
+    # it documented as unbroadcastable) — and stay bit-identical.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    general = _ranks(graph.pagerank(graph.symmetrize(edges), n_iter=3,
+                                    assume_distinct=True))
+    forced = _ranks(graph.pagerank(edges, n_iter=3, symmetric=True,
+                                   broadcast_threshold=2))  # |V|=5 > 2
+    assert forced == general

@@ -492,3 +492,16 @@ def test_gini_hand_cases(spark):
     a = gini_coefficient(t.coalesce(1), "v", (0.0, 10.0)).collect()[0]
     b = gini_coefficient(t.repartition(5), "v", (0.0, 10.0)).collect()[0]
     assert a["gini_micro"] == b["gini_micro"] == 250_000
+
+
+def test_cusum_overflow_raises_not_nulls(spark):
+    from diagnosisextraction_ml_spark.operators.rollup import cusum_drift
+
+    # A running micro-unit sum past int64 must FAIL LOUDLY (matching
+    # the DuckDB twin's CAST(.. AS BIGINT) error), not silently NULL
+    # through Spark's non-ANSI decimal->long cast.
+    big = 9_300_000_000_000  # 9.3e12 * 1e6 deviation overflows int64
+    rows = [("k", 0, 0), ("k", 1, 2 * big)]
+    df = spark.createDataFrame(rows, "key string, t int, v long")
+    with pytest.raises(Exception, match="overflows BIGINT"):
+        cusum_drift(df, ["key"], "t", "v", 10**6).collect()

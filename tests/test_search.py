@@ -200,3 +200,24 @@ def test_bm25_and_qld_match_python_on_random_corpora(spark):
             for r in search.qld_topk(df, queries, k=100).collect()
         }
         assert got_q == py_qld(rows, queries), ("qld", seed)
+
+
+def test_empty_query_batch_returns_empty_frame(spark, corpus):
+    # An empty batch used to blow up building F.array() of zero query
+    # structs (AnalysisException); it must return a zero-row frame with
+    # the standard top-k shape instead.
+    for fn in (search.bm25_topk, search.qld_topk):
+        out = fn(corpus, [], k=5)
+        assert out.columns == ["query_id", "rank", "doc_id", "score_micro"]
+        assert out.count() == 0
+        assert dict(out.dtypes)["doc_id"] == "bigint"
+
+
+def test_wide_term_batch_rejected(spark, corpus):
+    # The one-scan scorer costs O(corpus_tokens x distinct_terms): the
+    # metadata-sized contract is enforced, pointing at the index path.
+    wide = [("q", f"term{i}") for i in range(search.MAX_SCAN_TERMS + 1)]
+    with pytest.raises(ValueError, match="build_bm25_index"):
+        search.bm25_topk(corpus, wide)
+    with pytest.raises(ValueError, match="build_bm25_index"):
+        search.qld_topk(corpus, wide)
