@@ -59,7 +59,11 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "stream_sliding_counts", "events_markov_transitions",
     "qc_benford_digits", "ts_robust_stats", "text_typo_corrected",
     "pipeline_llm_prep", "text_stemmed", "mm_extract_features",
-    # Slots 14+: round 9's prefix (all green in CORRECTNESS_r09) in its
+    # Slot 14: new this round (round 10) — the DOULION sampled triangle
+    # estimator, inside the gate prefix so it gets a driver row on its
+    # first appearance.
+    "graph_triangle_doulion",
+    # Slots 15+: round 9's prefix (all green in CORRECTNESS_r09) in its
     # prior order, so a re-sample keeps re-hashing the most recently
     # changed families first.
     "search_bm25_topk", "search_qld_topk", "pipeline_search_rrf",

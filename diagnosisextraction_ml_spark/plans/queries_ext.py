@@ -3849,6 +3849,65 @@ def _triangle_entry(max_basket: int = 64) -> None:
 _triangle_entry()
 
 
+def _triangle_doulion_entry(
+    max_basket: int = 64, keep_num: int = 1, keep_den: int = 4
+) -> None:
+    """DOULION sampled triangle estimate — the dense-graph scale path
+    beside the exact graph_triangle_count (which stays the exact
+    oracle). The md5-coin edge sampling is deterministic, so even the
+    sampled count is replayed hash-exact by DuckDB."""
+    from diagnosisextraction_ml_spark.functions.hashing import md5_hash64_sql
+    from diagnosisextraction_ml_spark.operators import assoc
+
+    coin = md5_hash64_sql("concat(u, ':', v)")
+    scale_num, scale_den = keep_den**3, keep_num**3
+    sql = f"""
+    WITH baskets AS (
+      SELECT l_orderkey AS tx, list_sort(list(DISTINCT l_partkey)) AS items
+      FROM lineitem GROUP BY l_orderkey
+      HAVING len(list(DISTINCT l_partkey)) BETWEEN 2 AND {max_basket}
+    ), und AS (
+      SELECT DISTINCT a.item AS u, b.item AS v
+      FROM (SELECT tx, unnest(items) AS item FROM baskets) a
+      JOIN (SELECT tx, unnest(items) AS item FROM baskets) b
+        ON a.tx = b.tx AND b.item > a.item
+    ), kept AS (
+      SELECT u, v FROM und WHERE ({coin}) % {keep_den} < {keep_num}
+    ), deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS n FROM kept UNION ALL SELECT v FROM kept
+      ) GROUP BY n
+    ), dag AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+      FROM kept e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n
+    ), tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM dag e1 JOIN dag e2 ON e1.t = e2.s JOIN dag e3
+        ON e3.s = e1.s AND e3.t = e2.t
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_sampled_edges,
+           n_triangles AS n_triangles_sampled,
+           CAST(n_triangles * {scale_num} // {scale_den} AS BIGINT)
+             AS n_triangles_est
+    FROM tri
+    """
+
+    def _fn(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        edges = assoc.basket_pairs(
+            li, tx_col="l_orderkey", item_col="l_partkey", max_basket=max_basket
+        ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+        return assoc.triangle_count_sampled(
+            edges, keep_num=keep_num, keep_den=keep_den
+        )
+
+    register("graph_triangle_doulion", sql)(_fn)
+
+
+_triangle_doulion_entry()
+
+
 def _checksum_entry() -> None:
     from diagnosisextraction_ml_spark.functions.hashing import md5_hash64
     from diagnosisextraction_ml_spark.operators import profile

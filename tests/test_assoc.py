@@ -135,3 +135,45 @@ def test_table_checksum_empty_table(spark):
     h = md5_hash64(F.expr("concat_ws('|', CAST(id AS STRING), s)"))
     row = profile.table_checksum(df, "empty", h).collect()[0]
     assert (row["n_rows"], row["xor_checksum"]) == (0, 0)
+
+
+def test_triangle_doulion_full_keep_equals_exact(spark):
+    # p = 1 keeps every edge: the "estimate" must equal the exact count
+    # on any graph (sampled-count path == exact path end to end).
+    import random
+
+    rng = random.Random(7)
+    edges = list({tuple(sorted(rng.sample(range(30), 2))) for _ in range(150)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    exact = assoc.triangle_count(df).collect()[0]["n_triangles"]
+    row = assoc.triangle_count_sampled(df, keep_num=1, keep_den=1).collect()[0]
+    assert row["n_triangles_sampled"] == exact
+    assert row["n_triangles_est"] == exact
+    assert row["n_sampled_edges"] == len(edges)
+
+
+def test_triangle_doulion_deterministic_and_unbiased_ballpark(spark):
+    # md5-coin sampling: identical result at any partitioning, and the
+    # p^-3 blow-up lands within a loose factor of the exact count on a
+    # triangle-rich graph (DOULION's 1/sqrt(T) error at modest T).
+    from itertools import combinations as combs
+
+    edges = [(a, b) for a, b in combs(range(24), 2)]  # K24: 2024 triangles
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = assoc.triangle_count_sampled(df.coalesce(1), keep_num=1, keep_den=2)
+    b = assoc.triangle_count_sampled(df.repartition(16), keep_num=1, keep_den=2)
+    ra, rb = a.collect()[0], b.collect()[0]
+    assert tuple(ra) == tuple(rb)
+    exact = assoc.triangle_count(df).collect()[0]["n_triangles"]
+    assert exact == 2024
+    assert 0.5 * exact <= ra["n_triangles_est"] <= 1.5 * exact
+
+
+def test_triangle_doulion_rejects_bad_rate(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        assoc.triangle_count_sampled(df, keep_num=3, keep_den=2)
+    with pytest.raises(ValueError):
+        assoc.triangle_count_sampled(df, keep_num=0, keep_den=2)
