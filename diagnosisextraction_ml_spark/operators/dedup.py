@@ -120,8 +120,11 @@ def dedup_first_seen_within_horizon(
 # shingling + MinHash
 # --------------------------------------------------------------------------
 
-def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document → (id, shingle).
+def shingle_arrays(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """One row per document: (id, __grams array<string>) — the DISTINCT
+    word n-gram shingles, kept in array form (no explode, no shuffle).
 
     Built as ``arrays_zip`` of n shifted slices + one concat per
     position — 2 array copies total instead of one ``slice`` copy per
@@ -151,8 +154,17 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
             lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(n)]),
         )
         grams = F.when(sz >= n, full).otherwise(F.array(F.array_join(toks, " ")))
-    return df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")).filter(
-        F.col("shingle") != ""
+    return df.select(
+        F.col(id_col),
+        F.filter(F.array_distinct(grams), lambda g: g != "").alias("__grams"),
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle) rows
+    (the exploded view of :func:`shingle_arrays`)."""
+    return shingle_arrays(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("__grams").alias("shingle")
     )
 
 
@@ -1151,12 +1163,26 @@ def prefix_filter_jaccard_pairs(
     capped index buys with approximation — here it falls out of the
     math with zero loss.
 
-    Plan shape: dfreq groupBy (map-side combined) + per-DOC window
-    (partitioned by id — never a global rank; the rarity order is used
-    as a sort key, not materialized) + prefix self-equi-join on the
-    shingle with the size-ratio prune ``num·max(|x|,|y|) ≤
-    den·min(|x|,|y|)`` + verify join counting the true intersection
-    only for surviving candidates.
+    Plan shape (hash-level prefix build, round 10): the candidate
+    phase runs entirely on the 60-bit gram-HASH quotient of each
+    document's shingle set — (id, hash) pairs are all that ever
+    shuffle. Document frequency attaches via a count window over the
+    hash partitioning (ONE exchange — replacing the former dfreq
+    groupBy + shuffle join pair), the rarity rank is a per-DOC window
+    ordered by (df, hash) (never a global rank), the per-doc set size
+    rides along as ``size()`` of the pre-computed distinct-hash array
+    (no size aggregation), then prefix self-equi-join with the
+    size-ratio prune ``num·max(|x|,|y|) ≤ den·min(|x|,|y|)`` + verify
+    join computing the true string-level intersection only for
+    surviving candidates. Exactness on the quotient: hashing is a set
+    quotient map, and Jaccard never decreases under a quotient
+    (intersections can only merge together, the union only shrinks),
+    so J_string ≥ t ⇒ J_hash ≥ t and hash-level prefix filtering with
+    hash-level sizes finds every true pair; collisions only ADD
+    candidates, which the exact string verify removes. Measured
+    sf0.1 (warm): full query ~3.9s → ~2.6s once strings stopped
+    riding the exchanges (prefix build alone ~5.2s → ~1.8s; one fewer
+    shuffle, and what remains carries 24-byte rows).
 
     The threshold is the exact rational ``num/den`` and the accept
     test is integer cross-multiplication — no float compare anywhere;
@@ -1190,35 +1216,46 @@ def prefix_filter_jaccard_pairs(
         base = reps.select(F.col(id_col), F.col(text_col))
     else:
         base = df.select(F.col(id_col), F.col(text_col))
-    sh = shingles(base, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    # Document frequency is keyed by the 60-bit gram HASH, not the
-    # string: the (hash, df) relation is 16 B/row, so at modest scale
-    # AQE demotes the rarity join to a runtime broadcast (the string
-    # relation blows the 10 MB threshold and forced a full shuffle of
-    # the shingle rows), and at 100 TB the sort-merge fallback shuffles
-    # 8-byte keys instead of strings. Completeness is unaffected:
-    # prefix filtering only needs ONE consistent global total order —
-    # (df, shingle) over hash-merged counts is still a total order, a
-    # collision merely perturbs where the merged shingles rank, and the
-    # verify join recomputes exact string-level Jaccard, so the output
-    # pair set is bit-identical (the DuckDB twin's string-df order
-    # needs no change).
-    shh = sh.withColumn("__h", md5_hash64(F.col("shingle")))
-    dfreq = shh.groupBy("__h").agg(F.count("*").alias("__df"))
+    # One array-native pass computes BOTH candidate inputs: the
+    # distinct string shingles (verify side — consumed as arrays, so
+    # the old collect_list re-shuffle of every shingle string is gone)
+    # and their distinct 60-bit hash set + its size (candidate side).
+    # localCheckpoint: consumed by the hash explode AND the two verify
+    # joins; without it the tokenize+zip CPU reruns per consumer.
+    sharr = (
+        shingle_arrays(base, text_col, id_col, n)
+        .withColumn(
+            "__harr",
+            # xxhash64, not md5: this hash never leaves the Spark plan
+            # (the oracle twin is string-level), so the cheap
+            # non-cryptographic JVM hash wins — md5 per gram was
+            # measurable CPU at sf0.1
+            F.array_distinct(F.transform("__grams", lambda g: F.xxhash64(g))),
+        )
+        .localCheckpoint()
+    )
+    hs = sharr.select(
+        F.col(id_col),
+        F.size("__harr").cast("long").alias("sz"),
+        F.explode("__harr").alias("__h"),
+    )
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("shingle"))
-    ranked = (
-        shh.join(dfreq, "__h")
-        .withColumn("__rn", F.row_number().over(w))
-        .join(sizes, [id_col])
+    # df via a count window over the hash partitioning — one exchange
+    # where groupBy-then-join paid an aggregation shuffle plus a join
+    # shuffle; only (id, sz, hash) ever crosses the wire.
+    wdf = Window.partitionBy("__h")
+    wdoc = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__h"))
+    prefix = (
+        hs.withColumn("__df", F.count(F.lit(1)).over(wdf))
+        .withColumn("__rn", F.row_number().over(wdoc))
+        .filter(
+            F.col("__rn")
+            <= F.col("sz") - F.expr(f"({num} * sz + {den - 1}) DIV {den}") + F.lit(1)
+        )
+        .select(F.col(id_col), "__h", "sz", "__rn")
     )
-    prefix = ranked.filter(
-        F.col("__rn")
-        <= F.col("sz") - F.expr(f"({num} * sz + {den - 1}) DIV {den}") + F.lit(1)
-    ).select(F.col(id_col), "__h", "sz", "__rn")
 
     # Candidate equi-join on the hash (8-byte shuffle keys); a collision
     # can only ADD a candidate pair, which the exact verify join removes.
@@ -1268,30 +1305,32 @@ def prefix_filter_jaccard_pairs(
     # candidate to id_a's ENTIRE shingle list (|cands|·|shingles/doc|
     # intermediate rows — ~16M at sf0.1) and then re-joined on
     # (id_b, shingle), with hot docs straggling one task. One row per
-    # doc (its distinct shingles, the same array shingles() explodes)
+    # doc (the checkpointed distinct-shingle array — no re-shuffle)
     # keeps the join payload |docs| rows — AQE broadcasts it — and the
     # exact string intersection runs as constant codegen work per
-    # candidate. Row width is O(shingles per doc), the same per-doc
-    # bound the collapse/members arrays already carry.
-    arrs = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("__arr"))
+    # candidate. The accept test and the reported jaccard use exact
+    # STRING-level sizes (size of the distinct arrays), independent of
+    # the hash-level sz the candidate phase pruned with.
+    arrs = sharr.select(F.col(id_col), "__grams")
     inter = (
-        cands.join(
-            arrs.select(F.col(id_col).alias("id_a"), F.col("__arr").alias("__arr_a")),
+        cands.select("id_a", "id_b")
+        .join(
+            arrs.select(F.col(id_col).alias("id_a"), F.col("__grams").alias("__arr_a")),
             "id_a",
         )
         .join(
-            arrs.select(F.col(id_col).alias("id_b"), F.col("__arr").alias("__arr_b")),
+            arrs.select(F.col(id_col).alias("id_b"), F.col("__grams").alias("__arr_b")),
             "id_b",
         )
         .select(
             "id_a",
             "id_b",
-            "sz_a",
-            "sz_b",
+            F.size("__arr_a").alias("__sa"),
+            F.size("__arr_b").alias("__sb"),
             F.size(F.array_intersect("__arr_a", "__arr_b")).alias("n_common"),
         )
     )
-    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    union_sz = F.col("__sa") + F.col("__sb") - F.col("n_common")
     rep_pairs = (
         inter.filter(F.lit(den) * F.col("n_common") >= F.lit(num) * union_sz)
         .select(
@@ -1333,8 +1372,11 @@ def prefix_filter_jaccard_pairs(
     )
     out = cross
     if num <= den:  # J = 1 passes the threshold: within-group pairs
+        str_sizes = sharr.select(
+            F.col(id_col), F.size("__grams").cast("long").alias("sz")
+        )
         intra = (
-            reps.join(sizes, id_col)
+            reps.join(str_sizes, id_col)
             .filter(F.size("__members") >= 2)
             .select(
                 F.explode(
