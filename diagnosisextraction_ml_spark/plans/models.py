@@ -305,7 +305,11 @@ def build_model_pipeline(
     if name == "XGBoost":
         # M9: the reference trains xgboost.XGBClassifier (xgboost==0.90
         # pinned in ml_env.yml; output_files/predXGBoost.csv is its
-        # prediction dump, golden ROC-AUC 0.976). Spark MLlib has no
+        # prediction dump — ROC-AUC 0.976 on a separate n=1000 / 8.9%-
+        # prevalence cohort whose inputs are not in the repo; on the
+        # replayable EP2 cohort the reference's own boosted trees land
+        # 0.902, so the golden gate compares against THAT matched
+        # number — see tools/golden_report.py). Spark MLlib has no
         # XGBoost, so this is GBTClassifier with XGBoost-0.90-flavored
         # defaults (n_estimators=100, max_depth=3, learning_rate=0.1 →
         # maxIter/maxDepth/stepSize). Semantic difference, stated

@@ -44,12 +44,20 @@ TARGETS: dict[str, tuple[float, float, float, float]] = {
     "WordMatching": (0.828, 0.988, 0.854, 0.06),
     "DecisionTree": (0.721, 0.949, 0.755, 0.10),
     "Dummy": (0.517, 0.823, 0.533, 0.10),
-    # predXGBoost.csv is a DIFFERENT cohort from the other dumps (1000
-    # rows, 89 positive — ~9% prevalence vs sample_data's 50%), so its
-    # golden AUC is not directly comparable to an EP2 run on
-    # autocorrect_dummydata; the tolerance is widened accordingly and
-    # the model is the sanctioned GBT stand-in (plans/models.py M9).
-    "XGBoost": (0.976, 0.850, 0.775, 0.10),
+    # predXGBoost.csv is a DIFFERENT cohort from every other dump
+    # (1000 rows, 89 positive — 8.9% prevalence vs the EP2 cohort's
+    # 334 rows / 52%), and its inputs are not in the repo, so its
+    # 0.976 AUC cannot be replayed on autocorrect_dummydata. The
+    # reference's own boosted trees prove the gap is the COHORT, not
+    # the model: the same family scores 0.902 on the EP2 cohort
+    # (predGradientBoosting.csv), 0.948 on the n=681 cohort
+    # (predGradientBoostingClassifier.csv), 0.976 on the n=1000 one —
+    # no boosting config reaches 0.976 on EP2 when the reference's own
+    # GB lands 0.902 there. Gate the GBT stand-in (plans/models.py M9)
+    # against the MATCHED-cohort boosted-tree golden (0.902, standard
+    # ±0.05) instead of the mismatched 0.976 at a loosened ±0.10;
+    # round-9 measured mean 0.917 → Δ +0.015.
+    "XGBoost": (0.902, 0.865, 0.832, 0.05),
 }
 
 
@@ -130,6 +138,15 @@ def main() -> int:
         )
     for note in tie_notes:
         print(note)
+    print(
+        "‡ XGBoost: gated against the MATCHED-cohort boosted-tree golden "
+        "(predGradientBoosting.csv, 0.902 on this 334-row cohort). "
+        "predXGBoost.csv's 0.976 is a different, unreplayable cohort "
+        "(n=1000, 8.9% prevalence; inputs not in the repo) — the "
+        "reference's own boosting spans 0.902/0.948/0.976 across its "
+        "three cohorts, so the cross-cohort gate was measuring the "
+        "cohort, not the model."
+    )
     # 5x2cv paired t-test, the notebook's significance check
     t, p = harness.compare_5x2cv("NaiveBayes", "WordMatching")
     print()
