@@ -120,11 +120,9 @@ def dedup_first_seen_within_horizon(
 # shingling + MinHash
 # --------------------------------------------------------------------------
 
-def shingle_arrays(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3
-) -> DataFrame:
-    """One row per document: (id, __grams array<string>) — the DISTINCT
-    word n-gram shingles, kept in array form (no explode, no shuffle).
+def _gram_col(text_col: str, n: int):
+    """Column of all word n-gram shingles of ``text_col`` (with dupes,
+    possibly containing "" for empty docs — callers dedup/drop).
 
     Built as ``arrays_zip`` of n shifted slices + one concat per
     position — 2 array copies total instead of one ``slice`` copy per
@@ -132,39 +130,59 @@ def shingle_arrays(
     documents table). Docs shorter than n tokens contribute their
     whole text as the single shingle (same as the clamped-slice
     semantics the DuckDB oracle twin reproduces).
-
-    Runs at the INPUT's parallelism, so a narrow source (a 1-2
-    partition single-file scan) would pin the tokenize+zip+concat CPU
-    to 1-2 cores; fan out round-robin when the input is narrower than
-    the session parallelism (no-op for wide scans — the 100 TB case —
-    and for shuffle-produced inputs, which already arrive at
-    spark.sql.shuffle.partitions).
     """
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
+    if n == 1:
+        return toks
+    sz = F.size(toks)
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, sz) for i in range(n)])
+    full = F.transform(
+        F.slice(zipped, 1, sz - n + 1),
+        lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(n)]),
+    )
+    return F.when(sz >= n, full).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Shingling runs at the INPUT's parallelism, so a narrow source
+    (a 1-2 partition single-file scan) would pin the tokenize+zip+
+    concat CPU to 1-2 cores; fan out round-robin when the input is
+    narrower than the session parallelism (no-op for wide scans — the
+    100 TB case — and for shuffle-produced inputs, which already
+    arrive at spark.sql.shuffle.partitions)."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)
-    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
-    if n == 1:
-        grams = toks
-    else:
-        sz = F.size(toks)
-        zipped = F.arrays_zip(*[F.slice(toks, i + 1, sz) for i in range(n)])
-        full = F.transform(
-            F.slice(zipped, 1, sz - n + 1),
-            lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(n)]),
-        )
-        grams = F.when(sz >= n, full).otherwise(F.array(F.array_join(toks, " ")))
-    return df.select(
+    return df
+
+
+def shingle_arrays(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """One row per document: (id, __grams array<string>) — the DISTINCT
+    word n-gram shingles, kept in array form (no explode, no shuffle).
+    ``array_remove`` (a codegen builtin, not a higher-order lambda)
+    drops the empty-doc "" shingle."""
+    return _fan_out(df).select(
         F.col(id_col),
-        F.filter(F.array_distinct(grams), lambda g: g != "").alias("__grams"),
+        F.array_remove(F.array_distinct(_gram_col(text_col, n)), "").alias("__grams"),
     )
 
 
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document → (id, shingle) rows
-    (the exploded view of :func:`shingle_arrays`)."""
-    return shingle_arrays(df, text_col, id_col, n).select(
-        F.col(id_col), F.explode("__grams").alias("shingle")
+    """Distinct word n-gram shingles per document → (id, shingle) rows.
+
+    Kept as explode-then-row-filter (NOT the exploded view of
+    :func:`shingle_arrays`): the row filter stays inside whole-stage
+    codegen, measured faster than an extra array pass for the
+    many consumers that want rows anyway."""
+    return (
+        _fan_out(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(_gram_col(text_col, n))).alias("shingle"),
+        )
+        .filter(F.col("shingle") != "")
     )
 
 
