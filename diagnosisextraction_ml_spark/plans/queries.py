@@ -63,7 +63,12 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # estimator, inside the gate prefix so it gets a driver row on its
     # first appearance.
     "graph_triangle_doulion",
-    # Slots 15+: round 9's prefix (all green in CORRECTNESS_r09) in its
+    # Slots 15-18: new this round — DSIR importance resampling and
+    # winnowing fingerprints/decontamination, inside the gate prefix so
+    # each gets a driver row on first appearance.
+    "dsir_logratio_weights", "dsir_gumbel_topk",
+    "text_winnow_fingerprints", "decontam_winnow_overlap",
+    # Slots 19+: round 9's prefix (all green in CORRECTNESS_r09) in its
     # prior order, so a re-sample keeps re-hashing the most recently
     # changed families first.
     "search_bm25_topk", "search_qld_topk", "pipeline_search_rrf",

@@ -6556,3 +6556,178 @@ def _hapax_entry() -> None:
 
 
 _hapax_entry()
+
+
+# ===========================================================================
+# DSIR — importance-resampling data selection (Xie et al. 2023)
+# ===========================================================================
+
+def _dsir_entries() -> None:
+    """Hashed-ngram importance log-weights (target = lang='en' vs the
+    full raw corpus) and the Gumbel top-k resample. The DuckDB twin
+    replays the full fit→score→sample pipeline: same md5 buckets, same
+    add-1 smoothing, same micro-nat quantization — sums are exact int64
+    both sides; only the post-round LN values are IEEE doubles."""
+    from diagnosisextraction_ml_spark.operators.dsir import DEFAULT_BUCKETS
+
+    b = DEFAULT_BUCKETS
+    toks = _toks_sql("lower(text)")
+    # grams = unigrams ∪ bigrams, one shared md5-bucket space.
+    grams_cte = f"""
+    t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+    uni AS (SELECT doc_id, lang, unnest(toks) AS gram FROM t WHERE len(toks) >= 1),
+    bi AS (SELECT doc_id, lang, w1 || ' ' || w2 AS gram FROM (
+      SELECT doc_id, lang,
+             unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+             unnest(list_slice(toks, 2, len(toks))) AS w2
+      FROM t WHERE len(toks) >= 2)),
+    g AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+                 {md5_hash64_sql('gram')} % {b} AS bucket
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+    agg AS (SELECT bucket, SUM(tgt) AS t_n, COUNT(*) AS r_n FROM g GROUP BY bucket),
+    tot AS (SELECT SUM(tgt) AS t_tot, COUNT(*) AS r_tot FROM g),
+    w AS (SELECT bucket,
+                 CAST(ROUND(1000000 * (LN(t_n + 1) - LN(t_tot + {b})
+                                       - LN(r_n + 1) + LN(r_tot + {b}))) AS BIGINT)
+                 AS ratio_micro
+          FROM agg, tot),
+    s AS (SELECT doc_id, COUNT(*) AS n_grams,
+                 CAST(SUM(ratio_micro) AS BIGINT) AS logw_micro
+          FROM g JOIN w USING (bucket) GROUP BY doc_id)"""
+
+    weights_sql = f"""
+    WITH {grams_cte}
+    SELECT doc_id, n_grams, logw_micro, logw_micro / 1000000.0 AS logw
+    FROM s
+    """
+
+    def _weights(spark, sf_dir):
+        from diagnosisextraction_ml_spark.operators import dsir
+
+        docs = _t(spark, sf_dir, "documents")
+        labeled = docs.withColumn("tgt", (F.col("lang") == "en").cast("long"))
+        ratios = dsir.fit_log_ratio(labeled, "tgt")
+        return dsir.score_importance(docs, ratios)
+
+    register("dsir_logratio_weights", weights_sql)(_weights)
+
+    gumbel_h = md5_hash64_sql("concat('dsir|', CAST(doc_id AS VARCHAR))")
+    topk_sql = f"""
+    WITH {grams_cte},
+    keyed AS (
+      SELECT doc_id, logw_micro,
+             CAST(ROUND(-1000000 * LN(-LN(({gumbel_h} + 0.5)
+                        / 1152921504606846976.0))) AS BIGINT) AS gumbel_micro
+      FROM s)
+    SELECT doc_id, logw_micro, gumbel_micro,
+           logw_micro + gumbel_micro AS key_micro
+    FROM keyed
+    ORDER BY key_micro DESC, doc_id
+    LIMIT 100
+    """
+
+    def _topk(spark, sf_dir):
+        from diagnosisextraction_ml_spark.operators import dsir
+
+        docs = _t(spark, sf_dir, "documents")
+        labeled = docs.withColumn("tgt", (F.col("lang") == "en").cast("long"))
+        ratios = dsir.fit_log_ratio(labeled, "tgt")
+        scores = dsir.score_importance(docs, ratios)
+        return dsir.gumbel_topk(scores, 100).select(
+            "doc_id", "logw_micro", "gumbel_micro", "key_micro"
+        )
+
+    register("dsir_gumbel_topk", topk_sql)(_topk)
+
+
+_dsir_entries()
+
+
+# ===========================================================================
+# Winnowing fingerprints (Schleimer-Wilkerson-Aiken) + decontamination
+# ===========================================================================
+
+def _winnow_entries() -> None:
+    """Window-min k-gram fingerprints and the benchmark-contamination
+    overlap built on them. The packed ``hash40·2^22 + (2^22−1−pos)``
+    integer makes "min hash, rightmost tie" a plain MIN in both
+    engines; the twin replays the identical frame."""
+    from diagnosisextraction_ml_spark.operators.winnow import (
+        DEFAULT_K,
+        DEFAULT_W,
+        _POS_MOD,
+        _HASH_MOD,
+    )
+
+    k, w = DEFAULT_K, DEFAULT_W
+    fps_cte = f"""
+    norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+      FROM documents),
+    base AS (
+      SELECT doc_id, s, len(s) - {k - 1} AS n_grams
+      FROM norm WHERE len(s) - {k - 1} >= 1),
+    grams AS (
+      SELECT doc_id, n_grams, pos,
+             ({md5_hash64_sql(f'substr(s, CAST(pos AS INT), {k})')} % {_HASH_MOD})
+               * {_POS_MOD} + ({_POS_MOD - 1} - pos) AS packed
+      FROM base, unnest(range(1, CAST(n_grams AS BIGINT) + 1)) AS u(pos)),
+    wins AS (
+      SELECT doc_id, n_grams, pos,
+             MIN(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+               AS wmin
+      FROM grams),
+    fps AS (
+      SELECT DISTINCT doc_id, wmin FROM wins
+      WHERE pos >= LEAST({w}, n_grams)),
+    fph AS (
+      SELECT doc_id, wmin // {_POS_MOD} AS fp_hash,
+             {_POS_MOD - 1} - (wmin % {_POS_MOD}) AS pos
+      FROM fps)"""
+
+    profile_sql = f"""
+    WITH {fps_cte},
+    counts AS (SELECT doc_id, COUNT(*) AS n_fp FROM fph GROUP BY doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_fp,
+           CAST((1000000 * n_fp) // n_grams AS BIGINT) AS density_micro
+    FROM (SELECT DISTINCT doc_id, n_grams FROM base) JOIN counts USING (doc_id)
+    """
+
+    def _profile(spark, sf_dir):
+        from diagnosisextraction_ml_spark.operators import winnow
+
+        return winnow.winnow_profile(_t(spark, sf_dir, "documents"))
+
+    register("text_winnow_fingerprints", profile_sql)(_profile)
+
+    overlap_sql = f"""
+    WITH {fps_cte},
+    corpus AS (
+      SELECT DISTINCT doc_id, fp_hash FROM fph WHERE doc_id % 10 != 0),
+    bench AS (SELECT DISTINCT fp_hash FROM fph WHERE doc_id % 10 = 0),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_hit
+      FROM corpus JOIN bench USING (fp_hash) GROUP BY doc_id),
+    totals AS (SELECT doc_id, COUNT(*) AS n_fp FROM corpus GROUP BY doc_id)
+    SELECT doc_id, n_fp,
+           CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+           CAST((1000000 * COALESCE(n_hit, 0)) // n_fp AS BIGINT)
+             AS overlap_micro
+    FROM totals LEFT JOIN hits USING (doc_id)
+    """
+
+    def _overlap(spark, sf_dir):
+        from diagnosisextraction_ml_spark.operators import winnow
+
+        docs = _t(spark, sf_dir, "documents")
+        return winnow.winnow_contamination(
+            docs.filter(F.col("doc_id") % 10 != 0),
+            docs.filter(F.col("doc_id") % 10 == 0),
+        )
+
+    register("decontam_winnow_overlap", overlap_sql)(_overlap)
+
+
+_winnow_entries()
