@@ -316,3 +316,55 @@ def rolling_active_users(
         .join(rolling, "day")
         .select("day", "dau", "rolling_active")
     )
+
+
+def lasttouch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch revenue attribution — credit each conversion's value
+    to the most recent preceding touch event (by channel) of the same
+    user; conversions with no prior touch report channel '(none)'.
+
+    One Exchange total: events partition by user and sort by
+    (ts, event_id) — a single window pass carries the last non-null
+    touch channel forward (``last(..., ignorenulls)``), then a tiny
+    hash aggregation by channel. Payloads never join; the window state
+    per row is one string. Value sums go through DECIMAL(18,6) so the
+    per-channel totals are independent of row order and partitioning
+    (hash-identical cross-engine), surfaced as DOUBLE.
+
+    Output: (channel, n_conversions BIGINT, revenue DOUBLE) — one row
+    per touch channel that attributed at least one conversion.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(
+        F.col(type_col).isin(*touch_types), F.col(type_col)
+    )
+    tagged = events.withColumn(
+        "__channel", F.last(touch, ignorenulls=True).over(w)
+    )
+    return (
+        tagged.filter(F.col(type_col) == conversion_type)
+        .select(
+            F.coalesce(F.col("__channel"), F.lit("(none)")).alias("channel"),
+            F.col(value_col).cast("decimal(18,6)").alias("__v"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("__v").cast("double").alias("revenue"),
+        )
+    )

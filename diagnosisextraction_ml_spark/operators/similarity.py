@@ -471,6 +471,126 @@ def dequantize_embeddings(
     )
 
 
+def gram_matrix_quantized(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Upper-triangle Gram matrix Σ_r x_i·x_j over an embedding corpus,
+    in exact integers — the one-pass sufficient statistic for PCA /
+    whitening of an embedding table before SemDeDup or ANN indexing.
+
+    Elements are quantized ``q = round(double(x)·quant)`` first (the
+    proven cross-engine rounding class from
+    :func:`quantize_embeddings_int8`), so every partial sum is a BIGINT
+    and the result is independent of partitioning and accumulation
+    order. Recover the float Gram as ``sum_prod / quant²``.
+
+    Plan shape (the 100 TB story): two chained ``posexplode`` Generates
+    fan each row into its dim·(dim+1)/2 upper-triangle products —
+    all map-side, codegen'd, NO self-join — then one hash aggregation
+    whose keyspace is dim² (≤ a few thousand keys), with map-side
+    partials doing virtually all the reduction. Shuffle volume is
+    O(partitions · dim²) regardless of corpus size.
+
+    Overflow bound: |q| ≤ quant·max|x|, so Σ products needs
+    n·(quant·max|x|)² < 2^63 — at quant=1e6 and unit-scale embeddings
+    that is ~9e6 rows per *global* sum; lower ``quant`` (e.g. 1e4 →
+    ~9e10 rows) for corpus-scale runs.
+
+    Output: (i, j, sum_prod) with 0-based i ≤ j, one row per pair.
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(quant)), 0).cast("long"),
+    )
+    # The dim·(dim+1)/2 fan-out runs at the input's parallelism — fan a
+    # narrow (single-file) scan out to the session default first (same
+    # guard as langid._fan_out; no-op for wide scans).
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    ei = df.select(q.alias("q")).select(
+        "q", F.posexplode("q").alias("i", "qi")
+    )
+    # Elements with 0-based index j >= i live at 1-based positions
+    # i+1 .. size, so slice(q, i+1, size-i); the second posexplode's
+    # offset jo gives j = i + jo.
+    eij = ei.select(
+        F.col("i"),
+        F.col("qi"),
+        F.posexplode(F.expr("slice(q, i + 1, size(q) - i)")).alias("jo", "qj"),
+    )
+    return (
+        eij.select(
+            F.col("i").cast("long").alias("i"),
+            (F.col("i") + F.col("jo")).cast("long").alias("j"),
+            (F.col("qi") * F.col("qj")).alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sum_prod"))
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1_000_000,
+) -> tuple[DataFrame, list[float]]:
+    """Project embeddings onto their top-k principal directions
+    (uncentered PCA, i.e. truncated SVD of the raw vectors — the usual
+    convention for unit-norm-ish embedding tables).
+
+    Distributed part: ONE :func:`gram_matrix_quantized` pass (exact
+    integers, dim²-key shuffle). Driver part: a numpy ``eigh`` on the
+    dim×dim Gram — O(dim³) on ≤ dim·(dim+1)/2 collected values, never
+    corpus-sized. Eigenvector sign is canonicalized (largest-|coord|
+    positive) so the output is deterministic across LAPACK builds up to
+    float noise; projections are rounded to 6 dp.
+
+    The projection itself is k codegen'd ``zip_with``+``aggregate``
+    dot products against literal component arrays — broadcast for
+    free, no UDF, no second shuffle.
+
+    Returns ``(projected, eigenvalues)`` where projected has columns
+    (id_col, pc0..pc{k-1}) and eigenvalues are the top-k eigenvalues of
+    the Gram scaled back to float units (divide by n for variance).
+    """
+    import numpy as np
+
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_project: empty input")
+    dim = len(first[0])
+    if not 1 <= k <= dim:
+        raise ValueError(f"pca_project: k={k} outside [1, dim={dim}]")
+    gram = np.zeros((dim, dim))
+    for row in gram_matrix_quantized(df, vec_col=vec_col, quant=quant).collect():
+        v = row["sum_prod"] / (float(quant) * float(quant))
+        gram[row["i"], row["j"]] = v
+        gram[row["j"], row["i"]] = v
+    eigvals, eigvecs = np.linalg.eigh(gram)
+    order = np.argsort(eigvals)[::-1][:k]
+    comps: list[list[float]] = []
+    top_vals: list[float] = []
+    for idx in order:
+        vec = eigvecs[:, idx]
+        anchor = int(np.argmax(np.abs(vec)))
+        if vec[anchor] < 0:
+            vec = -vec
+        comps.append([float(x) for x in vec])
+        top_vals.append(float(eigvals[idx]))
+    proj_cols = [
+        F.round(
+            dot_expr(F.col(vec_col), query_vector_lit(comp)), 6
+        ).alias(f"pc{i}")
+        for i, comp in enumerate(comps)
+    ]
+    return df.select(F.col(id_col), *proj_cols), top_vals
+
+
 def srp_embed_text(
     docs: DataFrame,
     dim: int = 16,

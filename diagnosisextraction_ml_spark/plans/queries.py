@@ -68,6 +68,10 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # each gets a driver row on first appearance.
     "dsir_logratio_weights", "dsir_gumbel_topk",
     "text_winnow_fingerprints", "decontam_winnow_overlap",
+    # Slots 19-22: new this session — TPC-H Q5 shape, embedding Gram /
+    # PCA projection (rows-only: numpy eigh), last-touch attribution.
+    "rel_q5_region_revenue", "emb_gram_upper", "emb_pca_project",
+    "events_attribution",
     # Slots 19+: round 9's prefix (all green in CORRECTNESS_r09) in its
     # prior order, so a re-sample keeps re-hashing the most recently
     # changed families first.
@@ -285,6 +289,65 @@ def rel_star_join(spark, sf_dir):
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
             F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "rel_q5_region_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def rel_q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape — local-supplier volume: a 6-way join where two
+    FACT-side rows must agree on a dimension key (c_nationkey =
+    s_nationkey), the classic join-ordering stress test.
+
+    Plan: the only big⋈big shuffle is lineitem⋈orders (both keyed on
+    orderkey); customer joins the filtered order side on custkey (AQE
+    sizes it), while supplier/nation/region are explicit broadcasts —
+    supplier under the TPC-H dim-table assumption (|S| = |C|/15; at a
+    scale where supplier outgrows the broadcast threshold, drop the
+    hint and AQE falls back to a shuffle join on the same plan). The
+    date predicate prunes orders at the scan before any join.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(disc).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
         )
     )
 

@@ -6731,3 +6731,74 @@ def _winnow_entries() -> None:
 
 
 _winnow_entries()
+
+
+# ===========================================================================
+# Embedding Gram matrix + PCA projection (whitening prep for SemDeDup/ANN)
+# ===========================================================================
+
+register(
+    "emb_gram_upper",
+    """
+    WITH q AS (
+      SELECT list_transform(
+               embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+             ) AS q
+      FROM embeddings)
+    SELECT CAST(a.i - 1 AS BIGINT) AS i,
+           CAST(b.i - 1 AS BIGINT) AS j,
+           CAST(sum(q[a.i] * q[b.i]) AS BIGINT) AS sum_prod
+    FROM q
+    CROSS JOIN UNNEST(range(1, len(q) + 1)) a(i)
+    CROSS JOIN UNNEST(range(1, len(q) + 1)) b(i)
+    WHERE b.i >= a.i
+    GROUP BY 1, 2
+    """,
+)(
+    lambda spark, sf_dir: similarity.gram_matrix_quantized(
+        _t(spark, sf_dir, "embeddings")
+    )
+)
+
+
+def _pca_project(spark, sf_dir):
+    # Rows-only by design: the driver part is a numpy eigh — eigenvectors
+    # are not SQL-expressible. Exactness is carried by the Gram twin
+    # above plus the numpy-parity pytest (tests/test_similarity.py).
+    projected, _ = similarity.pca_project(
+        _t(spark, sf_dir, "embeddings"), k=8
+    )
+    return projected
+
+
+register("emb_pca_project", None)(_pca_project)
+
+
+# ===========================================================================
+# Last-touch attribution (conversion credit over the events stream)
+# ===========================================================================
+
+register(
+    "events_attribution",
+    """
+    WITH t AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+      FROM events)
+    SELECT COALESCE(ch, '(none)') AS channel,
+           count(*) AS n_conversions,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM t
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)(
+    lambda spark, sf_dir: __import__(
+        "diagnosisextraction_ml_spark.operators.funnel", fromlist=["funnel"]
+    ).lasttouch_attribution(_t(spark, sf_dir, "events"))
+)

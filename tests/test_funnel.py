@@ -184,3 +184,37 @@ def test_rolling_active_users_hand_case(spark):
     a = sorted(map(tuple, rolling_active_users(df.coalesce(1)).collect()))
     b = sorted(map(tuple, rolling_active_users(df.repartition(5)).collect()))
     assert a == b
+
+
+def test_lasttouch_attribution_semantics(spark):
+    import datetime as dt
+
+    from diagnosisextraction_ml_spark.operators.funnel import lasttouch_attribution
+
+    d0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # u1: click → purchase(10), view → purchase(5) — credit click then view
+        (1, d0 + 0 * s, 1, "click", 0.0),
+        (2, d0 + 1 * s, 1, "purchase", 10.0),
+        (3, d0 + 2 * s, 1, "view", 0.0),
+        (4, d0 + 3 * s, 1, "purchase", 5.0),
+        # u2: purchase with NO prior touch → (none); error is not a touch
+        (5, d0 + 0 * s, 2, "error", 0.0),
+        (6, d0 + 1 * s, 2, "purchase", 7.0),
+        # u3: same-timestamp tie broken by event_id: click(7) before purchase(8)
+        (7, d0 + 0 * s, 3, "click", 0.0),
+        (8, d0 + 0 * s, 3, "purchase", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["channel"]: (r["n_conversions"], r["revenue"]) for r in
+           lasttouch_attribution(df).collect()}
+    assert out["click"] == (2, 12.0)
+    assert out["view"] == (1, 5.0)
+    assert out["(none)"] == (1, 7.0)
+    # partition invariance
+    a = sorted(map(tuple, lasttouch_attribution(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, lasttouch_attribution(df.repartition(5)).collect()))
+    assert a == b

@@ -248,3 +248,62 @@ def test_srp_feeds_semantic_dedup_end_to_end(spark):
     for i in range(5):
         assert out[100 + i] is True   # copy flagged
         assert out[i] is False        # original kept
+
+
+def test_gram_matrix_vs_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 5).astype(np.float32)
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["i"], r["j"]): r["sum_prod"]
+        for r in similarity.gram_matrix_quantized(df, quant=1000).collect()
+    }
+    q = np.round(vecs.astype(np.float64) * 1000.0)
+    want = q.T @ q
+    assert len(got) == 5 * 6 // 2
+    for (i, j), v in got.items():
+        assert j >= i
+        assert v == int(want[i, j])
+    # partition invariance (exact integers — any accumulation order)
+    got1 = sorted(map(tuple, similarity.gram_matrix_quantized(df.coalesce(1), quant=1000).collect()))
+    got5 = sorted(map(tuple, similarity.gram_matrix_quantized(df.repartition(5), quant=1000).collect()))
+    assert got1 == got5
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    # anisotropic cloud so the principal directions are well-separated
+    base = rng.randn(60, 4) * np.array([10.0, 3.0, 1.0, 0.3])
+    vecs = base.astype(np.float32)
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    projected, eigvals = similarity.pca_project(df, k=2)
+    got = {r["vec_id"]: (r["pc0"], r["pc1"]) for r in projected.collect()}
+
+    x = vecs.astype(np.float64)
+    w, v = np.linalg.eigh(x.T @ x)
+    order = np.argsort(w)[::-1][:2]
+    comps = []
+    for idx in order:
+        c = v[:, idx]
+        a = int(np.argmax(np.abs(c)))
+        comps.append(-c if c[a] < 0 else c)
+    want = x @ np.stack(comps, axis=1)
+    # quantization at 1e-6 per element + 6dp rounding → loose-ish gate
+    for i in range(60):
+        assert abs(got[i][0] - want[i, 0]) < 1e-3
+        assert abs(got[i][1] - want[i, 1]) < 1e-3
+    assert eigvals[0] > eigvals[1] > 0
+    # top eigenvalue ≈ numpy's (Gram quantization noise only)
+    assert abs(eigvals[0] - w[order[0]]) / w[order[0]] < 1e-4
+
+
+def test_pca_project_validates_k(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        similarity.pca_project(df, k=3)
