@@ -62,6 +62,12 @@ HEADLINE = [
     "qc_benford_digits",
     "ts_robust_stats",
     "dedup_span_intervals",
+    # added round 10 — multi-join TPC-H shapes, embedding Gram pass,
+    # window attribution; totals before r10 cover 28 queries.
+    "rel_q5_region_revenue",
+    "rel_q18_big_orders",
+    "emb_gram_upper",
+    "events_attribution",
 ]
 
 # Every headline name must exist in the registry — a typo here would

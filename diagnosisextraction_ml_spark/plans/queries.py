@@ -71,7 +71,7 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # Slots 19-22: new this session — TPC-H Q5 shape, embedding Gram /
     # PCA projection (rows-only: numpy eigh), last-touch attribution.
     "rel_q5_region_revenue", "emb_gram_upper", "emb_pca_project",
-    "events_attribution",
+    "events_attribution", "rel_q18_big_orders",
     # Slots 19+: round 9's prefix (all green in CORRECTNESS_r09) in its
     # prior order, so a re-sample keeps re-hashing the most recently
     # changed families first.
@@ -349,6 +349,56 @@ def rel_q5_region_revenue(spark, sf_dir):
             F.sum(disc).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
+    )
+
+
+@register(
+    "rel_q18_big_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, big.sum_qty
+    FROM big
+      JOIN orders o ON o.o_orderkey = big.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def rel_q18_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape — large-volume customers: a HAVING-filtered
+    aggregate used as the driving (semi-reducing) side of a join chain.
+
+    The scale story is the ORDER of operations: the lineitem aggregate
+    runs FIRST and the >threshold HAVING collapses the fact table to a
+    small key set before any join — orders then joins on the SAME key
+    the aggregate produced (no re-shuffle of the aggregate side under
+    AQE), customer attaches last when rows are fewest, and the top-k is
+    a TakeOrderedAndProject, never a global sort.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sq"))
+        .filter(F.col("__sq") > 150)
+        .select("l_orderkey", F.col("__sq").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
     )
 
 

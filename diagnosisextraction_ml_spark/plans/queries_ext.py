@@ -3348,7 +3348,13 @@ def _text_semdedup_entry(dim: int = 16, tau: float = 0.99) -> None:
         emb = _sim.srp_embed_text(corpus, dim=dim).withColumnRenamed(
             "doc_id", "vec_id"
         )
-        return _dd.semantic_dedup(emb, k=32, iters=2, tau=tau)
+        # Materialize the featurization exactly once: k-means init +
+        # iterations and the assignment pass would otherwise each
+        # re-run the full SRP plan (the dominant cost of this pipeline
+        # at sf1 — two evaluations ≈ 2/3 of its wall).
+        return _dd.semantic_dedup(
+            emb.localCheckpoint(), k=32, iters=2, tau=tau
+        )
 
     register("pipeline_text_semdedup", sql)(_fn)
 
