@@ -566,6 +566,30 @@ def simhash_near_pairs(
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
 
+def _make_pair_dot_batch():
+    """Arrow-batched float64 dot product of two array<float/double>
+    columns — the BLAS verify engine for embedding_near_dup_pairs.
+    Elements are cast to float64 FIRST, matching the expression path's
+    per-element x.cast(double)*y.cast(double)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _dot(va, vb):
+        av = np.stack([np.asarray(x, dtype=np.float64) for x in va])
+        bv = np.stack([np.asarray(x, dtype=np.float64) for x in vb])
+        return pd.Series(np.einsum("ij,ij->i", av, bv))
+
+    # explicit annotations (real objects, not from-__future__ strings)
+    # so pandas_udf's type-hint inference works from any import context
+    _dot.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
+    return pandas_udf(_dot, DoubleType())
+
+
+_pair_dot_batch = _make_pair_dot_batch()
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -574,6 +598,7 @@ def embedding_near_dup_pairs(
     candidates: DataFrame | None = None,
     n_planes: int = 8,
     multiprobe_hamming: int = 1,
+    method: str = "numpy",
 ) -> DataFrame:
     """Pairs of rows whose embeddings have cosine similarity ≥ threshold.
 
@@ -603,6 +628,19 @@ def embedding_near_dup_pairs(
     Pass ``candidates`` (id_a, id_b) — e.g. from a multiprobe
     :func:`~.similarity.pairwise_topk_join` run — to verify an
     externally-generated pair list instead.
+
+    Verify engines (the semdedup parity-path/scale-path pattern):
+    ``method="numpy"`` (default) computes the per-pair dot as an
+    Arrow-batched vectorized ``pandas_udf`` (one einsum per batch —
+    the |pairs|·dim multiply-adds run in BLAS-grade loops instead of
+    interpreted expression nodes); ``method="expr"`` keeps the pure
+    ``zip_with``+``aggregate`` expression, bit-identical to the DuckDB
+    twin's list_dot_product. Both divide by the same hoisted norms and
+    round to 6 dp before the threshold compare; float64 summation
+    order (pairwise vs sequential) is the only difference, and
+    numpy==expr equality is hash-pinned on the real testdata
+    embeddings at the registered parameters (tests/test_dedup.py),
+    which licenses serving numpy against the expression-replay oracle.
     """
     from diagnosisextraction_ml_spark.operators.similarity import (
         dot_expr,
@@ -648,16 +686,102 @@ def embedding_near_dup_pairs(
             .drop("__ba")
         )
         bb = b.withColumn("__bucket", lsh_bucket_expr(F.col("vb"), n_planes))
+        if method == "numpy":
+            # Cogrouped per-bucket BLAS verify: each vector ships to
+            # Python ONCE per probe bucket (O(n·probes) rows) instead
+            # of once per candidate PAIR (O(Σ n_a·n_b) rows — two 64-
+            # float arrays per pair; on a tightly clustered corpus the
+            # buckets barely prune and that is ~|n²/2| pairs of Arrow
+            # traffic). Inside each bucket the pair dots are one
+            # blocked A@Bᵀ matmul. Python applies an INCLUSIVE
+            # prefilter only (raw ≥ threshold − 5e-7 − 1e-12, provably
+            # a superset of round-6dp ≥ threshold under HALF_UP); the
+            # authoritative F.round + threshold compare stay JVM-side,
+            # identical to the expression path.
+            candidates_df = _cogrouped_bucket_pairs(ab, bb, threshold)
+            return (
+                candidates_df.withColumn("cosine", F.round(F.col("cosine"), 6))
+                .filter(F.col("cosine") >= threshold)
+                .select("id_a", "id_b", "cosine")
+            )
         # each B row owns exactly one bucket and A's probe buckets are
         # distinct, so no (id_a, id_b) pair is produced twice
         pairs = ab.join(bb, "__bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
         pairs = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+        if method == "numpy":
+            cosine = _pair_dot_batch(F.col("va"), F.col("vb")) / (
+                F.col("__na") * F.col("__nb")
+            )
+            return (
+                pairs.withColumn("cosine", F.round(cosine, 6))
+                .filter(F.col("cosine") >= threshold)
+                .select("id_a", "id_b", "cosine")
+            )
     cosine = dot_expr(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     return (
         pairs.withColumn("cosine", F.round(cosine, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def _cogrouped_bucket_pairs(
+    ab: DataFrame, bb: DataFrame, threshold: float
+) -> DataFrame:
+    """Per-bucket cogrouped pair scan for embedding_near_dup_pairs.
+
+    For each probe bucket: stack the A side (id_a, va, __na) and B side
+    (id_b, vb, __nb) into float64 matrices, compute cosines as blocked
+    A@Bᵀ over the JVM-computed norms, and emit (id_a, id_b, raw cosine)
+    for id_a < id_b passing the inclusive prefilter. Block size bounds
+    the scratch cosine matrix to ~16 MB regardless of bucket skew.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # inclusive bound: round(c, 6) >= t (HALF_UP) implies c >= t - 5e-7
+    lo = threshold - 5e-7 - 1e-12
+
+    def _scan(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ida = left["id_a"].to_numpy(dtype=np.int64)
+        idb = right["id_b"].to_numpy(dtype=np.int64)
+        av = np.stack([np.asarray(x, dtype=np.float64) for x in left["va"]])
+        bv = np.stack([np.asarray(x, dtype=np.float64) for x in right["vb"]])
+        na = left["__na"].to_numpy(dtype=np.float64)
+        nb = right["__nb"].to_numpy(dtype=np.float64)
+        out_a, out_b, out_c = [], [], []
+        block = max(1, 2_000_000 // max(len(idb), 1))
+        for s in range(0, len(ida), block):
+            e = s + block
+            c = (av[s:e] @ bv.T) / np.outer(na[s:e], nb)
+            mask = (c >= lo) & (ida[s:e, None] < idb[None, :])
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                out_a.append(ida[s:e][ii])
+                out_b.append(idb[jj])
+                out_c.append(c[ii, jj])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        ab.select("__bucket", "id_a", "va", "__na")
+        .groupBy("__bucket")
+        .cogroup(bb.select("__bucket", "id_b", "vb", "__nb").groupBy("__bucket"))
+        .applyInPandas(_scan, schema="id_a long, id_b long, cosine double")
     )
 
 

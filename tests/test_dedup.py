@@ -676,3 +676,17 @@ def test_jaccard_collapse_equivalence(spark):
                 df, collapse_exact=True, **kw).collect())
         )
         assert plain == collapsed, (seed, max_df)
+
+
+def test_embedding_near_numpy_matches_expr_on_testdata(spark, sf_dir):
+    # Licenses serving the Arrow-batched einsum verify against the
+    # expression-replay DuckDB oracle: identical pairs AND identical
+    # 6dp cosines on the real corpus at the registered parameters.
+    from diagnosisextraction_ml_spark.plans.queries_ext import _emb_with_dups
+
+    df = _emb_with_dups(spark, sf_dir)
+    a = sorted(map(tuple, embedding_near_dup_pairs(
+        df, threshold=0.98, n_planes=12, method="numpy").collect()))
+    b = sorted(map(tuple, embedding_near_dup_pairs(
+        df, threshold=0.98, n_planes=12, method="expr").collect()))
+    assert a == b and len(a) > 0
