@@ -211,3 +211,64 @@ def gopher_source_scorecard(
             *[f"fail_{r[3:]}" for r in rules],
         )
     )
+
+
+# CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality
+# Monolingual Datasets from Web Crawl Data", §4.3) perplexity buckets.
+# In production the cutoffs are computed OFFLINE per language from a
+# held-out sample's perplexity tertiles and shipped as constants with
+# the LM — which is exactly what keeps this scale-safe: bucketing is
+# then a pure projection over the scored corpus (no global sort, no
+# corpus-wide quantile pass at serving time).
+CCNET_HEAD_CUT = -3.0
+CCNET_MIDDLE_CUT = -3.8
+
+
+def ccnet_perplexity_buckets(
+    docs: DataFrame,
+    tri: DataFrame,
+    big: DataFrame,
+    uni: DataFrame,
+    head_cut: float = CCNET_HEAD_CUT,
+    middle_cut: float = CCNET_MIDDLE_CUT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style head/middle/tail split by in-domain LM score.
+
+    Scores every document with the interpolated trigram LM
+    (:func:`~.lm.score_trigram_interp` — broadcast model joins,
+    integer-exact per-position micro-nat sums) and buckets on the
+    per-trigram mean logprob against FIXED cutoffs: ``head`` is the
+    most in-domain (score ≥ head_cut), ``tail`` the least
+    (score < middle_cut). Documents with fewer than 3 tokens carry no
+    trigrams and drop, as in the scorer.
+
+    Plan: the scoring pass's aggregate is the only shuffle keyed on
+    the corpus; the bucket CASE and the final (lang, bucket) rollup
+    add one metadata-sized exchange. Determinism: `score` is an exact
+    integer sum divided by an exact integer count — bucket membership
+    replays hash-exactly in the SQL twin.
+
+    Output: (lang, bucket, n_docs, sum_trigrams) — the mixture table a
+    curriculum/sampling stage consumes.
+    """
+    from diagnosisextraction_ml_spark.operators.lm import score_trigram_interp
+
+    scored = score_trigram_interp(docs, tri, big, uni, id_col=id_col)
+    bucket = (
+        F.when(F.col("score") >= F.lit(float(head_cut)), F.lit("head"))
+        .when(F.col("score") >= F.lit(float(middle_cut)), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    langs = docs.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    return (
+        scored.join(langs, [id_col])
+        .select("lang", bucket.alias("bucket"), "n_trigrams")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_trigrams").alias("sum_trigrams"),
+        )
+    )

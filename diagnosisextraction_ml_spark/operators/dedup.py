@@ -1234,7 +1234,16 @@ def semantic_dedup(
         nearest_centroid_expr,
     )
 
-    cents = kmeans_centroids(emb, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    cents = kmeans_centroids(
+        emb,
+        k=k,
+        iters=iters,
+        vec_col=vec_col,
+        id_col=id_col,
+        # The parity-witness path stays expression-based end-to-end;
+        # the production path trains with the BLAS argmin too.
+        assign=method if method in ("numpy", "expr") else "expr",
+    )
     # Narrow-scan fan-out (same guard as embedding_near_dup_pairs): the
     # k-cosine argmin and the in-cluster pair scan both run at the
     # input's parallelism, and a small single-file scan pins them to
@@ -1243,6 +1252,18 @@ def semantic_dedup(
     parallelism = emb.sparkSession.sparkContext.defaultParallelism
     if emb.rdd.getNumPartitions() < parallelism:
         emb = emb.repartition(parallelism)
+    if method == "numpy":
+        from diagnosisextraction_ml_spark.operators.similarity import (
+            assign_nearest_centroid_numpy,
+        )
+
+        # No checkpoint: the per-cluster pair scan is the assignment's
+        # only consumer (it emits every row, dup or not), and the BLAS
+        # argmin is cheap to evaluate inline.
+        assigned = assign_nearest_centroid_numpy(
+            emb.select(id_col, vec_col), cents, vec_col=vec_col
+        )
+        return _semantic_dedup_pairs_numpy(assigned, tau, vec_col, id_col)
     # localCheckpoint (eager): the k-cosine argmin is the expensive
     # expression — materialize it exactly once and cut the lineage, so
     # neither pair-join side recomputes it and no persisted entry is
@@ -1252,8 +1273,6 @@ def semantic_dedup(
         F.col(vec_col),
         nearest_centroid_expr(F.col(vec_col), cents).alias("cluster"),
     ).localCheckpoint()
-    if method == "numpy":
-        return _semantic_dedup_pairs_numpy(assigned, tau, vec_col, id_col)
     a = assigned.select(
         F.col(id_col).alias("__a_id"), F.col(vec_col).alias("__a_v"), "cluster"
     )

@@ -147,6 +147,7 @@ def kmeans_centroids(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "numpy",
 ) -> list[list[float]]:
     """Deterministic Lloyd iterations → k centroids (IVF training).
 
@@ -169,6 +170,12 @@ def kmeans_centroids(
     the init scan *and every iteration* — ``iters + 1`` source scans
     instead of one materialization (the difference between one pass
     and four over 100 TB).
+
+    ``assign``: "numpy" (default) computes each iteration's argmin via
+    :func:`assign_nearest_centroid_numpy` (one BLAS matmul per Arrow
+    batch); "expr" keeps the pure-expression argmin — the cross-engine
+    parity witness the SQL oracles replay. Equality of the two is
+    hash-pinned on the real testdata (tests/test_similarity.py).
     """
     frontier = df.select(id_col, vec_col).persist()
     try:
@@ -186,10 +193,20 @@ def kmeans_centroids(
             # re-evaluated once per EXPLODED row — a dim× blowup
             # (measured 17× at k=80/dim=64). The checkpoint pins the
             # assignment to one evaluation per input row.
-            labeled = frontier.select(
-                nearest_centroid_expr(F.col(vec_col), centroids).alias("cluster"),
-                F.col(vec_col),
-            ).localCheckpoint()
+            if assign == "numpy":
+                # No checkpoint needed: the Python stage evaluates the
+                # argmin once per row BELOW the Generate, so the
+                # explode fan-out can't re-run it (unlike the
+                # expression form, where CollapseProject would hoist
+                # it above the Generate).
+                labeled = assign_nearest_centroid_numpy(
+                    frontier.select(vec_col), centroids, vec_col=vec_col
+                )
+            else:
+                labeled = frontier.select(
+                    nearest_centroid_expr(F.col(vec_col), centroids).alias("cluster"),
+                    F.col(vec_col),
+                ).localCheckpoint()
             assigned = labeled.select(
                 "cluster",
                 F.posexplode(F.col(vec_col)).alias("dim", "x"),
@@ -219,6 +236,82 @@ def kmeans_centroids(
         return centroids
     finally:
         frontier.unpersist()
+
+
+def assign_nearest_centroid_numpy(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path twin of :func:`nearest_centroid_expr`: BLAS argmin.
+
+    ``mapInPandas`` over Arrow batches — one X@Cᵀ matmul per batch
+    against the broadcast k×dim centroid matrix instead of k
+    interpreted cosine aggregates per row (the dominant cost of
+    SemDeDup's assignment passes once the pair scan is BLAS too;
+    measured ~10× on the sf1 text corpus, PERF.md § Round 10).
+
+    Semantics mirror the expression path exactly: cosine DISTANCE
+    1 − dot/(‖x‖·‖c‖), argmin with first-match (lowest centroid
+    index) tie resolution — ``np.argmin`` returns the first minimum,
+    matching ``array_position(dists, array_min(dists))``. A zero-norm
+    vector or centroid raises ArithmeticError, matching the expression
+    path's ANSI DIVIDE_BY_ZERO (Spark 4 sessions run ANSI; silently
+    assigning such rows would diverge from the oracle replay).
+
+    Float caveat (same class as :func:`~.dedup._semantic_dedup_pairs_numpy`):
+    BLAS block summation vs the sequential aggregate expression can
+    differ in ULPs, so an exact-tie argmin could in principle flip;
+    equality with the expression path is hash-pinned on the real
+    testdata embeddings AND on the SRP-projected documents corpus at
+    the registered params (tests/test_similarity.py), which is what
+    licenses serving this path against the expression-replay oracle.
+
+    Appends an int ``cluster`` column; all input columns pass through.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    if (cn == 0.0).any():
+        raise ArithmeticError(
+            "assign_nearest_centroid_numpy: zero-norm centroid "
+            "(the expression path raises ANSI DIVIDE_BY_ZERO here)"
+        )
+    # Fresh StructType: StructType.add MUTATES the receiver, and
+    # df.schema hands back the DataFrame's cached schema object —
+    # adding to it in place makes the df claim a column its plan
+    # doesn't produce.
+    schema = StructType(
+        list(df.schema.fields) + [StructField("cluster", IntegerType(), False)]
+    )
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf = pdf.copy()
+                pdf["cluster"] = pd.Series([], dtype="int32")
+                yield pdf
+                continue
+            X = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            xn = np.sqrt((X * X).sum(axis=1))
+            if (xn == 0.0).any():
+                raise ArithmeticError(
+                    "assign_nearest_centroid_numpy: zero-norm vector "
+                    "(the expression path raises ANSI DIVIDE_BY_ZERO here)"
+                )
+            dist = 1.0 - (X @ C.T) / np.outer(xn, cn)
+            pdf = pdf.copy()
+            pdf["cluster"] = dist.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(scan, schema)
 
 
 def nearest_centroid_expr(vec_col: Column, centroids: list[list[float]]) -> Column:
@@ -666,21 +759,23 @@ def srp_embed_text(
         .join(F.broadcast(ndocs), ["j"])
         .select(id_col, (F.col("c") * idf_micro).alias("wt"), "__signs")
     )
-    proj = (
-        weighted.select(
-            id_col, "wt", F.posexplode("__signs").alias("k", "s")
-        )
+    # All dim components in ONE groupBy(id): component k is the exact
+    # integer Σ wt·signs[k], so dim parallel sum() aggregates replace
+    # the former posexplode→groupBy(id, k)→groupBy(id) collect_list
+    # chain — no dim× row fan-out and one shuffle instead of two
+    # (sf1: 26s → 11s for the text-SemDeDup featurization). Integer
+    # sums are order-independent, so the output is bit-identical.
+    comps = [
+        F.sum(F.col("wt") * F.col("__signs")[k]).alias(f"__v{k}")
+        for k in range(dim)
+    ]
+    return (
+        weighted.groupBy(id_col)
+        .agg(*comps)
         .select(
             id_col,
-            F.col("k"),
-            (F.col("wt") * F.col("s")).alias("v"),
+            F.array(
+                *[F.col(f"__v{k}").cast("double") for k in range(dim)]
+            ).alias("embedding"),
         )
-        .groupBy(id_col, "k")
-        .agg(F.sum("v").alias("v"))
-    )
-    return proj.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("k"), F.col("v")))),
-            lambda x: x.getField("v").cast("double"),
-        ).alias("embedding")
     )

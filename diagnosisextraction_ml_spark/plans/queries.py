@@ -72,6 +72,11 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # PCA projection (rows-only: numpy eigh), last-touch attribution.
     "rel_q5_region_revenue", "emb_gram_upper", "emb_pca_project",
     "events_attribution", "rel_q18_big_orders",
+    # Slots 24-28: new this session — TPC-H Q7/Q10/Q19 shapes, CCNet
+    # perplexity buckets, tokenizer fertility.
+    "rel_q7_nation_volume", "rel_q10_returned_topk",
+    "rel_q19_or_predicates", "filter_ccnet_buckets",
+    "text_fertility_stats",
     # Slots 19+: round 9's prefix (all green in CORRECTNESS_r09) in its
     # prior order, so a re-sample keeps re-hashing the most recently
     # changed families first.
@@ -399,6 +404,171 @@ def rel_q18_big_orders(spark, sf_dir):
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
+    )
+
+
+@register(
+    "rel_q7_nation_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+       OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+    GROUP BY sn.n_name, cn.n_name, l_year
+    """,
+)
+def rel_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape — volume shipping between two nations: the same
+    dimension table (nation) joins the fact twice under different
+    roles, with a symmetric OR predicate ACROSS the two roles.
+
+    Scale notes: the OR references columns from both nation aliases,
+    so it can't be pushed below either single join — but each alias
+    CAN be pre-filtered to the two named nations (Catalyst derives
+    `sn.n_name IN (...)` and `cn.n_name IN (...)` from the
+    disjunction), collapsing both broadcast sides to 2 rows each
+    before the cross-role OR runs. lineitem⋈orders stays the only
+    big⋈big shuffle; the year extraction is post-join projection.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(disc).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "rel_q10_returned_topk",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def rel_q10_returned_topk(spark, sf_dir):
+    """TPC-H Q10 shape — returned-item reporting: who cost us the most
+    in returns last quarter.
+
+    Both fact-side predicates reach their scans (orderdate window on
+    orders, returnflag on lineitem — `.explain` shows both in
+    PushedFilters), so the one real shuffle joins two PRE-REDUCED
+    sides; nation broadcasts, and the top-20 is TakeOrderedAndProject
+    with a custkey tie-break.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "rel_q19_or_predicates",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def rel_q19_or_predicates(spark, sf_dir):
+    """TPC-H Q19 shape — discounted revenue under an OR-of-ANDs
+    predicate spanning both join sides.
+
+    The optimizer test: from the disjunction Catalyst derives the
+    single-side residuals `p_brand IN (...) AND p_size BETWEEN 1 AND
+    50` for the part scan and `l_quantity BETWEEN 1 AND 50` for the
+    lineitem scan (both visible in PushedFilters), so each side is
+    pruned BEFORE the join and the full OR re-evaluates only on
+    surviving matches. Part broadcasts under the TPC-H dim assumption.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum(disc).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
     )
 
 

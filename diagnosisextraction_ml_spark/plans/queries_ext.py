@@ -3157,6 +3157,99 @@ register("lm_trigram_interp", _lm_trigram_sql())(_lm_trigram)
 
 
 # ===========================================================================
+# CCNet perplexity buckets — the Wenzek et al. head/middle/tail split,
+# reusing the trigram-LM scorer with fixed (offline-computed) cutoffs.
+# ===========================================================================
+
+def _ccnet_sql() -> str:
+    from diagnosisextraction_ml_spark.operators.corpus_filters import (
+        CCNET_HEAD_CUT,
+        CCNET_MIDDLE_CUT,
+    )
+
+    return f"""
+    WITH scored AS ({_lm_trigram_sql()})
+    SELECT d.lang,
+           CASE WHEN s.score >= CAST({CCNET_HEAD_CUT!r} AS DOUBLE) THEN 'head'
+                WHEN s.score >= CAST({CCNET_MIDDLE_CUT!r} AS DOUBLE) THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(s.n_trigrams) AS BIGINT) AS sum_trigrams
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    GROUP BY 1, 2
+    """
+
+
+def _ccnet_buckets(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators import lm
+    from diagnosisextraction_ml_spark.operators.corpus_filters import (
+        ccnet_perplexity_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tri, big, uni = lm.fit_trigram_counts(docs.filter(F.col("lang") == "en"))
+    return ccnet_perplexity_buckets(docs, tri, big, uni)
+
+
+register("filter_ccnet_buckets", _ccnet_sql())(_ccnet_buckets)
+
+
+# ===========================================================================
+# Tokenizer fertility — chars/bytes per whitespace token by language,
+# the first diagnostic when sizing a tokenizer's per-language cost.
+# ===========================================================================
+
+def _fertility_sql() -> str:
+    toks = _toks_sql("lower(text)")
+    return f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CAST(len({toks}) AS BIGINT)) AS BIGINT) AS sum_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+           CAST(sum(length(text)) AS DOUBLE)
+             / sum(CAST(len({toks}) AS BIGINT)) AS chars_per_token,
+           CAST(sum(strlen(text)) AS DOUBLE)
+             / sum(CAST(len({toks}) AS BIGINT)) AS bytes_per_token
+    FROM documents
+    GROUP BY lang
+    """
+
+
+def _fertility(spark, sf_dir):
+    """Per-language fertility profile — one scan, one tiny exchange.
+
+    Exact integer sums (token counts via the shared whitespace
+    tokenizer, characters via length, bytes via octet_length), IEEE
+    divisions of exact ints for the ratios — hash-exact in the twin
+    (DuckDB: len/length/strlen).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    return (
+        docs.select(
+            "lang",
+            F.size(toks).cast("long").alias("__t"),
+            F.length("text").cast("long").alias("__c"),
+            F.octet_length("text").cast("long").alias("__b"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("sum_tokens"),
+            F.sum("__c").alias("sum_chars"),
+            F.sum("__b").alias("sum_bytes"),
+            (F.sum("__c").cast("double") / F.sum("__t")).alias("chars_per_token"),
+            (F.sum("__b").cast("double") / F.sum("__t")).alias("bytes_per_token"),
+        )
+    )
+
+
+register("text_fertility_stats", _fertility_sql())(_fertility)
+
+
+# ===========================================================================
 # Funnel conversion + cohort retention — ordered-event analytics.
 # Pure timestamp comparisons and exact-integer count ratios.
 # ===========================================================================

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from diagnosisextraction_ml_spark.operators.corpus_filters import (
     c4_clean_lines,
@@ -127,3 +128,40 @@ def test_gopher_source_scorecard(spark):
     assert junk["n_docs"] == 4 and junk["n_pass"] == 1
     assert junk["pass_micro"] == 250_000
     assert junk["fail_min_words"] == 3 and junk["fail_max_words"] == 0
+
+
+def test_ccnet_buckets_in_domain_vs_garbage(spark):
+    """A doc drawn from the training distribution lands in a better
+    bucket than token-soup garbage; counts cover every scored doc."""
+    from diagnosisextraction_ml_spark.operators import lm
+    from diagnosisextraction_ml_spark.operators.corpus_filters import (
+        ccnet_perplexity_buckets,
+    )
+
+    train_text = "the cat sat on the mat and the dog sat on the rug " * 20
+    rows = [(i, train_text, "en") for i in range(8)]
+    rows.append((100, "the cat sat on the mat and the dog sat on the rug", "en"))
+    rows.append((101, "zq xv qqj kpw zzv jxq wvq pzk qzz vxw kjq wqz", "xx"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tri, big, uni = lm.fit_trigram_counts(docs.filter(F.col("lang") == "en"))
+    out = ccnet_perplexity_buckets(docs, tri, big, uni)
+    got = {(r["lang"], r["bucket"]): r["n_docs"] for r in out.collect()}
+    assert sum(got.values()) == 10  # every doc has >= 3 tokens -> scored
+    assert got.get(("en", "head"), 0) == 9  # in-domain -> head
+    assert ("xx", "head") not in got and ("xx", "middle") not in got
+    assert got.get(("xx", "tail"), 0) == 1  # garbage -> tail
+
+
+def test_ccnet_buckets_short_docs_drop(spark):
+    from diagnosisextraction_ml_spark.operators import lm
+    from diagnosisextraction_ml_spark.operators.corpus_filters import (
+        ccnet_perplexity_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "en"), (2, "two words", "en")],
+        "doc_id long, text string, lang string",
+    )
+    tri, big, uni = lm.fit_trigram_counts(docs)
+    out = ccnet_perplexity_buckets(docs, tri, big, uni).collect()
+    assert sum(r["n_docs"] for r in out) == 1  # <3 tokens carries no trigrams

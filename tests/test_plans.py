@@ -168,3 +168,34 @@ def test_jaccard_doc_freq_cap_is_default_on(spark):
         if r["jaccard"] >= 0.99
     }
     assert exact[(2001, 2002)] > got[(2001, 2002)]  # capped value underestimates
+
+
+def test_q7_cross_role_or_still_prunes_dims(spark, sf_dir, qs):
+    """The OR spans both nation roles, but Catalyst must derive the
+    per-role IN() residuals so each broadcast side collapses to 2 rows
+    before the cross-role filter."""
+    plan = _plan(qs["rel_q7_nation_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # derived single-role residual pushed into EACH nation scan
+    # (spelled Or(EqualTo..) at 2 values, In(..) at more)
+    assert plan.count("EqualTo(n_name,NATION_3)") >= 2
+    assert plan.count("EqualTo(n_name,NATION_7)") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_pushes_both_fact_predicates(spark, sf_dir, qs):
+    plan = _plan(qs["rel_q10_returned_topk"](spark, sf_dir))
+    assert "EqualTo(l_returnflag,R)" in plan        # lineitem scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # orders scan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_or_of_ands_derives_scan_residuals(spark, sf_dir, qs):
+    """From the OR-of-ANDs Catalyst must push a derived residual into
+    EACH scan: brand/size bounds on part, quantity bounds on lineitem."""
+    plan = _plan(qs["rel_q19_or_predicates"](spark, sf_dir))
+    # plan.toString truncates long predicate lists, so pin the stable
+    # PREFIX of each scan's pushed residual
+    assert "Or(Or(And(EqualTo(p_brand,Brand#1)" in plan      # part scan
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan  # lineitem
+    assert "BroadcastHashJoin" in plan

@@ -307,3 +307,114 @@ def test_pca_project_validates_k(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         similarity.pca_project(df, k=3)
+
+
+# ---------------------------------------------------------------------------
+# numpy BLAS argmin assignment vs the expression path (the oracle's
+# witness): these pins are what license serving assign="numpy" against
+# the expression-replay DuckDB twins (sim_ivf_assign, dedup_semantic,
+# pipeline_text_semdedup).
+# ---------------------------------------------------------------------------
+
+
+def test_assign_numpy_matches_expr_real_embeddings(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators.similarity import (
+        assign_nearest_centroid_numpy,
+        kmeans_centroids,
+        nearest_centroid_expr,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # identical centroids from both assignment engines (argmin flips
+    # would perturb the per-cluster means)
+    c_np = kmeans_centroids(emb, k=8, iters=2, assign="numpy")
+    c_ex = kmeans_centroids(emb, k=8, iters=2, assign="expr")
+    assert c_np == c_ex
+    want = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", nearest_centroid_expr(F.col("embedding"), c_ex).alias("c")
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_nearest_centroid_numpy(
+            emb.select("vec_id", "embedding"), c_np
+        ).collect()
+    }
+    assert got == want
+
+
+def test_assign_numpy_matches_expr_srp_corpus(spark, sf_dir):
+    """Parity at pipeline_text_semdedup's registered params (k=32,
+    iters=2, dim=16) over the SRP projection of the real documents —
+    the exact integer-component vectors the registry query assigns."""
+    from diagnosisextraction_ml_spark.operators.similarity import (
+        assign_nearest_centroid_numpy,
+        kmeans_centroids,
+        nearest_centroid_expr,
+        srp_embed_text,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = srp_embed_text(docs, dim=16).withColumnRenamed(
+        "doc_id", "vec_id"
+    ).localCheckpoint()
+    c_np = kmeans_centroids(emb, k=32, iters=2, assign="numpy")
+    c_ex = kmeans_centroids(emb, k=32, iters=2, assign="expr")
+    assert c_np == c_ex
+    want = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", nearest_centroid_expr(F.col("embedding"), c_ex).alias("c")
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_nearest_centroid_numpy(
+            emb.select("vec_id", "embedding"), c_np
+        ).collect()
+    }
+    assert got == want
+
+
+def test_assign_numpy_tie_and_zero_norm_semantics(spark):
+    """Exact ties -> lowest centroid index (first-match argmin), and
+    zero-norm vectors/centroids RAISE on both paths (ANSI
+    DIVIDE_BY_ZERO on the expression side)."""
+    import pytest as _pytest
+
+    from diagnosisextraction_ml_spark.operators.similarity import (
+        assign_nearest_centroid_numpy,
+        nearest_centroid_expr,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),   # exact tie between colinear centroids 0/1
+        (3, [0.0, 1.0]),
+    ]
+    cents = [[2.0, 0.0], [4.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id", nearest_centroid_expr(F.col("embedding"), cents).alias("c")
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_nearest_centroid_numpy(df, cents).collect()
+    }
+    assert got == want == {1: 0, 3: 2}
+
+    zero_vec = spark.createDataFrame(
+        [(2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        zero_vec.select(
+            nearest_centroid_expr(F.col("embedding"), cents).alias("c")
+        ).collect()
+    with _pytest.raises(Exception, match="zero-norm"):
+        assign_nearest_centroid_numpy(zero_vec, cents).collect()
+    with _pytest.raises(ArithmeticError, match="zero-norm centroid"):
+        assign_nearest_centroid_numpy(df, [[0.0, 0.0], [1.0, 0.0]])
