@@ -221,3 +221,97 @@ def gumbel_topk(
         "key_micro", F.col(weight_col) + F.col("gumbel_micro")
     )
     return keyed.orderBy(F.desc("key_micro"), F.col(id_col)).limit(k)
+
+
+def doremi_mixture_step(
+    docs: DataFrame,
+    trigrams: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    eta: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One DoReMi-style exponentiated-gradient domain-reweighting step
+    (Xie et al. 2023, *DoReMi: Optimizing Data Mixtures Speeds Up
+    Language Model Pretraining* — the update rule of Algorithm 1, with
+    the in-domain trigram LM standing in for the proxy/reference model
+    pair).
+
+    Per source: mean logprob-per-trigram under the LM
+    (:func:`~.lm.score_trigram_interp`); the EXCESS loss is how far the
+    source falls below the corpus-wide mean (clipped at 0, as DoReMi
+    clips); the EG update boosts each source by ``exp(eta * excess)``
+    scaled by its current (proportional-to-size) weight, then
+    renormalizes.
+
+    Determinism doctrine: per-source and corpus means are divisions of
+    exact integer micro-nat sums; the only transcendental is one
+    ``exp`` per SOURCE (20 rows, not 20M), micro-quantized the moment
+    it is produced (same pattern as idf_micro); the final weights are
+    IEEE divisions of exact integer products. Plan: one scoring pass,
+    one source-keyed aggregate, two single-row broadcasts — nothing
+    corpus-sized shuffles twice. At 100 TB the scored corpus is the
+    only big relation and it is touched once.
+
+    Output: (source, n_docs, src_score, excess, boost_micro, weight) —
+    weight sums to 1 over sources.
+    """
+    from diagnosisextraction_ml_spark.operators.lm import score_trigram_interp
+
+    scored = score_trigram_interp(docs, trigrams, bigrams, unigrams, id_col=id_col)
+    src = docs.select(F.col(id_col), F.col(source_col).alias("source"))
+    per = (
+        scored.join(src, [id_col])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("lp_sum").alias("__lp"),
+            F.sum("n_trigrams").alias("__nt"),
+        )
+    )
+    tot = (
+        scored.agg(
+            F.sum("lp_sum").alias("__tlp"), F.sum("n_trigrams").alias("__tnt")
+        ).select(F.lit(1).alias("__j"), "__tlp", "__tnt")
+    )
+    src_score = F.col("__lp").cast("double") / (
+        F.lit(1_000_000.0) * F.col("__nt").cast("double")
+    )
+    ref_score = F.col("__tlp").cast("double") / (
+        F.lit(1_000_000.0) * F.col("__tnt").cast("double")
+    )
+    per = (
+        per.withColumn("__j", F.lit(1))
+        .join(F.broadcast(tot), ["__j"])
+        .select(
+            "source",
+            "n_docs",
+            src_score.alias("src_score"),
+            F.greatest(F.lit(0.0), ref_score - src_score).alias("excess"),
+        )
+        .withColumn(
+            "boost_micro",
+            F.round(
+                F.lit(1_000_000.0) * F.exp(F.lit(float(eta)) * F.col("excess")), 0
+            ).cast("long"),
+        )
+    )
+    den = per.agg(
+        F.sum(F.col("n_docs") * F.col("boost_micro")).alias("__den")
+    ).select(F.lit(1).alias("__j"), "__den")
+    return (
+        per.withColumn("__j", F.lit(1))
+        .join(F.broadcast(den), ["__j"])
+        .select(
+            "source",
+            "n_docs",
+            "src_score",
+            "excess",
+            "boost_micro",
+            (
+                (F.col("n_docs") * F.col("boost_micro")).cast("double")
+                / F.col("__den").cast("double")
+            ).alias("weight"),
+        )
+    )

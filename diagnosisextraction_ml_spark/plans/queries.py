@@ -77,6 +77,10 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "rel_q7_nation_volume", "rel_q10_returned_topk",
     "rel_q19_or_predicates", "filter_ccnet_buckets",
     "text_fertility_stats",
+    # Slots 29-31: new this session — Q12 conditional agg, DoReMi EG
+    # mixture step, Unicode script census.
+    "rel_q12_priority_lines", "mix_doremi_weights",
+    "text_script_profile",
     # Slots 19+: round 9's prefix (all green in CORRECTNESS_r09) in its
     # prior order, so a re-sample keeps re-hashing the most recently
     # changed families first.
@@ -568,6 +572,46 @@ def rel_q19_or_predicates(spark, sf_dir):
         .agg(
             F.sum(disc).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "rel_q12_priority_lines",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def rel_q12_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape — conditional aggregation: one pass computes
+    both CASE-gated counts instead of two filtered subqueries (the
+    pivot-lite pattern every reporting layer leans on).
+
+    The shipdate window reaches the lineitem scan; the join keys both
+    sides on orderkey (one shuffle); the CASE branches are pure
+    projections inside the partial aggregate, so the exchange carries
+    only (linestatus, 2 longs) per map task.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
 

@@ -3250,6 +3250,114 @@ register("text_fertility_stats", _fertility_sql())(_fertility)
 
 
 # ===========================================================================
+# DoReMi-style mixture reweighting — one EG step over sources, driven
+# by the trigram LM (the proxy-model stand-in).
+# ===========================================================================
+
+def _doremi_sql(eta: float = 1.0) -> str:
+    return f"""
+    WITH scored AS ({_lm_trigram_sql()}),
+    per AS (SELECT d.source, count(*) AS n_docs,
+                   CAST(sum(s.lp_sum) AS BIGINT) AS lp,
+                   CAST(sum(s.n_trigrams) AS BIGINT) AS nt
+            FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+            GROUP BY 1),
+    tot AS (SELECT CAST(sum(lp_sum) AS BIGINT) AS tlp,
+                   CAST(sum(n_trigrams) AS BIGINT) AS tnt
+            FROM scored),
+    b AS (SELECT source, n_docs,
+                 CAST(lp AS DOUBLE) / (1000000.0 * CAST(nt AS DOUBLE)) AS src_score,
+                 greatest(CAST(0.0 AS DOUBLE),
+                          CAST(tlp AS DOUBLE) / (1000000.0 * CAST(tnt AS DOUBLE))
+                          - CAST(lp AS DOUBLE) / (1000000.0 * CAST(nt AS DOUBLE))) AS excess
+          FROM per CROSS JOIN tot),
+    c AS (SELECT source, n_docs, src_score, excess,
+                 CAST(round(1000000.0 * exp(CAST({eta!r} AS DOUBLE) * excess), 0) AS BIGINT) AS boost_micro
+          FROM b),
+    dn AS (SELECT CAST(sum(n_docs * boost_micro) AS BIGINT) AS den FROM c)
+    SELECT source, n_docs, src_score, excess, boost_micro,
+           CAST(n_docs * boost_micro AS DOUBLE) / CAST(den AS DOUBLE) AS weight
+    FROM c CROSS JOIN dn
+    """
+
+
+def _doremi(spark, sf_dir):
+    from diagnosisextraction_ml_spark.operators import lm
+    from diagnosisextraction_ml_spark.operators.dsir import doremi_mixture_step
+
+    docs = _t(spark, sf_dir, "documents")
+    tri, big, uni = lm.fit_trigram_counts(docs.filter(F.col("lang") == "en"))
+    return doremi_mixture_step(docs, tri, big, uni, eta=1.0)
+
+
+register("mix_doremi_weights", _doremi_sql())(_doremi)
+
+
+# ===========================================================================
+# Unicode script profile — per-language character-class mix (the
+# routing diagnostic before langid / tokenizer choice).
+# ===========================================================================
+
+LATIN = r"\p{Latin}"
+HAN = r"\p{Han}"
+
+
+def _script_profile_sql() -> str:
+    def strip(cls: str) -> str:
+        return f"CAST(sum(length(regexp_replace(text, '[^{cls}]', '', 'g'))) AS BIGINT)"
+
+    return f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           {strip(LATIN)} AS latin_chars,
+           {strip(HAN)} AS han_chars,
+           {strip('0-9')} AS digit_chars,
+           {strip(' ')} AS space_chars,
+           1000000 * {strip(LATIN)} // CAST(sum(length(text)) AS BIGINT) AS latin_micro
+    FROM documents
+    GROUP BY lang
+    """
+
+
+def _script_profile(spark, sf_dir):
+    """Character-class census per language: Latin/Han scripts (Java
+    \\p{IsX} == RE2 \\p{X} — cross-engine agreement test-pinned),
+    digits, spaces. Pure projections + one lang-keyed aggregate; exact
+    integer sums and an integer-div micro ratio.
+    """
+    docs = _t(spark, sf_dir, "documents")
+
+    def n(cls: str):
+        return F.length(F.regexp_replace(F.col("text"), f"[^{cls}]", "")).cast("long")
+
+    return (
+        docs.select(
+            "lang",
+            F.length("text").cast("long").alias("__c"),
+            n(r"\p{IsLatin}").alias("__lat"),
+            n(r"\p{IsHan}").alias("__han"),
+            n("0-9").alias("__dig"),
+            n(" ").alias("__sp"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__c").alias("n_chars"),
+            F.sum("__lat").alias("latin_chars"),
+            F.sum("__han").alias("han_chars"),
+            F.sum("__dig").alias("digit_chars"),
+            F.sum("__sp").alias("space_chars"),
+        )
+        .withColumn(
+            "latin_micro", F.expr("1000000 * latin_chars div n_chars")
+        )
+    )
+
+
+register("text_script_profile", _script_profile_sql())(_script_profile)
+
+
+# ===========================================================================
 # Funnel conversion + cohort retention — ordered-event analytics.
 # Pure timestamp comparisons and exact-integer count ratios.
 # ===========================================================================

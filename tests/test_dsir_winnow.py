@@ -286,3 +286,30 @@ def test_winnow_contamination_planted(spark):
     }
     assert got[1].n_hit > 0 and got[1].overlap_micro > 0
     assert got[2].n_hit == 0 and got[2].overlap_micro == 0
+
+
+def test_doremi_mixture_step_semantics(spark):
+    """Weights are a probability vector; every boost >= 1 (excess is
+    clipped at 0); the off-distribution source is boosted ABOVE its
+    size share, the in-distribution one toward/below it."""
+    from diagnosisextraction_ml_spark.operators import lm
+    from diagnosisextraction_ml_spark.operators.dsir import doremi_mixture_step
+
+    indomain = "the cat sat on the mat and the dog ran to the rug " * 10
+    offdomain = "zq xv qqj kpw zzv jxq wvq pzk qzz vxw kjq wqz " * 10
+    rows = [(i, indomain, "en", "srcA") for i in range(6)]
+    rows += [(100 + i, offdomain, "xx", "srcB") for i in range(6)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    tri, big, uni = lm.fit_trigram_counts(docs.filter(F.col("lang") == "en"))
+    out = {r["source"]: r for r in doremi_mixture_step(docs, tri, big, uni).collect()}
+    assert set(out) == {"srcA", "srcB"}
+    total = sum(r["weight"] for r in out.values())
+    assert abs(total - 1.0) < 1e-12
+    assert all(r["boost_micro"] >= 1_000_000 for r in out.values())
+    # equal sizes -> the EG step must shift weight toward the source
+    # with the worse (more negative) LM score
+    assert out["srcB"]["src_score"] < out["srcA"]["src_score"]
+    assert out["srcB"]["weight"] > 0.5 > out["srcA"]["weight"]
+    assert out["srcA"]["excess"] == 0.0  # above the corpus mean -> clipped
