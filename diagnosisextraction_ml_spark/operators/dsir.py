@@ -256,6 +256,12 @@ def doremi_mixture_step(
 
     Output: (source, n_docs, src_score, excess, boost_micro, weight) —
     weight sums to 1 over sources.
+
+    Magnitude bound: the weight numerator ``n_docs · boost_micro`` is
+    an exact int64 product; with boost ≤ 1e6·e^(η·excess) it overflows
+    only past ~10^12 docs per source at η·excess ≈ 1 (Spark raises
+    under ANSI, DuckDB's HUGEINT sum then fails the final BIGINT cast
+    — loud on both engines, same doctrine as cusum_drift).
     """
     from diagnosisextraction_ml_spark.operators.lm import score_trigram_interp
 

@@ -684,3 +684,52 @@ def temperature_mixture_plan(
         ),
     )
     return out
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Leave-one-out target encoding — the standard high-cardinality
+    categorical encoder, leak-free by construction: each row's code is
+    the mean target of its category EXCLUDING the row itself,
+    ``(Σ_cat − y_i) / (n_cat − 1)``.
+
+    Plan: one category-keyed aggregate (DECIMAL-exact Σ, order-
+    independent) broadcast-joined back — categories are vocabulary-
+    sized next to the fact table, so the join adds no fact-side
+    shuffle beyond the aggregate's own. The per-row subtraction uses
+    the same DECIMAL quantization as the sum, so the encoding replays
+    hash-exactly in the SQL twin. Singleton categories (n=1) have no
+    leave-one-out peers → NULL, never a divide-by-zero.
+
+    Output: (id, cat, target, loo_enc double).
+    """
+    dec = "decimal(38,12)"
+    per_cat = df.groupBy(cat_col).agg(
+        F.sum(F.col(target_col).cast(dec)).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        df.select(id_col, cat_col, target_col)
+        .join(F.broadcast(per_cat), [cat_col])
+        .select(
+            id_col,
+            cat_col,
+            target_col,
+            F.when(
+                F.col("__n") > 1,
+                # 6dp round: Spark and DuckDB disagree in the last ULP
+                # of the DECIMAL(38,12)->double conversion
+                F.round(
+                    (F.col("__s") - F.col(target_col).cast(dec)).cast("double")
+                    / (F.col("__n") - 1).cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("loo_enc"),
+        )
+    )

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -482,4 +482,113 @@ def gini_coefficient(
             " div (CAST(__n AS DECIMAL(38,0)) * sx)"
             " ELSE NULL END AS BIGINT)"
         ).alias("gini_micro"),
+    )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Exact Pearson correlation for every column pair, ONE scan.
+
+    The textbook sufficient statistics — n, Σx, Σx², Σx·y per pair —
+    as a single aggregate over one projection (no per-pair passes, no
+    `df.stat.corr` loop, which scans once PER PAIR). Sums go through
+    DECIMAL(38,12) so they are exact and order-independent; the final
+    r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) is a fixed-order
+    double expression on those exact sums, rounded to 6 dp (sqrt is
+    correctly rounded IEEE — both engines agree at 6 dp).
+
+    At 100 TB this is the only correlation plan that works: k(k+1)/2
+    aggregate expressions ride the same partial-aggregate scan, the
+    exchange carries one row per map task. Degenerate (zero-variance)
+    columns yield NULL r (guarded division), not an error.
+
+    Output: (col_a, col_b, n, r) for a < b, unpivoted to rows.
+    """
+    dec = "decimal(38,12)"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(dec)).alias(f"s_{c}"))
+        aggs.append(F.sum((F.col(c) * F.col(c)).cast(dec)).alias(f"q_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum((F.col(a) * F.col(b)).cast(dec)).alias(f"p_{a}_{b}"))
+    stats = df.select(*cols).agg(*aggs)
+
+    def r_expr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        qa, qb = F.col(f"q_{a}").cast("double"), F.col(f"q_{b}").cast("double")
+        p = F.col(f"p_{a}_{b}").cast("double")
+        cov = n * p - sa * sb
+        va = n * qa - sa * sa
+        vb = n * qb - sb * sb
+        return F.when(
+            (va > 0) & (vb > 0), F.round(cov / F.sqrt(va * vb), 6)
+        ).otherwise(F.lit(None).cast("double"))
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("n").alias("n"),
+                r_expr(a, b).alias("r"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return stats.select(F.explode(rows).alias("x")).select(
+        "x.col_a", "x.col_b", "x.n", "x.r"
+    )
+
+
+def quantile_normalize_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group percentile rank (strictly-below convention) WITHOUT a
+    per-group row window.
+
+    The repo's two-level cumsum doctrine (cf. evaluate.curve_by_
+    threshold): aggregate to (group, value) counts — vocabulary-sized —
+    cumsum over the ordered DISTINCT values inside each group, then
+    join back. The only row-level shuffles are one groupBy and one
+    join on (group, value); no `row_number() OVER (PARTITION BY
+    group)` that would serialize each group through one task at 100 TB
+    (group cardinality is small by construction — that's why you
+    normalize per group).
+
+    percentile_micro = 1e6 · |{y in group : y < x}| div (n_group − 1),
+    an exact integer; single-row groups yield NULL (guarded).
+    """
+    per_val = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_val.select(
+        group_col,
+        value_col,
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__below"),
+        F.sum("__c").over(Window.partitionBy(group_col)).alias("__n"),
+    )
+    return df.select(id_col, group_col, value_col).join(
+        cum, [group_col, value_col]
+    ).select(
+        id_col,
+        group_col,
+        value_col,
+        F.when(
+            F.col("__n") > 1,
+            F.expr("1000000 * __below div (__n - 1)"),
+        )
+        .otherwise(F.lit(None).cast("long"))
+        .alias("pct_micro"),
     )

@@ -81,6 +81,9 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # mixture step, Unicode script census.
     "rel_q12_priority_lines", "mix_doremi_weights",
     "text_script_profile",
+    # Slots 32-34: new this session — one-pass exact correlation
+    # matrix, LOO target encoding, bucketed-cumsum quantile norm.
+    "qc_corr_matrix", "feat_target_encode_loo", "qc_quantile_norm",
     # Slots 19+: round 9's prefix (all green in CORRECTNESS_r09) in its
     # prior order, so a re-sample keeps re-hashing the most recently
     # changed families first.

@@ -41,7 +41,7 @@ from diagnosisextraction_ml_spark.functions.text import (
     tokenize_expr,
     word_match_expr,
 )
-from diagnosisextraction_ml_spark.operators import dedup, evaluate, joins, prep, similarity, textstats
+from diagnosisextraction_ml_spark.operators import dedup, evaluate, joins, prep, profile, similarity, textstats
 from diagnosisextraction_ml_spark.plans.queries import _t, register
 
 KNUTH = 2654435761
@@ -3355,6 +3355,110 @@ def _script_profile(spark, sf_dir):
 
 
 register("text_script_profile", _script_profile_sql())(_script_profile)
+
+
+# ===========================================================================
+# Single-pass exact Pearson correlation matrix over lineitem numerics.
+# ===========================================================================
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_sql() -> str:
+    cols = _CORR_COLS
+    dec = "DECIMAL(38,12)"
+    sums = [f"count(*) AS n"]
+    for c in cols:
+        sums.append(f"sum(CAST({c} AS {dec})) AS s_{c}")
+        sums.append(f"sum(CAST({c} * {c} AS {dec})) AS q_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        sums.append(f"sum(CAST({a} * {b} AS {dec})) AS p_{a}_{b}")
+    selects = []
+    for a, b in pairs:
+        selects.append(f"""
+      SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+             CASE WHEN (CAST(n AS DOUBLE) * CAST(q_{a} AS DOUBLE)
+                        - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE) * CAST(q_{b} AS DOUBLE)
+                        - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)) > 0
+                  THEN round((CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)
+                              - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+                             / sqrt((CAST(n AS DOUBLE) * CAST(q_{a} AS DOUBLE)
+                                     - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                                    * (CAST(n AS DOUBLE) * CAST(q_{b} AS DOUBLE)
+                                       - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6)
+             END AS r
+      FROM s"""
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)"
+        + " UNION ALL ".join(selects)
+    )
+
+
+register("qc_corr_matrix", _corr_matrix_sql())(
+    lambda spark, sf_dir: profile.corr_matrix(
+        _t(spark, sf_dir, "lineitem"), _CORR_COLS
+    )
+)
+
+
+# ===========================================================================
+# Leave-one-out target encoding — orders priority vs total price.
+# ===========================================================================
+
+register(
+    "feat_target_encode_loo",
+    """
+    WITH per AS (SELECT o_orderpriority,
+                        sum(CAST(o_totalprice AS DECIMAL(38,12))) AS s,
+                        count(*) AS n
+                 FROM orders GROUP BY 1)
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+           CASE WHEN n > 1
+                THEN round(CAST(s - CAST(o.o_totalprice AS DECIMAL(38,12)) AS DOUBLE)
+                           / CAST(n - 1 AS DOUBLE), 6)
+           END AS loo_enc
+    FROM orders o JOIN per USING (o_orderpriority)
+    """,
+)(
+    lambda spark, sf_dir: prep.target_encode_loo(
+        _t(spark, sf_dir, "orders"),
+        cat_col="o_orderpriority",
+        target_col="o_totalprice",
+        id_col="o_orderkey",
+    )
+)
+
+
+# ===========================================================================
+# Per-source quantile normalization of document length — the
+# bucketed-cumsum engine instead of a per-group row window.
+# ===========================================================================
+
+register(
+    "qc_quantile_norm",
+    """
+    WITH pv AS (SELECT source, n_chars, count(*) AS c
+                FROM documents GROUP BY 1, 2),
+    cum AS (SELECT source, n_chars,
+                   CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below,
+                   CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+            FROM pv)
+    SELECT d.doc_id, d.source, d.n_chars,
+           CASE WHEN n > 1 THEN 1000000 * below // (n - 1) END AS pct_micro
+    FROM documents d JOIN cum ON cum.source = d.source AND cum.n_chars = d.n_chars
+    """,
+)(
+    lambda spark, sf_dir: profile.quantile_normalize_by_group(
+        _t(spark, sf_dir, "documents"),
+        value_col="n_chars",
+        group_col="source",
+        id_col="doc_id",
+    )
+)
 
 
 # ===========================================================================

@@ -505,3 +505,58 @@ def test_cusum_overflow_raises_not_nulls(spark):
     df = spark.createDataFrame(rows, "key string, t int, v long")
     with pytest.raises(Exception, match="overflows BIGINT"):
         cusum_drift(df, ["key"], "t", "v", 10**6).collect()
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    rng_rows = [
+        (float(i), float(i) * 2.0 + 1.0, float((i * 7) % 5), 3.0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rng_rows, "a double, b double, c double, d double")
+    from diagnosisextraction_ml_spark.operators.profile import corr_matrix
+
+    got = {
+        (r["col_a"], r["col_b"]): r["r"]
+        for r in corr_matrix(df, ["a", "b", "c", "d"]).collect()
+    }
+    x = np.asarray([list(r) for r in rng_rows])
+    assert got[("a", "b")] == 1.0  # exact linear relation
+    want_ac = float(np.corrcoef(x[:, 0], x[:, 2])[0, 1])
+    assert abs(got[("a", "c")] - want_ac) < 1e-6
+    # zero-variance column -> NULL, not error
+    assert got[("a", "d")] is None and got[("c", "d")] is None
+    assert len(got) == 6
+
+
+def test_target_encode_loo_hand_case(spark):
+    from diagnosisextraction_ml_spark.operators.prep import target_encode_loo
+
+    df = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "x", 20.0), (3, "x", 30.0), (4, "y", 7.0)],
+        "id long, cat string, y double",
+    )
+    got = {r["id"]: r["loo_enc"] for r in target_encode_loo(df, "cat", "y", "id").collect()}
+    assert got[1] == 25.0 and got[2] == 20.0 and got[3] == 15.0
+    assert got[4] is None  # singleton category has no LOO peers
+
+
+def test_quantile_normalize_by_group_ties_and_singletons(spark):
+    from diagnosisextraction_ml_spark.operators.profile import (
+        quantile_normalize_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "g", 5), (2, "g", 5), (3, "g", 7), (4, "g", 9), (5, "h", 1)],
+        "id long, grp string, v long",
+    )
+    got = {
+        r["id"]: r["pct_micro"]
+        for r in quantile_normalize_by_group(df, "v", "grp", "id").collect()
+    }
+    # strictly-below convention over n-1=3: ties share a rank
+    assert got[1] == 0 and got[2] == 0
+    assert got[3] == 1000000 * 2 // 3
+    assert got[4] == 1000000  # max value: all 3 others below
+    assert got[5] is None  # single-row group

@@ -378,3 +378,38 @@ def test_token_entropy_hand_cases(spark):
     a = sorted(map(tuple, token_entropy(df.coalesce(1)).collect()))
     b = sorted(map(tuple, token_entropy(df.repartition(5)).collect()))
     assert a == b
+
+
+def test_script_census_classes_agree_with_duckdb(spark):
+    """The registry's script census relies on Java \\p{IsX} and RE2
+    \\p{X} counting identically; the driver testdata is ASCII-only, so
+    pin the agreement on genuinely mixed-script strings here."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    texts = [
+        "abc 中文 123 xyz!",
+        "Ĳæß Łódź 漢字かな 456",   # Latin-extended + Han + Hiragana
+        "призёр 789 test",          # Cyrillic (counts as neither class)
+        "",
+    ]
+    classes = [r"\p{IsLatin}", r"\p{IsHan}", "0-9", " "]
+    duck_classes = [r"\p{Latin}", r"\p{Han}", "0-9", " "]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = df.select(
+        *[
+            F.length(F.regexp_replace("text", f"[^{c}]", "")).alias(f"c{i}")
+            for i, c in enumerate(classes)
+        ]
+    ).collect()
+    con = duckdb.connect()
+    for row, t in zip(got, texts):
+        want = con.execute(
+            "SELECT "
+            + ", ".join(
+                f"length(regexp_replace(?, '[^{c}]', '', 'g'))"
+                for c in duck_classes
+            ),
+            [t] * len(duck_classes),
+        ).fetchone()
+        assert tuple(row) == tuple(want), (t, tuple(row), want)
