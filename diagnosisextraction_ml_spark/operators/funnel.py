@@ -368,3 +368,86 @@ def lasttouch_attribution(
             F.sum("__v").cast("double").alias("revenue"),
         )
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution — each
+    conversion's value splits equally across ALL of the user's prior
+    touch events; the per-channel credit is value · n_ch/k where n_ch
+    counts that channel's prior touches and k = Σ n_ch. Conversions
+    with no prior touch credit '(none)' in full.
+
+    Same single-Exchange shape as :func:`lasttouch_attribution` — one
+    window pass per user ordered by (ts, id) carries one RUNNING COUNT
+    per channel (state: len(touch_types) longs, not the payload), then
+    the per-conversion credits unpivot to (channel, credit) rows and a
+    tiny hash aggregate sums them. Credits are rounded to 6 dp and
+    DECIMAL-cast BEFORE the sum so per-channel totals are order- and
+    partitioning-independent (hash-exact in the SQL twin).
+
+    Output: (channel, n_conversions BIGINT, revenue DOUBLE); a
+    conversion counts toward every channel it credits.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    counted = events
+    for t in touch_types:
+        counted = counted.withColumn(
+            f"__n_{t}",
+            F.coalesce(
+                F.sum(F.when(F.col(type_col) == t, 1)).over(w), F.lit(0)
+            ),
+        )
+    k = sum(F.col(f"__n_{t}") for t in touch_types)
+    conv = counted.filter(F.col(type_col) == conversion_type).withColumn(
+        "__k", k
+    )
+    credits = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("channel"),
+                F.when(
+                    F.col("__k") > 0,
+                    F.round(
+                        F.col(value_col)
+                        * F.col(f"__n_{t}").cast("double")
+                        / F.col("__k").cast("double"),
+                        6,
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("credit"),
+            )
+            for t in touch_types
+        ],
+        F.struct(
+            F.lit("(none)").alias("channel"),
+            F.when(F.col("__k") == 0, F.col(value_col))
+            .otherwise(F.lit(0.0))
+            .alias("credit"),
+        ),
+    )
+    return (
+        conv.select(F.explode(credits).alias("c"))
+        .select("c.channel", F.col("c.credit").cast("decimal(18,6)").alias("__v"))
+        .filter(F.col("__v") != 0)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("__v").cast("double").alias("revenue"),
+        )
+    )

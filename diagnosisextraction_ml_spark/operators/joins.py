@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -192,3 +192,46 @@ def blocked_fuzzy_pairs(
         F.levenshtein("a.name", "b.name").alias("dist"),
     ).filter(F.col("dist") <= max_dist)
     return out
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt_expr: Column,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with manual key salting — the big⋈big skew tool for
+    when AQE's skew-join splitting isn't available (non-shuffle-join
+    plans, stateful streaming joins) or a single key exceeds what one
+    split can hold.
+
+    Mechanics: the skewed LEFT side scatters each row into one of
+    ``salts`` sub-keys via ``salt_expr`` (any per-row expression — a
+    hash of a high-cardinality column; correctness never depends on
+    it, only balance does); the RIGHT side replicates each row into
+    ALL ``salts`` sub-keys (one ``explode(sequence(...))``, a salts×
+    fan-out — so keep the right side the smaller one). The join then
+    runs on (key, salt), splitting a hot key's rows across ``salts``
+    tasks instead of one straggler.
+
+    Result is EXACTLY the plain equi-join (test-pinned): every left
+    row meets every matching right row exactly once. Only inner and
+    left joins are supported — for right/full joins the replicated
+    side would multiply unmatched-row NULLs.
+
+    At 100 TB: the left side shuffles once on (key, salt) exactly as it
+    would on key; the right side's shuffle grows salts×, which is the
+    explicit price of de-skewing — pick ``salts`` ≈ hot-key rows /
+    healthy-partition rows.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join: how={how!r} (only inner/left)")
+    lf = left.withColumn("__salt", F.pmod(salt_expr, F.lit(salts)).cast("int"))
+    rt = right.withColumn(
+        "__rsalt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    cond = (lf[left_key] == rt[right_key]) & (lf["__salt"] == rt["__rsalt"])
+    return lf.join(rt, cond, how).drop("__salt", "__rsalt")

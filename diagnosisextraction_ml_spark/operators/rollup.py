@@ -532,3 +532,56 @@ def gapfill_locf_hourly(
         F.last("value_obs", ignorenulls=True).over(w_ffill).alias("value_micro"),
         F.col("value_obs").isNull().alias("is_gap"),
     )
+
+
+def seasonal_naive_backtest(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    season_hours: int = 24,
+) -> DataFrame:
+    """Backtest the seasonal-naive forecast ŷ(t) = y(t − season) on
+    hourly sums — the baseline every real forecasting pipeline must
+    publish before anything fancier earns its keep.
+
+    Plan: ONE hourly pre-aggregation (DECIMAL-exact sums — the same
+    monoid state the incremental rollups use), then a self-equi-join
+    on (key, hour − season): both sides share the (key, hour)
+    partitioning, so AQE plans it as one exchange reused twice. Only
+    hours with a non-zero actual enter the MAPE (|a−f|/|a| is
+    undefined at a = 0); each APE is rounded to 6 dp and DECIMAL-cast
+    before the mean so the aggregate is order-independent.
+
+    Output per key: (key, n_hours, mape DOUBLE) over the backtestable
+    hours.
+    """
+    hour = (F.unix_timestamp(F.col(ts_col)).cast("long") / 3600).cast("long")
+    hourly = (
+        events.select(
+            F.col(key_col).alias("key"),
+            hour.alias("h"),
+            F.col(value_col).cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("key", "h")
+        .agg(F.sum("v").alias("actual"))
+    )
+    fc = hourly.select(
+        "key", (F.col("h") + F.lit(season_hours)).alias("h"),
+        F.col("actual").alias("forecast"),
+    )
+    ape = F.round(
+        F.abs(F.col("actual") - F.col("forecast")).cast("double")
+        / F.abs(F.col("actual").cast("double")),
+        6,
+    )
+    return (
+        hourly.join(fc, ["key", "h"])
+        .filter(F.col("actual") != 0)
+        .select("key", ape.cast("decimal(18,6)").alias("__ape"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            (F.sum("__ape").cast("double") / F.count(F.lit(1))).alias("mape"),
+        )
+    )

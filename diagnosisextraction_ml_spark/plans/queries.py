@@ -84,6 +84,10 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # Slots 32-34: new this session — one-pass exact correlation
     # matrix, LOO target encoding, bucketed-cumsum quantile norm.
     "qc_corr_matrix", "feat_target_encode_loo", "qc_quantile_norm",
+    # Slots 35-37: new this session — salted skew join (oracle = the
+    # plain join), linear multi-touch attribution, seasonal-naive MAPE.
+    "join_salted_events", "events_attribution_linear",
+    "ts_seasonal_naive",
     # Slots 19+: round 9's prefix (all green in CORRECTNESS_r09) in its
     # prior order, so a re-sample keeps re-hashing the most recently
     # changed families first.

@@ -42,6 +42,8 @@ from diagnosisextraction_ml_spark.functions.text import (
     word_match_expr,
 )
 from diagnosisextraction_ml_spark.operators import dedup, evaluate, joins, prep, profile, similarity, textstats
+from diagnosisextraction_ml_spark.operators import funnel as funnel_ops
+from diagnosisextraction_ml_spark.operators import rollup as rollup_ops
 from diagnosisextraction_ml_spark.plans.queries import _t, register
 
 KNUTH = 2654435761
@@ -7112,4 +7114,102 @@ register(
     lambda spark, sf_dir: __import__(
         "diagnosisextraction_ml_spark.operators.funnel", fromlist=["funnel"]
     ).lasttouch_attribution(_t(spark, sf_dir, "events"))
+)
+
+
+# ===========================================================================
+# Salted skew join — identity with the plain equi-join, by construction
+# and by oracle: the twin is the UNSALTED join.
+# ===========================================================================
+
+register(
+    "join_salted_events",
+    """
+    SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)(
+    lambda spark, sf_dir: joins.salted_join(
+        _t(spark, sf_dir, "events"),
+        _t(spark, sf_dir, "customer"),
+        "user_id",
+        "c_custkey",
+        salt_expr=F.col("event_id"),
+        salts=8,
+    )
+    .groupBy(F.col("c_mktsegment").alias("segment"))
+    .agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+)
+
+
+# ===========================================================================
+# Linear multi-touch attribution — equal credit across prior touches.
+# ===========================================================================
+
+register(
+    "events_attribution_linear",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END) OVER w, 0) AS BIGINT) AS n_click,
+             CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END) OVER w, 0) AS BIGINT) AS n_view
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    conv AS (SELECT *, n_click + n_view AS k FROM t WHERE event_type = 'purchase'),
+    credits AS (
+      SELECT 'click' AS channel,
+             CASE WHEN k > 0 THEN round(value * CAST(n_click AS DOUBLE) / CAST(k AS DOUBLE), 6)
+                  ELSE 0.0 END AS credit
+      FROM conv
+      UNION ALL
+      SELECT 'view',
+             CASE WHEN k > 0 THEN round(value * CAST(n_view AS DOUBLE) / CAST(k AS DOUBLE), 6)
+                  ELSE 0.0 END
+      FROM conv
+      UNION ALL
+      SELECT '(none)', CASE WHEN k = 0 THEN value ELSE 0.0 END FROM conv)
+    SELECT channel, count(*) AS n_conversions,
+           CAST(sum(CAST(credit AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM credits
+    WHERE CAST(credit AS DECIMAL(18,6)) <> 0
+    GROUP BY 1
+    """,
+)(
+    lambda spark, sf_dir: funnel_ops.linear_attribution(
+        _t(spark, sf_dir, "events")
+    )
+)
+
+
+# ===========================================================================
+# Seasonal-naive forecast backtest (MAPE per key over hourly sums).
+# ===========================================================================
+
+register(
+    "ts_seasonal_naive",
+    """
+    WITH hourly AS (SELECT event_type AS key,
+                           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                           sum(CAST(value AS DECIMAL(18,6))) AS actual
+                    FROM events GROUP BY 1, 2),
+    fc AS (SELECT key, h + 24 AS h, actual AS forecast FROM hourly),
+    j AS (SELECT hourly.key,
+                 round(CAST(abs(hourly.actual - fc.forecast) AS DOUBLE)
+                       / abs(CAST(hourly.actual AS DOUBLE)), 6) AS ape
+          FROM hourly JOIN fc ON hourly.key = fc.key AND hourly.h = fc.h
+          WHERE hourly.actual <> 0)
+    SELECT key, count(*) AS n_hours,
+           CAST(sum(CAST(ape AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mape
+    FROM j GROUP BY 1
+    """,
+)(
+    lambda spark, sf_dir: rollup_ops.seasonal_naive_backtest(
+        _t(spark, sf_dir, "events")
+    )
 )

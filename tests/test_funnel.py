@@ -5,6 +5,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from diagnosisextraction_ml_spark.operators import funnel
 
@@ -218,3 +219,28 @@ def test_lasttouch_attribution_semantics(spark):
     a = sorted(map(tuple, lasttouch_attribution(df.coalesce(1)).collect()))
     b = sorted(map(tuple, lasttouch_attribution(df.repartition(5)).collect()))
     assert a == b
+
+
+def test_linear_attribution_hand_case(spark):
+    from diagnosisextraction_ml_spark.operators.funnel import linear_attribution
+
+    rows = [
+        # user 1: click, view, view, purchase(30) -> click 10, view 20
+        (1, 1, "2024-01-01 00:00:00", "click", 0.0),
+        (2, 1, "2024-01-01 00:01:00", "view", 0.0),
+        (3, 1, "2024-01-01 00:02:00", "view", 0.0),
+        (4, 1, "2024-01-01 00:03:00", "purchase", 30.0),
+        # user 2: purchase with no touches -> (none) 5
+        (5, 2, "2024-01-01 00:00:00", "purchase", 5.0),
+        # user 1 second purchase(8) after one more click:
+        # counts now click=2, view=2 -> 4 each
+        (6, 1, "2024-01-01 00:04:00", "click", 0.0),
+        (7, 1, "2024-01-01 00:05:00", "purchase", 8.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["channel"]: (r["n_conversions"], r["revenue"]) for r in linear_attribution(ev).collect()}
+    assert got["click"] == (2, 14.0)   # 10 + 4
+    assert got["view"] == (2, 24.0)    # 20 + 4
+    assert got["(none)"] == (1, 5.0)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from diagnosisextraction_ml_spark.operators.joins import asof_join
 
@@ -158,3 +159,42 @@ def test_asof_join_matches_bruteforce_randomized(spark):
     )
     want = {r["event_id"]: r["v"] for r in brute.collect()}
     assert got == want and any(v is not None for v in want.values())
+
+
+def test_salted_join_equals_plain_join(spark):
+    from diagnosisextraction_ml_spark.operators.joins import salted_join
+
+    # one hot key (0) with 200 rows, a cold tail, plus unmatched keys
+    left = spark.createDataFrame(
+        [(i, 0 if i < 200 else i % 7, float(i)) for i in range(260)],
+        "rid long, k long, v double",
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(5)], "rk long, name string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in salted_join(
+            left, right, "k", "rk", salt_expr=F.col("rid"), salts=8
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in left.join(right, left["k"] == right["rk"]).collect()
+    )
+    assert got == want and len(got) > 200
+
+    # left join keeps unmatched left rows exactly once
+    got_l = sorted(
+        tuple(r)
+        for r in salted_join(
+            left, right, "k", "rk", salt_expr=F.col("rid"), salts=4, how="left"
+        ).collect()
+    )
+    want_l = sorted(
+        tuple(r)
+        for r in left.join(right, left["k"] == right["rk"], "left").collect()
+    )
+    assert got_l == want_l
+
+    with pytest.raises(ValueError, match="only inner/left"):
+        salted_join(left, right, "k", "rk", F.col("rid"), how="full")

@@ -560,3 +560,28 @@ def test_quantile_normalize_by_group_ties_and_singletons(spark):
     assert got[3] == 1000000 * 2 // 3
     assert got[4] == 1000000  # max value: all 3 others below
     assert got[5] is None  # single-row group
+
+
+def test_seasonal_naive_backtest_hand_case(spark):
+    from diagnosisextraction_ml_spark.operators.rollup import (
+        seasonal_naive_backtest,
+    )
+
+    base = 1_700_000_000  # aligned hours
+    rows = []
+    # key 'a': hour sums 10, 20 on day 1; 15, 20 on day 2
+    for h, v in ((0, 10.0), (1, 20.0), (24, 15.0), (25, 20.0)):
+        rows.append((len(rows), base + h * 3600 + 30, "a", v))
+    df = spark.createDataFrame(
+        rows, "event_id long, es long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.col("es").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    out = {r["key"]: (r["n_hours"], r["mape"]) for r in seasonal_naive_backtest(df).collect()}
+    # APEs: |15-10|/15 = 1/3 -> 0.333333 ; |20-20|/20 = 0
+    n, mape = out["a"]
+    assert n == 2
+    assert abs(mape - (0.333333 + 0.0) / 2) < 1e-9
