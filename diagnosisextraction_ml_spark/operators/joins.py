@@ -229,6 +229,9 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join: how={how!r} (only inner/left)")
+    for df, col in ((left, "__salt"), (right, "__rsalt")):
+        if col in df.columns:
+            raise ValueError(f"salted_join: input already has a {col} column")
     lf = left.withColumn("__salt", F.pmod(salt_expr, F.lit(salts)).cast("int"))
     rt = right.withColumn(
         "__rsalt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))

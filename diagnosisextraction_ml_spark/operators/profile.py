@@ -504,6 +504,10 @@ def corr_matrix(
     exchange carries one row per map task. Degenerate (zero-variance)
     columns yield NULL r (guarded division), not an error.
 
+    Null contract: columns must be null-free (gate with the QC
+    expectations upstream) — n is the ROW count, so a null would
+    silently skew r rather than trigger pairwise-complete handling.
+
     Output: (col_a, col_b, n, r) for a < b, unpivoted to rows.
     """
     dec = "decimal(38,12)"
@@ -563,7 +567,9 @@ def quantile_normalize_by_group(
     normalize per group).
 
     percentile_micro = 1e6 · |{y in group : y < x}| div (n_group − 1),
-    an exact integer; single-row groups yield NULL (guarded).
+    an exact integer; single-row groups yield NULL (guarded). Rows
+    with a NULL value drop (the join-back key never matches) — same
+    convention as SQL rank functions over a NULLS-excluded domain.
     """
     per_val = df.groupBy(group_col, value_col).agg(
         F.count(F.lit(1)).alias("__c")
