@@ -88,6 +88,8 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # plain join), linear multi-touch attribution, seasonal-naive MAPE.
     "join_salted_events", "events_attribution_linear",
     "ts_seasonal_naive",
+    # Slots 38-39: TPC-H Q14 / Q4 shapes.
+    "rel_q14_promo_share", "rel_q4_priority_exists",
     # Slots 19+: round 9's prefix (all green in CORRECTNESS_r09) in its
     # prior order, so a re-sample keeps re-hashing the most recently
     # changed families first.
@@ -620,6 +622,82 @@ def rel_q12_priority_lines(spark, sf_dir):
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
+    )
+
+
+@register(
+    "rel_q14_promo_share",
+    """
+    SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+                 6) AS promo_share_pct,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def rel_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape — promotion revenue share: two conditional
+    DECIMAL sums in one aggregate, their ratio taken once at the end
+    (never per-row), shipdate window pushed to the lineitem scan, part
+    broadcast. The 6 dp round absorbs the final double-division ULP.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "rel_q4_priority_exists",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def rel_q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape — EXISTS-driven priority count: a LEFT SEMI join
+    (each order matches at most once however many lineitems qualify)
+    feeding a small aggregate.
+
+    The quantity predicate prunes lineitem at its scan and the date
+    window prunes orders at its scan BEFORE the semi join — the
+    exchange carries only the two reduced key sets; the priority
+    rollup is metadata-sized.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
     )
 
 

@@ -199,3 +199,20 @@ def test_q19_or_of_ands_derives_scan_residuals(spark, sf_dir, qs):
     assert "Or(Or(And(EqualTo(p_brand,Brand#1)" in plan      # part scan
     assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan  # lineitem
     assert "BroadcastHashJoin" in plan
+
+
+def test_q4_uses_semi_join_with_both_scans_pruned(spark, sf_dir, qs):
+    plan = _plan(qs["rel_q4_priority_exists"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "GreaterThan(l_quantity,45.0)" in plan     # lineitem scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan   # orders scan
+
+
+def test_q14_single_aggregate_no_per_row_division(spark, sf_dir, qs):
+    df = qs["rel_q14_promo_share"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # exactly one aggregation pair (partial+final), ratio formed after
+    assert plan.count("HashAggregate") == 2
+    row = df.collect()[0]
+    assert 0.0 <= row["promo_share_pct"] <= 100.0
