@@ -198,3 +198,36 @@ def test_salted_join_equals_plain_join(spark):
 
     with pytest.raises(ValueError, match="only inner/left"):
         salted_join(left, right, "k", "rk", F.col("rid"), how="full")
+
+
+def test_salted_join_randomized_equivalence_with_nulls(spark):
+    """Seeded random draws incl. NULL keys: salted inner/left joins
+    must equal the plain joins exactly (NULL keys never match, and
+    left join keeps them once)."""
+    import random
+
+    from diagnosisextraction_ml_spark.operators.joins import salted_join
+
+    rng = random.Random(42)
+    for trial in range(3):
+        left_rows = [
+            (i, rng.choice([None, 0, 0, 0, 1, 2, 3, 99]), rng.random())
+            for i in range(150)
+        ]
+        right_rows = [(k, f"d{k}") for k in range(4)]
+        left = spark.createDataFrame(left_rows, "rid long, k long, v double")
+        right = spark.createDataFrame(right_rows, "rk long, name string")
+        for how in ("inner", "left"):
+            got = sorted(
+                tuple(r)
+                for r in salted_join(
+                    left, right, "k", "rk",
+                    salt_expr=F.col("rid"), salts=rng.choice([2, 5, 16]),
+                    how=how,
+                ).collect()
+            )
+            want = sorted(
+                tuple(r)
+                for r in left.join(right, left["k"] == right["rk"], how).collect()
+            )
+            assert got == want, (trial, how)

@@ -585,3 +585,32 @@ def test_seasonal_naive_backtest_hand_case(spark):
     n, mape = out["a"]
     assert n == 2
     assert abs(mape - (0.333333 + 0.0) / 2) < 1e-9
+
+
+def test_quantile_normalize_matches_pandas_rank(spark):
+    """Seeded random values with heavy ties: pct_micro must equal the
+    pandas 'strictly below / (n-1)' rank in every group."""
+    import random
+
+    import pandas as pd
+
+    from diagnosisextraction_ml_spark.operators.profile import (
+        quantile_normalize_by_group,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"g{rng.randrange(3)}", rng.randrange(6)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v long")
+    got = {
+        r["id"]: r["pct_micro"]
+        for r in quantile_normalize_by_group(df, "v", "grp", "id").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["id", "grp", "v"])
+    for grp, g in pdf.groupby("grp"):
+        n = len(g)
+        for _, row in g.iterrows():
+            below = int((g["v"] < row["v"]).sum())
+            want = (1_000_000 * below) // (n - 1) if n > 1 else None
+            assert got[row["id"]] == want, (grp, row["v"])
