@@ -88,8 +88,9 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # plain join), linear multi-touch attribution, seasonal-naive MAPE.
     "join_salted_events", "events_attribution_linear",
     "ts_seasonal_naive",
-    # Slots 38-39: TPC-H Q14 / Q4 shapes.
+    # Slots 38-40: TPC-H Q14 / Q4 / Q6 shapes.
     "rel_q14_promo_share", "rel_q4_priority_exists",
+    "rel_q6_forecast_revenue",
     # Slots 19+: round 9's prefix (all green in CORRECTNESS_r09) in its
     # prior order, so a re-sample keeps re-hashing the most recently
     # changed families first.
@@ -621,6 +622,45 @@ def rel_q12_priority_lines(spark, sf_dir):
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "rel_q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def rel_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape — forecasting revenue change: the pure
+    scan-predicate aggregate that measures nothing but pushdown and
+    codegen. All three predicates land in PushedFilters, the scan
+    reads 4 columns, and the whole query is one WholeStageCodegen span
+    ending in a single-row partial+final aggregate — the plan every
+    other query's scan stage should look like.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
         )
     )
 

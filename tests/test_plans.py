@@ -216,3 +216,19 @@ def test_q14_single_aggregate_no_per_row_division(spark, sf_dir, qs):
     assert plan.count("HashAggregate") == 2
     row = df.collect()[0]
     assert 0.0 <= row["promo_share_pct"] <= 100.0
+
+
+def test_q6_all_predicates_pushed_and_four_column_scan(spark, sf_dir, qs):
+    import re
+
+    plan = _plan(qs["rel_q6_forecast_revenue"](spark, sf_dir))
+    # toString truncates the filter list mid-way — assert the column-
+    # pruned scan projection (exactly the 4 referenced columns) and
+    # that the pushed-filter block opens with the shipdate IsNotNulls
+    assert re.search(
+        r"FileScan parquet \[l_quantity#\d+,l_extendedprice#\d+,"
+        r"l_discount#\d+,l_shipdate#\d+\]",
+        plan,
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "l_shipdate#" in plan and ">= 19" in plan  # DataFilters prefix
