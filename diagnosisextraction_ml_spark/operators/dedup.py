@@ -686,6 +686,12 @@ def embedding_near_dup_pairs(
             .drop("__ba")
         )
         bb = b.withColumn("__bucket", lsh_bucket_expr(F.col("vb"), n_planes))
+        if method == "numpy" and not _is_integral_id(df, id_col):
+            # _cogrouped_bucket_pairs stacks ids as int64 and orders
+            # pairs numerically; string/decimal ids would crash or
+            # mis-order there, so those callers get the expression
+            # path (same results, test-pinned numpy==expr parity).
+            method = "expr"
         if method == "numpy":
             # Cogrouped per-bucket BLAS verify: each vector ships to
             # Python ONCE per probe bucket (O(n·probes) rows) instead
@@ -723,6 +729,16 @@ def embedding_near_dup_pairs(
         pairs.withColumn("cosine", F.round(cosine, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def _is_integral_id(df: DataFrame, id_col: str) -> bool:
+    """True iff ``id_col`` is an integral type the cogrouped BLAS scan
+    can stack as int64 and order numerically (its hard contract)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    return isinstance(
+        df.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
     )
 
 

@@ -395,7 +395,11 @@ def linear_attribution(
     partitioning-independent (hash-exact in the SQL twin).
 
     Output: (channel, n_conversions BIGINT, revenue DOUBLE); a
-    conversion counts toward every channel it credits.
+    conversion counts toward every channel it *touched* (n_ch > 0 —
+    or '(none)' when it has no prior touch), so n_conversions agrees
+    with :func:`lasttouch_attribution` even for zero-value or
+    NULL-value conversions, which contribute a row but no revenue.
+    A channel the user never touched before converting gets no row.
     """
     from pyspark.sql import Window
 
@@ -431,6 +435,10 @@ def linear_attribution(
                 )
                 .otherwise(F.lit(0.0))
                 .alias("credit"),
+                # membership is by TOUCH, not by credit value — a
+                # zero/NULL-value conversion still counts (parity with
+                # lasttouch_attribution's per-conversion count)
+                (F.col(f"__n_{t}") > 0).alias("keep"),
             )
             for t in touch_types
         ],
@@ -439,15 +447,16 @@ def linear_attribution(
             F.when(F.col("__k") == 0, F.col(value_col))
             .otherwise(F.lit(0.0))
             .alias("credit"),
+            (F.col("__k") == 0).alias("keep"),
         ),
     )
     return (
         conv.select(F.explode(credits).alias("c"))
+        .filter(F.col("c.keep"))
         .select("c.channel", F.col("c.credit").cast("decimal(18,6)").alias("__v"))
-        .filter(F.col("__v") != 0)
         .groupBy("channel")
         .agg(
             F.count(F.lit(1)).alias("n_conversions"),
-            F.sum("__v").cast("double").alias("revenue"),
+            F.coalesce(F.sum("__v").cast("double"), F.lit(0.0)).alias("revenue"),
         )
     )

@@ -232,7 +232,13 @@ def salted_join(
     for df, col in ((left, "__salt"), (right, "__rsalt")):
         if col in df.columns:
             raise ValueError(f"salted_join: input already has a {col} column")
-    lf = left.withColumn("__salt", F.pmod(salt_expr, F.lit(salts)).cast("int"))
+    # NULL salt_expr would make the (key, salt) condition never match,
+    # silently dropping rows whose keys DO match — coalesce to bucket 0
+    # so nullable salt sources stay correct (only balance degrades).
+    lf = left.withColumn(
+        "__salt",
+        F.coalesce(F.pmod(salt_expr, F.lit(salts)), F.lit(0)).cast("int"),
+    )
     rt = right.withColumn(
         "__rsalt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )

@@ -556,7 +556,9 @@ def seasonal_naive_backtest(
     Output per key: (key, n_hours, mape DOUBLE) over the backtestable
     hours.
     """
-    hour = (F.unix_timestamp(F.col(ts_col)).cast("long") / 3600).cast("long")
+    # floor, not truncate-toward-zero: pre-1970 (negative-epoch)
+    # timestamps must bucket like the twin's floor(epoch(ts)/3600)
+    hour = F.floor(F.unix_timestamp(F.col(ts_col)).cast("long") / 3600).cast("long")
     hourly = (
         events.select(
             F.col(key_col).alias("key"),

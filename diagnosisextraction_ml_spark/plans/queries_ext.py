@@ -7165,19 +7165,21 @@ register(
     credits AS (
       SELECT 'click' AS channel,
              CASE WHEN k > 0 THEN round(value * CAST(n_click AS DOUBLE) / CAST(k AS DOUBLE), 6)
-                  ELSE 0.0 END AS credit
+                  ELSE 0.0 END AS credit,
+             n_click > 0 AS keep
       FROM conv
       UNION ALL
       SELECT 'view',
              CASE WHEN k > 0 THEN round(value * CAST(n_view AS DOUBLE) / CAST(k AS DOUBLE), 6)
-                  ELSE 0.0 END
+                  ELSE 0.0 END,
+             n_view > 0
       FROM conv
       UNION ALL
-      SELECT '(none)', CASE WHEN k = 0 THEN value ELSE 0.0 END FROM conv)
+      SELECT '(none)', CASE WHEN k = 0 THEN value ELSE 0.0 END, k = 0 FROM conv)
     SELECT channel, count(*) AS n_conversions,
-           CAST(sum(CAST(credit AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           CAST(coalesce(sum(CAST(credit AS DECIMAL(18,6))), 0) AS DOUBLE) AS revenue
     FROM credits
-    WHERE CAST(credit AS DECIMAL(18,6)) <> 0
+    WHERE keep
     GROUP BY 1
     """,
 )(

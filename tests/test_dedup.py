@@ -690,3 +690,20 @@ def test_embedding_near_numpy_matches_expr_on_testdata(spark, sf_dir):
     b = sorted(map(tuple, embedding_near_dup_pairs(
         df, threshold=0.98, n_planes=12, method="expr").collect()))
     assert a == b and len(a) > 0
+
+
+def test_embedding_near_dup_string_ids_fall_back_to_expr(spark):
+    """The cogrouped BLAS verify hard-requires integral ids; string-id
+    callers must transparently get the expression path with the same
+    pairs (string '<' ordering) instead of crashing."""
+    rows = [
+        ("docA", [1.0, 0.0, 0.0, 0.0]),
+        ("docB", [0.999, 0.01, 0.0, 0.0]),  # near dup of docA
+        ("docC", [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert got == {("docA", "docB")}

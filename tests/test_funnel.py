@@ -244,3 +244,46 @@ def test_linear_attribution_hand_case(spark):
     assert got["click"] == (2, 14.0)   # 10 + 4
     assert got["view"] == (2, 24.0)    # 20 + 4
     assert got["(none)"] == (1, 5.0)
+
+
+def test_linear_attribution_counts_zero_and_null_value_conversions(spark):
+    """Zero- and NULL-value conversions still count toward
+    n_conversions (revenue contribution 0), and channels the user
+    never touched get no row — so per-conversion totals agree with
+    lasttouch_attribution."""
+    from diagnosisextraction_ml_spark.operators.funnel import (
+        lasttouch_attribution,
+        linear_attribution,
+    )
+
+    rows = [
+        # user 1: click then zero-value purchase -> click credits 0 but counts
+        (1, 1, "2024-01-01 00:00:00", "click", 0.0),
+        (2, 1, "2024-01-01 00:01:00", "purchase", 0.0),
+        # user 2: view then NULL-value purchase -> view counts, revenue 0
+        (3, 2, "2024-01-01 00:00:00", "view", 0.0),
+        (4, 2, "2024-01-01 00:01:00", "purchase", None),
+        # user 3: no touch, zero-value purchase -> (none) counts
+        (5, 3, "2024-01-01 00:00:00", "purchase", 0.0),
+        # user 4: normal click purchase for a non-degenerate row
+        (6, 4, "2024-01-01 00:00:00", "click", 0.0),
+        (7, 4, "2024-01-01 00:01:00", "purchase", 10.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["channel"]: (r["n_conversions"], r["revenue"])
+        for r in linear_attribution(ev).collect()
+    }
+    assert got["click"] == (2, 10.0)
+    assert got["view"] == (1, 0.0)
+    assert got["(none)"] == (1, 0.0)
+    # a channel with zero prior touches for a conversion gets no row
+    # beyond the ones above (user 1's purchase credits click only)
+    assert set(got) == {"click", "view", "(none)"}
+    # per-operator conversion totals agree
+    lt_total = sum(
+        r["n_conversions"] for r in lasttouch_attribution(ev).collect()
+    )
+    assert sum(n for n, _ in got.values()) == lt_total == 4

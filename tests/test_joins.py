@@ -231,3 +231,33 @@ def test_salted_join_randomized_equivalence_with_nulls(spark):
                 for r in left.join(right, left["k"] == right["rk"], how).collect()
             )
             assert got == want, (trial, how)
+
+
+def test_salted_join_nullable_salt_expr(spark):
+    """A NULL salt source must not drop matching rows: pmod(NULL)
+    coalesces to bucket 0, so the salted join stays exactly the plain
+    join (inner drops nothing, left keeps every left row once)."""
+    from diagnosisextraction_ml_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(i, i % 3, None if i % 4 == 0 else i, float(i)) for i in range(80)],
+        "rid long, k long, salt_src long, v double",
+    )
+    right = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(2)], "rk long, name string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r)
+            for r in salted_join(
+                left, right, "k", "rk",
+                salt_expr=F.col("salt_src"), salts=8, how=how,
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in left.join(right, left["k"] == right["rk"], how).collect()
+        )
+        assert got == want, how
+    # sanity: NULL-salt rows with matching keys exist in the fixture
+    assert left.filter(F.col("salt_src").isNull() & F.col("k").isin(0, 1)).count() > 0

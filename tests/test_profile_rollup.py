@@ -614,3 +614,36 @@ def test_quantile_normalize_matches_pandas_rank(spark):
             below = int((g["v"] < row["v"]).sum())
             want = (1_000_000 * below) // (n - 1) if n > 1 else None
             assert got[row["id"]] == want, (grp, row["v"])
+
+
+def test_seasonal_naive_backtest_pre_epoch_timestamps(spark):
+    """Negative-epoch timestamps bucket by floor (like the oracle's
+    floor(epoch/3600)), not truncation toward zero: an event 30 min
+    BEFORE the epoch lands in hour -1, not hour 0."""
+    from diagnosisextraction_ml_spark.operators.rollup import (
+        seasonal_naive_backtest,
+    )
+
+    rows = []
+    # key 'p': two cycle-1 hours at -24, -23; cycle-2 repeats at 0, 1.
+    # Offsets of +1800s sit mid-hour; floor keeps them in their hour,
+    # truncation would shift the negative ones up one bucket.
+    for h, v in ((-24, 10.0), (-23, 40.0), (0, 20.0), (1, 40.0)):
+        rows.append((len(rows), h * 3600 + 1800, "p", v))
+    df = spark.createDataFrame(
+        rows, "event_id long, es long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.col("es").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    out = {
+        r["key"]: (r["n_hours"], r["mape"])
+        for r in seasonal_naive_backtest(df).collect()
+    }
+    # forecasts: hour 0 <- hour -24 (10 vs 20 -> APE 0.5),
+    #            hour 1 <- hour -23 (40 vs 40 -> APE 0)
+    n, mape = out["p"]
+    assert n == 2
+    assert abs(mape - 0.25) < 1e-9
