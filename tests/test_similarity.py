@@ -418,3 +418,70 @@ def test_assign_numpy_tie_and_zero_norm_semantics(spark):
         assign_nearest_centroid_numpy(zero_vec, cents).collect()
     with _pytest.raises(ArithmeticError, match="zero-norm centroid"):
         assign_nearest_centroid_numpy(df, [[0.0, 0.0], [1.0, 0.0]])
+
+
+def test_frozen_pca_components_match_live_trainer(spark, sf_dir):
+    """FIXED_PCA_COMPONENTS_Q must equal the live pca_project trainer's
+    sign-canonicalized eigenvectors on the sf0.001 embeddings,
+    quantized the same way — catches frozen-artifact drift if the
+    testdata generator or the trainer changes."""
+    import numpy as np
+
+    from diagnosisextraction_ml_spark.plans.frozen_artifacts import (
+        FIXED_PCA_COMPONENTS_Q,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, _ = similarity.pca_project(df, k=8)  # validates inputs
+    # replicate the trainer driver-side (int64-exact Gram -> eigh)
+    E = np.array(
+        [r["embedding"] for r in df.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    q = np.round(E * 1e6).astype(np.int64)
+    gram = (q.T @ q) / 1e12
+    eigvals, eigvecs = np.linalg.eigh(gram)
+    comps = []
+    for idx in np.argsort(eigvals)[::-1][:8]:
+        v = eigvecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([int(x) for x in np.round(v * 1e6).astype(np.int64)])
+    assert comps == FIXED_PCA_COMPONENTS_Q
+
+
+def test_pca_project_frozen_exact_integer_dot(spark):
+    """pca_project_frozen must equal the exact integer replay: for each
+    row, pc_j = round(Σ round(x·1e6)·qc_j / 1e12, 6)."""
+    import numpy as np
+
+    rows = [
+        (0, [0.5, -0.25, 0.125]),
+        (1, [1.0, 0.0, -1.0]),
+        (2, [0.3333333, 0.6666667, -0.0000005]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comps = [[1_000_000, 0, 0], [-707_107, 707_107, 0], [333_333, 333_333, 333_334]]
+    got = {
+        r["vec_id"]: (r["pc0"], r["pc1"], r["pc2"])
+        for r in similarity.pca_project_frozen(df, comps).collect()
+    }
+    for vid, emb in rows:
+        qe = np.round(np.array(emb) * 1e6).astype(np.int64)
+        want = tuple(
+            float(np.round(int(np.dot(qe, np.array(c, dtype=np.int64))) / 1e12, 6))
+            for c in comps
+        )
+        assert got[vid] == want, vid
+
+
+def test_pca_project_frozen_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    plan = (
+        similarity.pca_project_frozen(df, [[1_000_000, 0]])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -89,3 +89,32 @@ def test_golden_cache_parity(spark, reference_dir):
         p for p in ref if Counter(mine[p].split()) != Counter(ref[p].split())
     ]
     assert mismatches == []
+
+
+def test_frozen_stem_map_covers_corpus_and_matches_live_stemmer():
+    """FIXED_STEM_MAP must (a) cover every whitespace token of every
+    testdata documents table and (b) agree with the live Snowball-Dutch
+    stemmer on each — the contract that lets the text_stemmed DuckDB
+    twin replay the map while Spark runs the real UDF."""
+    import os
+
+    import duckdb
+
+    from diagnosisextraction_ml_spark.functions.stemmer import stem_dutch
+    from diagnosisextraction_ml_spark.plans.frozen_artifacts import FIXED_STEM_MAP
+
+    con = duckdb.connect()
+    toks: set[str] = set()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        for (w,) in con.execute(
+            f"SELECT DISTINCT unnest(string_split(text, ' ')) FROM '{path}'"
+        ).fetchall():
+            toks.add(w)
+    assert toks, "no testdata found"
+    missing = toks - set(FIXED_STEM_MAP)
+    assert not missing, f"frozen map missing tokens: {sorted(missing)[:10]}"
+    for w, s in FIXED_STEM_MAP.items():
+        assert s == (stem_dutch(w) if w else w), (w, s)
