@@ -130,6 +130,87 @@ def extract_features(
     return src.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+IMAGE_FEATURES_ROBUST_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("feature", ArrayType(DoubleType()), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+# Magic-byte sniffers for the formats with real from-spec decoders.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_RIFF_MAGIC = b"RIFF"
+
+
+def sniffing_decoder(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes to the real from-spec codecs: PNG →
+    functions.png, RIFF/WAVE → functions.wav. Anything else (JPEG,
+    video containers, …) raises NotImplementedError — those formats
+    need external libraries not present in this container; in
+    production wrap a PIL/ffmpeg callable the same way."""
+    from diagnosisextraction_ml_spark.functions.png import png_feature_decoder
+    from diagnosisextraction_ml_spark.functions.wav import wav_feature_decoder
+
+    if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return png_feature_decoder(payload)
+    if payload[:4] == _RIFF_MAGIC and payload[8:12] == b"WAVE":
+        return wav_feature_decoder(payload)
+    raise NotImplementedError(
+        f"no built-in codec for payload starting {payload[:4]!r} — "
+        "PNG and WAV/PCM decode from spec here; other formats need an "
+        "external library (pass a PIL/ffmpeg-backed decoder)"
+    )
+
+
+def extract_features_robust(
+    media: DataFrame,
+    decoder: Callable[[bytes], np.ndarray] = sniffing_decoder,
+) -> DataFrame:
+    """Decode payloads with PER-ROW fault isolation — the mixed-corpus
+    serving path. A payload the decoder rejects (unknown format,
+    truncated file, codec bug) yields typed NULL features plus a
+    ``decode_error`` string instead of failing the stage: on a mixed
+    100 TB corpus one stray JPEG must cost one row, not the job.
+    Healthy rows carry ``decode_error = NULL``, so the quarantine
+    split is one filter each way.
+
+    Same Arrow/mapInPandas shape as :func:`extract_features` (payload
+    pruned from the output, batch-bounded memory); the only difference
+    is the catch: NotImplementedError / ValueError / OSError per row
+    become data, anything else still raises (a systemic failure should
+    stop the stage loudly).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats: list[list[float] | None] = []
+            errs: list[str | None] = []
+            for p in pdf["payload"]:
+                if p is None:
+                    feats.append(None)
+                    errs.append("null payload")
+                    continue
+                try:
+                    feats.append(decoder(bytes(p)).tolist())
+                    errs.append(None)
+                except (NotImplementedError, ValueError, OSError) as e:
+                    feats.append(None)
+                    errs.append(f"{type(e).__name__}: {e}"[:200])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": [0 if p is None else len(p) for p in pdf["payload"]],
+                    "feature": feats,
+                    "decode_error": errs,
+                }
+            )
+
+    src = media.select("asset_id", "payload")
+    return src.mapInPandas(run, IMAGE_FEATURES_ROBUST_SCHEMA)
+
+
 def frame_sample_plan(
     media: DataFrame, every_ms: float = 1000.0, max_frames: int = 16
 ) -> DataFrame:

@@ -175,3 +175,50 @@ def test_real_wav_decode_through_mapinpandas(spark):
     assert abs(f[4] - 0.5 / np.sqrt(2)) < 0.01
     assert abs(f[6] - 2 * 440 / 16000) < 0.01
     assert out[12][1][4] == 0.0
+
+
+def test_extract_features_robust_mixed_format_batch(spark):
+    """A mixed batch — valid PNG, valid WAV, a JPEG-looking payload, a
+    truncated PNG, and a NULL payload — must produce one row each:
+    real features + NULL decode_error for the decodable rows, typed
+    NULL features + a decode_error string for the rest. One stray
+    format must never fail the stage."""
+    import numpy as np
+
+    from diagnosisextraction_ml_spark.functions.png import (
+        encode_png,
+        png_feature_decoder,
+    )
+    from diagnosisextraction_ml_spark.functions.wav import (
+        encode_wav,
+        wav_feature_decoder,
+    )
+    from diagnosisextraction_ml_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features_robust,
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    png = encode_png(img)
+    wav = encode_wav(rng.randint(-3000, 3000, size=64).astype(np.int16), 8000)
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32   # JPEG SOI marker
+    truncated = png[:12]                              # magic ok, body gone
+    rows = [
+        (1, "image", "image/png", bytearray(png), 4, 4, None),
+        (2, "audio", "audio/wav", bytearray(wav), None, None, 8.0),
+        (3, "image", "image/jpeg", bytearray(jpeg_ish), None, None, None),
+        (4, "image", "image/png", bytearray(truncated), None, None, None),
+        (5, "image", None, None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["asset_id"]: r for r in extract_features_robust(media).collect()}
+    assert len(out) == 5
+    assert out[1]["decode_error"] is None
+    assert tuple(out[1]["feature"]) == tuple(png_feature_decoder(png))
+    assert out[2]["decode_error"] is None
+    assert tuple(out[2]["feature"]) == tuple(wav_feature_decoder(wav))
+    assert out[3]["feature"] is None and "NotImplementedError" in out[3]["decode_error"]
+    assert out[4]["feature"] is None and out[4]["decode_error"]
+    assert out[5]["feature"] is None and out[5]["decode_error"] == "null payload"
+    assert out[3]["n_bytes"] == len(jpeg_ish) and out[5]["n_bytes"] == 0

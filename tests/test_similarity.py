@@ -485,3 +485,21 @@ def test_pca_project_frozen_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pipeline_text_semdedup_materializes_featurization_once(spark, sf_dir):
+    """Plan-shape pin for the registered pipeline_text_semdedup: the
+    SRP featurization must be localCheckpoint-materialized exactly once
+    — every downstream consumer (k-means iterations ran eagerly inside
+    the call; the returned assignment+pair-scan plan) reads the
+    checkpointed RDD, never re-deriving from the documents parquet.
+    Guards the 3× within-session A/B win recorded in PERF.md round 10
+    against a silent recomposition."""
+    from diagnosisextraction_ml_spark.plans.queries import queries
+
+    out = queries()["pipeline_text_semdedup"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the returned plan consumes the checkpoint ...
+    assert "ExistingRDD" in plan
+    # ... and nothing re-runs the featurization from the source table
+    assert "FileScan" not in plan
