@@ -12,9 +12,19 @@ verdict per model.
 
 Tolerances are SURVEY §6's: exact parity is impossible (different
 TF-IDF implementation, different optimizers, sklearn vs MLlib), so the
-bar is mean ROC-AUC within ±0.05 of the golden value (±0.06 for the
+bar is mean within ±0.05 of the golden value (±0.06 for the
 rule-based WordMatching whose AUC is fold-composition-sensitive, ±0.10
-for the stratified-coin Dummy).
+for the stratified-coin Dummy) — applied to ALL THREE metrics since
+round 11: ROC-AUC, ANCHORED PR-AUC, and max-F1 (no starred ungated
+rows). The PR/F1 goldens below were produced by running this repo's
+curve_by_threshold + auc_trapezoid (with the sklearn-style
+(recall=0, precision=1) anchor) and max-F1 over each pred*.csv:
+
+    df = read_predictions(spark, f"{REFERENCE}/../output_files/{f}")
+    curve = curve_by_threshold(df, "PRED", "TRUE")
+    pr_pts = curve.select(F.col("tpr").alias("x"), F.col("precision").alias("y"))
+    anchor = spark.range(1).select(F.lit(0.0).alias("x"), F.lit(1.0).alias("y"))
+    auc_trapezoid(pr_pts.unionByName(anchor), "x", "y", anchor_origin=False)
 
 Usage: python tools/golden_report.py > GOLDEN_r{N}.txt
 """
@@ -31,19 +41,24 @@ if _REPO_ROOT not in sys.path:
 
 REFERENCE = "/root/reference/sample_data"
 
-# BASELINE.md targets (recomputed from output_files/pred*.csv) and the
-# per-model ROC-AUC tolerance. PR-AUC rows marked "*" in BASELINE.md
-# (hard 0/1 prediction artifacts) are shown but not gated.
+# BASELINE.md targets and the per-model tolerance. ROC-AUC comes from
+# BASELINE.md; the PR-AUC and max-F1 goldens are RECOMPUTED from
+# output_files/pred*.csv with THIS repo's own curve machinery
+# (curve_by_threshold + auc_trapezoid with the sklearn-style
+# (recall=0, precision=1) anchor, and max-F1 over the same curve), so
+# the tie/anchor convention cancels and all three metrics gate
+# apples-to-apples — no starred ungated rows. Regenerate the PR/F1
+# goldens with the snippet in the docstring if the curve code changes.
 TARGETS: dict[str, tuple[float, float, float, float]] = {
-    # name: (roc_auc, pr_auc, f1_at_05, roc_tolerance)
-    "SVM": (0.952, 0.953, 0.941, 0.05),
-    "NaiveBayes": (0.953, 0.952, 0.935, 0.05),
-    "NeuralNetworks": (0.948, 0.945, 0.932, 0.05),
-    "RandomForest": (0.941, 0.945, 0.916, 0.05),
-    "GradientBoosting": (0.902, 0.865, 0.832, 0.07),
-    "WordMatching": (0.828, 0.988, 0.854, 0.06),
-    "DecisionTree": (0.721, 0.949, 0.755, 0.10),
-    "Dummy": (0.517, 0.823, 0.533, 0.10),
+    # name: (roc_auc, pr_auc_anchored, max_f1, tolerance)
+    "SVM": (0.952, 0.953, 0.943, 0.05),
+    "NaiveBayes": (0.953, 0.952, 0.943, 0.05),
+    "NeuralNetworks": (0.948, 0.945, 0.934, 0.05),
+    "RandomForest": (0.941, 0.943, 0.924, 0.05),
+    "GradientBoosting": (0.902, 0.864, 0.863, 0.07),
+    "WordMatching": (0.828, 0.877, 0.854, 0.06),
+    "DecisionTree": (0.721, 0.807, 0.755, 0.10),
+    "Dummy": (0.517, 0.656, 0.685, 0.10),
     # predXGBoost.csv is a DIFFERENT cohort from every other dump
     # (1000 rows, 89 positive — 8.9% prevalence vs the EP2 cohort's
     # 334 rows / 52%), and its inputs are not in the repo, so its
@@ -57,7 +72,7 @@ TARGETS: dict[str, tuple[float, float, float, float]] = {
     # against the MATCHED-cohort boosted-tree golden (0.902, standard
     # ±0.05) instead of the mismatched 0.976 at a loosened ±0.10;
     # round-9 measured mean 0.917 → Δ +0.015.
-    "XGBoost": (0.902, 0.865, 0.832, 0.05),
+    "XGBoost": (0.902, 0.864, 0.863, 0.05),
 }
 
 
@@ -100,44 +115,40 @@ def main() -> int:
     print(f"# date: {time.strftime('%Y-%m-%d')}")
     print()
     hdr = (
-        "| model | ROC-AUC (ours, mean±std) | golden | Δ | tol | PR-AUC ours/golden "
-        "| maxF1 ours / F1@0.5 golden | verdict |"
+        "| model | ROC ours / golden / Δ | PR-AUC(anch) ours / golden / Δ "
+        "| maxF1 ours / golden / Δ | tol | verdict |"
     )
     print(hdr)
-    print("|---|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|")
     all_ok = True
     # Documented stand-ins (SURVEY §7 doctrine): Spark MLlib has no native
     # analogue, so cohort-level AUC is gated, not per-row score parity.
     stand_ins = {"SVM": "LinearSVC+Platt", "XGBoost": "GBTClassifier"}
-    tie_notes = []
     for name, (g_roc, g_pr, g_f1, tol) in TARGETS.items():
         s = summary[name]
-        delta = s["roc_auc_mean"] - g_roc
-        ok = abs(delta) <= tol
+        anch = s["pr_auc_anchored_mean"]
+        d_roc = s["roc_auc_mean"] - g_roc
+        d_pr = anch - g_pr
+        d_f1 = s["f1_mean"] - g_f1
+        # Three-metric gate, all anchored/like-for-like conventions:
+        # ROC (rank AUC), PR-AUC under the sklearn anchor on BOTH
+        # sides, and max-F1 over the threshold curve on BOTH sides.
+        ok = abs(d_roc) <= tol and abs(d_pr) <= tol and abs(d_f1) <= tol
         all_ok &= ok
-        pr_cell = f"{s['pr_auc_mean']:.3f} / {g_pr:.3f}"
-        # PR-AUC tie-convention artifact: a hard 0/1 predictor's PR
-        # "curve" is a step function, so unanchored vs (0,1)-anchored
-        # trapezoids bracket a huge range (WordMatching 0.04 vs 0.99
-        # around golden 0.988*). Star the cell and report both.
-        anch = s.get("pr_auc_anchored_mean", s["pr_auc_mean"])
-        if abs(anch - s["pr_auc_mean"]) > 0.2:
-            pr_cell = f"{s['pr_auc_mean']:.3f}†/ {g_pr:.3f}"
-            tie_notes.append(
-                f"† {name}: hard-prediction step-function artifact — PR-AUC is "
-                f"{s['pr_auc_mean']:.3f} unanchored vs {anch:.3f} with the "
-                f"sklearn-style (recall=0, precision=1) anchor; the golden "
-                f"{g_pr:.3f} uses the anchored convention. BASELINE.md stars "
-                f"this row and gates on ROC/F1 only."
-            )
         label = f"{name} ({stand_ins[name]} stand-in)" if name in stand_ins else name
         print(
-            f"| {label} | {s['roc_auc_mean']:.3f}±{s['roc_auc_std']:.3f} | {g_roc:.3f} "
-            f"| {delta:+.3f} | ±{tol:.2f} | {pr_cell} "
-            f"| {s['f1_mean']:.3f} / {g_f1:.3f} | {'PASS' if ok else 'FAIL'} |"
+            f"| {label} | {s['roc_auc_mean']:.3f}±{s['roc_auc_std']:.3f} / {g_roc:.3f} / {d_roc:+.3f} "
+            f"| {anch:.3f} / {g_pr:.3f} / {d_pr:+.3f} "
+            f"| {s['f1_mean']:.3f} / {g_f1:.3f} / {d_f1:+.3f} "
+            f"| ±{tol:.2f} | {'PASS' if ok else 'FAIL'} |"
         )
-    for note in tie_notes:
-        print(note)
+    print(
+        "PR-AUC golden values are recomputed from the reference pred*.csv "
+        "with this repo's anchored convention (hard-0/1 predictors are "
+        "step functions; unanchored trapezoids are not comparable across "
+        "implementations, so both sides use the anchor). max-F1 goldens "
+        "likewise come from the same curve code over the pred files."
+    )
     print(
         "‡ XGBoost: gated against the MATCHED-cohort boosted-tree golden "
         "(predGradientBoosting.csv, 0.902 on this 334-row cohort). "
