@@ -76,6 +76,21 @@ def main() -> int:
                     f"= {(factor - 1) * STRIDE + (maxes[k] or 0)} overflows {dtype} "
                     f"(max {cap}) — reduce factor or promote the key to bigint"
                 )
+            # Guard against CROSS-COPY collisions: if the SOURCE was
+            # itself gen_sf output, its keys already span multiples of
+            # STRIDE, and shifting by i*STRIDE again would land copies
+            # on top of each other — keys stop being unique, joins
+            # explode (measured: a sf1→sf10 regeneration inflated a
+            # 9.2M-row orderkey join to 61M rows and the decade ratio
+            # 5×). Always scale up from the ORIGINAL sf directory with
+            # a bigger factor instead.
+            if (maxes[k] or 0) >= STRIDE:
+                raise SystemExit(
+                    f"{t}.{k}: source max {maxes[k]} >= STRIDE {STRIDE} — "
+                    f"the source looks like gen_sf output; re-run from the "
+                    f"original testdata dir with factor={factor}x its "
+                    f"multiplier so shifted key ranges stay disjoint"
+                )
         copies = []
         for i in range(factor):
             c = base
