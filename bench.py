@@ -68,6 +68,12 @@ HEADLINE = [
     "rel_q18_big_orders",
     "emb_gram_upper",
     "events_attribution",
+    # added round 11 — market-share conditional agg over a 6-way join,
+    # zero-inclusive left-join double aggregate, decorrelated per-part
+    # average; totals before r11 cover 32 queries (like-for-like).
+    "rel_q8_market_share",
+    "rel_q13_custdist",
+    "rel_q17_small_qty_revenue",
 ]
 
 # Every headline name must exist in the registry — a typo here would
