@@ -1065,6 +1065,114 @@ def decontaminate(
     )
 
 
+def band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, bucket) — one md5 LSH band bucket per (doc, band), the same
+    construction :func:`minhash_lsh_pairs` buckets on (distinct
+    n-gram shingles → md5-arithmetic minhash → band keys in i-order →
+    md5(band|key)). Factored out so the *incremental* near-dup path
+    can persist and probe the identical bucket space.
+    """
+    if k % bands != 0:
+        raise ValueError(
+            f"band_buckets needs k divisible by bands, got k={k}, bands={bands}"
+        )
+    wide = _minhash_wide(shingles(df, text_col, id_col, shingle_n), id_col, k)
+    rows_per_band = k // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{i}").cast("string")
+                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return wide.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
+    ).select(
+        F.col(id_col),
+        F.md5(
+            F.concat_ws("|", F.col("b.band").cast("string"), F.col("b.band_key"))
+        ).alias("bucket"),
+    )
+
+
+def index_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """DISTINCT LSH band buckets of a corpus — the persistable index
+    :func:`dedup_incremental_near` probes on day 2. Size is ≤
+    bands·|distinct texts| 128-bit keys; text never enters the index."""
+    return band_buckets(df, text_col, id_col, shingle_n, k, bands).select(
+        "bucket"
+    ).distinct()
+
+
+def dedup_incremental_near(
+    new_df: DataFrame,
+    seen_buckets: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    min_bands: int = 1,
+) -> DataFrame:
+    """Incremental (day-2) NEAR-dup screening: flag new documents
+    whose MinHash signature collides with a persisted historical band
+    index — the LSH analogue of :func:`dedup_incremental`'s exact
+    path, for the production pattern where yesterday's 100 TB corpus
+    must not be rescanned per batch.
+
+    A new document sharing ≥ ``min_bands`` band buckets with history
+    is a near-dup *suspect* at the banding's S-curve threshold (k=64,
+    bands=16 → ~0.55 Jaccard); raise ``min_bands`` to trade recall for
+    precision, or verify survivors' candidate pairs exactly when ids
+    matter. Scale shape: today's batch computes bands·|batch| buckets;
+    the probe is one join against the DISTINCT historical bucket set —
+    only 128-bit hashes shuffle (or broadcast, when the index side is
+    the smaller), never text, and history is touched only through the
+    index. Append :func:`index_band_buckets` of the accepted batch to
+    roll the index forward.
+
+    Output: (id, n_bands_hit, is_near_dup) for EVERY new document —
+    deterministic, partition-independent (the probe is a set lookup).
+    """
+    probes = band_buckets(new_df, text_col, id_col, shingle_n, k, bands)
+    hits = (
+        probes.join(seen_buckets.select("bucket").distinct(), "bucket", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bands_hit"))
+    )
+    return (
+        new_df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bands_hit"), F.lit(0)).alias("n_bands_hit"),
+            (F.coalesce(F.col("n_bands_hit"), F.lit(0)) >= min_bands).alias(
+                "is_near_dup"
+            ),
+        )
+    )
+
+
 def dedup_incremental(
     new_df: DataFrame,
     seen_fingerprints: DataFrame,

@@ -1768,6 +1768,68 @@ register("dedup_incremental_batch", _incremental_sql())(_incremental)
 
 
 # ===========================================================================
+# Incremental NEAR-dup screening — day-2 LSH band-index probe.
+# History = doc_id % 5 != 0; batch = doc_id % 5 = 0. Bucket identity in
+# the twin is (band, band_key) equality — the md5 bucket modulo
+# collisions, same note as the dedup_lsh_band_pairs twin.
+# ===========================================================================
+
+def _incremental_near_sql(k: int = 16, bands: int = 4) -> str:
+    toks = _toks_sql("lower(text)")
+    grams = (
+        "list_distinct([array_to_string(t[i+1:i+3], ' ') "
+        "for i in range(0, greatest(len(t)-3, 0)+1)])"
+    )
+    rpb = k // bands
+    banded = f"""
+      SELECT doc_id, CAST(i // {rpb} AS INT) AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i) AS band_key
+      FROM (SELECT doc_id, i,
+                   min((((i * {KNUTH} + 1) % {M31}) * x % {M31} + (i * 40503 + 7) % {M31}) % {M31}) AS minhash
+            FROM (SELECT doc_id, {md5_hash64_sql('shingle')} % {M31} AS x
+                  FROM (SELECT DISTINCT doc_id, shingle FROM (
+                          SELECT doc_id, unnest({grams}) AS shingle
+                          FROM (SELECT doc_id, {toks} AS t FROM SIDE))
+                        WHERE shingle != ''))
+                 CROSS JOIN (SELECT unnest(range(0, {k})) AS i) ids
+            GROUP BY doc_id, i)
+      GROUP BY doc_id, CAST(i // {rpb} AS INT)
+    """
+    hist = banded.replace(
+        "FROM SIDE", "FROM documents WHERE doc_id % 5 != 0"
+    )
+    batch = banded.replace(
+        "FROM SIDE", "FROM documents WHERE doc_id % 5 = 0"
+    )
+    return f"""
+    WITH hist AS (SELECT DISTINCT band, band_key FROM ({hist})),
+    probe AS ({batch}),
+    hits AS (
+      SELECT p.doc_id, count(*) AS n_bands_hit
+      FROM probe p JOIN hist h ON p.band = h.band AND p.band_key = h.band_key
+      GROUP BY p.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(n_bands_hit, 0) AS BIGINT) AS n_bands_hit,
+           coalesce(n_bands_hit, 0) >= 1 AS is_near_dup
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+    LEFT JOIN hits USING (doc_id)
+    """
+
+
+def _incremental_near(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    index = dedup.index_band_buckets(
+        docs.filter(F.col("doc_id") % 5 != 0), k=16, bands=4
+    )
+    return dedup.dedup_incremental_near(
+        docs.filter(F.col("doc_id") % 5 == 0), index, k=16, bands=4
+    )
+
+
+register("dedup_incremental_near", _incremental_near_sql())(_incremental_near)
+
+
+# ===========================================================================
 # Hashed linear quality classifier (train + score, one relational plan)
 # ===========================================================================
 

@@ -744,3 +744,41 @@ def test_star_components_chain_rounds_logarithmic(spark):
     assert {r["component_id"] for r in labels.collect()} == {0}
     assert labels.count() == 64
     assert rounds <= 8, rounds
+
+
+def test_dedup_incremental_near_band_index(spark):
+    """Day-2 LSH screening: an exact copy of a history doc hits ALL its
+    bands; a disjoint-vocabulary doc hits none; min_bands gates the
+    flag; every batch doc gets exactly one output row."""
+    from diagnosisextraction_ml_spark.operators.dedup import (
+        dedup_incremental_near,
+        index_band_buckets,
+    )
+
+    hist_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    history = spark.createDataFrame(
+        [(1, hist_text), (2, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, hist_text),                                   # exact copy
+            (11, "red green blue cyan magenta yellow black"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    idx = index_band_buckets(history, k=16, bands=4)
+    out = {
+        r["doc_id"]: (r["n_bands_hit"], r["is_near_dup"])
+        for r in dedup_incremental_near(batch, idx, k=16, bands=4).collect()
+    }
+    assert out[10] == (4, True)
+    assert out[11] == (0, False)
+    # min_bands above the copy's hit count suppresses the flag
+    strict = {
+        r["doc_id"]: r["is_near_dup"]
+        for r in dedup_incremental_near(
+            batch, idx, k=16, bands=4, min_bands=5
+        ).collect()
+    }
+    assert strict == {10: False, 11: False}
