@@ -527,6 +527,70 @@ def pairwise_topk_join(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    n_planes: int = 8,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every query
+    row, the k most-similar corpus rows with a DIFFERENT label — the
+    standard batch-construction step for embedding-model fine-tuning
+    (high-cosine wrong-label neighbors are the informative negatives).
+
+    Same no-cartesian shape as :func:`pairwise_topk_join`: both sides
+    get a deterministic random-hyperplane bucket, the query side
+    multiprobes its hamming-≤1 neighborhood, candidates materialize
+    only through the bucket equi-join, and the exact cosine reranks.
+    The label-mismatch filter runs BEFORE ranking, so rank is the
+    position among *negatives* (a same-label near-dup never displaces
+    a negative). Ranking ties break on neighbor id — deterministic,
+    hash-pinnable.
+
+    Output: (query_id, neighbor_id, neighbor_label, cosine, rank ≤ k).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("__ql"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    probes = [F.lit(0)]
+    if multiprobe_hamming >= 1:
+        probes += [F.lit(2**b) for b in range(n_planes)]
+    qb = q.withColumn("__qb", lsh_bucket_expr(F.col("qv"), n_planes)).withColumn(
+        "__bucket",
+        F.explode(F.array(*[F.col("__qb").bitwiseXOR(p) for p in probes])),
+    )
+    cb = c.withColumn("__bucket", lsh_bucket_expr(F.col("cv"), n_planes))
+    scored = (
+        qb.join(cb, "__bucket")
+        .filter(F.col("__ql") != F.col("neighbor_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def quantize_embeddings_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

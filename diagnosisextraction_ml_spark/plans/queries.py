@@ -63,8 +63,9 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "rel_q13_custdist", "rel_q15_top_supplier",
     "rel_q16_supplier_variety", "rel_q17_small_qty_revenue",
     "rel_q22_idle_customers",
-    # Slot 14: new this round — incremental near-dup band-index probe.
-    "dedup_incremental_near",
+    # Slots 14-15: new this round — incremental near-dup band-index
+    # probe, contrastive hard-negative mining.
+    "dedup_incremental_near", "sim_hard_negatives",
     # Slots 15-17: the oldest driver rows in the ledger (r2-r3).
     "text_json_roundtrip", "prep_class_prevalence",
     "prep_downsample_balance",

@@ -879,6 +879,35 @@ register(
 )
 
 
+register(
+    "sim_hard_negatives",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    b AS (SELECT vec_id, label, ev, CAST({_lsh_bucket_sql('ev')} AS BIGINT) AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, label AS ql, ev AS qv, bucket AS qb FROM b WHERE vec_id < 20),
+    pairs AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             round(list_dot_product(q.qv, c.ev)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.ev, c.ev))),
+                   6) AS cosine
+      FROM q JOIN b c ON bit_count(xor(q.qb, c.bucket)) <= 1
+      WHERE q.ql != c.label),
+    ranked AS (SELECT query_id, neighbor_id, neighbor_label, cosine,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS "rank"
+               FROM pairs)
+    SELECT query_id, neighbor_id, neighbor_label, cosine, "rank"
+    FROM ranked WHERE "rank" <= 5
+    """,
+)(
+    lambda spark, sf_dir: similarity.hard_negative_topk(
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20),
+        _t(spark, sf_dir, "embeddings"),
+        k=5,
+    )
+)
+
+
 def _sim_ivf_assign(spark, sf_dir):
     """Deterministic k-means IVF training + cluster occupancy."""
     emb = _t(spark, sf_dir, "embeddings")

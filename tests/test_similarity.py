@@ -503,3 +503,29 @@ def test_pipeline_text_semdedup_materializes_featurization_once(spark, sf_dir):
     assert "ExistingRDD" in plan
     # ... and nothing re-runs the featurization from the source table
     assert "FileScan" not in plan
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    """Hard negatives: nearest WRONG-label rows win; same-label
+    near-dups never appear even at cosine 1.0; rank counts negatives."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], "a"),   # query
+        (1, [1.0, 0.0, 0.0, 0.0], "a"),   # same-label exact dup — excluded
+        (2, [0.99, 0.1, 0.0, 0.0], "b"),  # hardest negative
+        (3, [0.5, 0.5, 0.0, 0.0], "b"),
+        (4, [0.0, 1.0, 0.0, 0.0], "c"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = similarity.hard_negative_topk(
+        df.filter(F.col("vec_id") == 0), df, k=2
+    ).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got[0] == (2, 1)
+    assert all(r["neighbor_label"] != "a" for r in out)
+    assert 1 not in {r["neighbor_id"] for r in out}
+    # no cartesian in the plan
+    plan = (
+        similarity.hard_negative_topk(df.filter(F.col("vec_id") == 0), df, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
