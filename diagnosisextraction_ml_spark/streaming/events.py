@@ -132,6 +132,59 @@ def streaming_dedup_exact(
     return out.drop("__fp")
 
 
+def streaming_near_dup_gate(
+    docs: DataFrame,
+    seen_buckets: DataFrame,
+    accept,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    min_bands: int = 1,
+):
+    """Streaming NEAR-dup gate — the continuous-ingest composition of
+    :func:`~..operators.dedup.dedup_incremental_near`: every microbatch
+    is probed against the persisted historical LSH band index and only
+    non-flagged documents reach ``accept(kept_df, batch_id)`` (the
+    caller's sink — and the natural place to append
+    ``index_band_buckets(kept_df)`` so the index rolls forward).
+
+    ``foreachBatch`` is the right tool here, not a stateful streaming
+    operator: the dedup state (the band index) is a TABLE shared with
+    the batch pipeline, not per-key stream state — foreachBatch gives
+    each microbatch full batch-DataFrame semantics (the groupBy inside
+    the probe) while the stream stays append-only and watermark-free.
+    Within-batch near-dups are intentionally NOT collapsed (same as
+    the batch op's contract — run the pair path on accepted data when
+    ids matter).
+
+    Returns the ``DataStreamWriter`` (caller adds trigger/checkpoint
+    and calls ``start()``).
+    """
+    from diagnosisextraction_ml_spark.operators.dedup import (
+        dedup_incremental_near,
+    )
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        flags = dedup_incremental_near(
+            batch_df,
+            seen_buckets,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=shingle_n,
+            k=k,
+            bands=bands,
+            min_bands=min_bands,
+        )
+        kept = batch_df.join(
+            flags.filter(~F.col("is_near_dup")).select(id_col), id_col, "left_semi"
+        )
+        accept(kept, batch_id)
+
+    return docs.writeStream.foreachBatch(_gate)
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

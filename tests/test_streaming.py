@@ -402,3 +402,55 @@ def test_streaming_cusum_matches_replay(spark, sf_dir, tmp_path):
         for r in cusum_drift_replay(ev, mu, thr).collect()
     }
     assert batch == got
+
+
+def test_streaming_near_dup_gate(spark, tmp_path):
+    """foreachBatch near-dup gate: a stream doc identical to a history
+    doc is dropped against the static band index; a novel doc passes;
+    the accepted batch equals the batch operator's keep set."""
+    from diagnosisextraction_ml_spark.operators.dedup import (
+        dedup_incremental_near,
+        index_band_buckets,
+    )
+    from diagnosisextraction_ml_spark.streaming.events import (
+        streaming_near_dup_gate,
+    )
+
+    hist_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    history = spark.createDataFrame(
+        [(1, hist_text)], "doc_id long, text string"
+    )
+    index = index_band_buckets(history, k=16, bands=4)
+
+    batch = spark.createDataFrame(
+        [(10, hist_text), (11, "red green blue cyan magenta yellow black")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "near_dup_docs")
+    batch.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+
+    accepted: list[tuple[int, str]] = []
+
+    def accept(df, batch_id):
+        accepted.extend((r["doc_id"], r["text"]) for r in df.collect())
+
+    q = (
+        streaming_near_dup_gate(stream, index, accept, k=16, bands=4)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(i for i, _ in accepted) == [11]
+    # stream ≡ batch: same keep set as the batch composition
+    flags = dedup_incremental_near(batch, index, k=16, bands=4)
+    batch_keep = sorted(
+        r["doc_id"]
+        for r in batch.join(
+            flags.filter(~F.col("is_near_dup")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).collect()
+    )
+    assert batch_keep == [11]
