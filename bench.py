@@ -74,6 +74,13 @@ HEADLINE = [
     "rel_q8_market_share",
     "rel_q13_custdist",
     "rel_q17_small_qty_revenue",
+    # added round 12 — Q21 double self-join (semi/anti on one
+    # orderkey partitioning), bucketed-layout Q18 (shuffle-free fact
+    # aggregate), pareto top-decile on the bucketed cumsum; totals
+    # before r12 cover 35 queries (compare like-for-like).
+    "rel_q21_waiting_suppliers",
+    "rel_q18_big_orders_bucketed",
+    "rel_pareto_share",
 ]
 
 # Every headline name must exist in the registry — a typo here would
@@ -149,6 +156,31 @@ def main() -> int:
         # flag it so a silently failing query can't read as a speedup.
         out["errors"] = errors
         out["partial"] = True
+
+    # Self-anchoring: run the same queries' oracle SQL on DuckDB in
+    # THIS session and embed total + ratio. Cross-round Spark totals on
+    # a shared box drift with host weather; the same-session ratio is
+    # the only number that stays comparable round to round.
+    try:
+        from tools.duck_anchor import run_anchor
+
+        anchor = run_anchor(sf_dir, [n for n in HEADLINE if n in timings])
+        common = [n for n in anchor["queries"] if n in timings]
+        spark_common = round(sum(timings[n] for n in common), 3)
+        out["anchor"] = {
+            "duckdb_total_sec": anchor["total"],
+            "spark_common_total_sec": spark_common,
+            "ratio_spark_over_duckdb": (
+                round(spark_common / anchor["total"], 3) if anchor["total"] else None
+            ),
+            "n_common": len(common),
+            "skipped_no_oracle": anchor["skipped"],
+        }
+        if anchor["errors"]:
+            out["anchor"]["errors"] = anchor["errors"]
+    except Exception as exc:  # noqa: BLE001 — the anchor must never sink the bench
+        out["anchor_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
     print(json.dumps(out))
     return 0
 

@@ -240,6 +240,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     max_bucket: int = 1000,
     collapse_exact: bool = True,
+    star_over: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -268,6 +269,18 @@ def minhash_lsh_pairs(
     texts). Duplicate-heavy corpora (the common case at 100 TB crawl
     scale) are exactly where LSH cost would otherwise grow
     superlinearly.
+
+    ``star_over``: when set, a bucket LARGER than this emits a star
+    (min-id → each other id, g−1 edges) instead of all C(g,2) pairs.
+    A star keeps every in-bucket id CONNECTED, so downstream
+    :func:`connected_components` / :func:`keep_canonical` results are
+    identical by construction (tests/test_dedup.py equality test),
+    while pair volume on near-clique buckets — boilerplate, 100×-dup
+    crawls — drops g²→g (the sf10 decade-map driver for
+    dedup_components). Leave ``None`` (default) when the PAIRS
+    themselves are the product (per-pair verification, band-overlap
+    counts): a star suppresses non-min pairs, and ``n_bands_shared``
+    then counts only the min-id's edges.
     """
     if k % bands != 0:
         # The fused band construction enumerates exactly `bands` bands of
@@ -330,17 +343,25 @@ def minhash_lsh_pairs(
             F.array_sort(F.collect_list(id_col)).alias("ids")
         )
     ids = ids.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
+    all_pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-    ).alias("p")
+    )
+    if star_over is not None:
+        # ids is sorted, so ids[0] is the bucket min — the star center
+        star = F.transform(
+            F.slice(F.col("ids"), 2, F.size(F.col("ids"))),
+            lambda y: F.struct(F.col("ids")[0].alias("id_a"), y.alias("id_b")),
+        )
+        expansion = F.when(F.size("ids") > star_over, star).otherwise(all_pairs)
+    else:
+        expansion = all_pairs
+    pair = F.explode(expansion).alias("p")
     return (
         ids.select(pair)
         .select(F.col("p.id_a"), F.col("p.id_b"))

@@ -178,10 +178,25 @@ def extract_features_robust(
 
     Same Arrow/mapInPandas shape as :func:`extract_features` (payload
     pruned from the output, batch-bounded memory); the only difference
-    is the catch: NotImplementedError / ValueError / OSError per row
-    become data, anything else still raises (a systemic failure should
-    stop the stage loudly).
+    is the catch: per-row decode failures become data, anything else
+    still raises (a systemic failure should stop the stage loudly).
+    The caught set covers every way a corrupt byte stream actually
+    surfaces from the from-spec codecs: NotImplementedError (unknown
+    format), ValueError / OSError (semantic validation),
+    ``struct.error`` (truncation mid-header — a short chunk-length
+    field fails the fixed-width unpack), and ``zlib.error``
+    (bit-flipped / truncated IDAT deflate payload).
     """
+    import struct as _struct
+    import zlib as _zlib
+
+    _ROW_FAULTS = (
+        NotImplementedError,
+        ValueError,
+        OSError,
+        _struct.error,
+        _zlib.error,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -195,7 +210,7 @@ def extract_features_robust(
                 try:
                     feats.append(decoder(bytes(p)).tolist())
                     errs.append(None)
-                except (NotImplementedError, ValueError, OSError) as e:
+                except _ROW_FAULTS as e:
                     feats.append(None)
                     errs.append(f"{type(e).__name__}: {e}"[:200])
             yield pd.DataFrame(

@@ -455,6 +455,56 @@ def _bucket_of(query: Sequence[float], n_planes: int) -> int:
     return bucket
 
 
+def _bucketed_candidate_rerank(
+    q: DataFrame,
+    c: DataFrame,
+    k: int,
+    n_planes: int,
+    multiprobe_hamming: int,
+    pre_rank_filter: Column,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Shared LSH-probe core of :func:`pairwise_topk_join` and
+    :func:`hard_negative_topk` — one place for the bucket/multiprobe/
+    cosine-rerank logic so probe fixes apply to both.
+
+    ``q`` carries (query_id, qv, …), ``c`` carries (neighbor_id, cv,
+    …extra_cols). Both sides get a deterministic random-hyperplane
+    bucket; the query side expands to its hamming-≤1 neighborhood
+    (``multiprobe_hamming`` ≥ 1); candidates materialize only through
+    the bucket equi-join (never a cartesian); ``pre_rank_filter``
+    prunes BEFORE ranking so rank counts only eligible candidates; the
+    exact cosine reranks with a deterministic (cosine DESC,
+    neighbor_id) tie-break. Output: (query_id, neighbor_id,
+    *extra_cols, cosine, rank ≤ k)."""
+    from pyspark.sql import Window
+
+    probes = [F.lit(0)]
+    if multiprobe_hamming >= 1:
+        probes += [F.lit(2**b) for b in range(n_planes)]
+    qb = q.withColumn("__qb", lsh_bucket_expr(F.col("qv"), n_planes)).withColumn(
+        "__bucket",
+        F.explode(F.array(*[F.col("__qb").bitwiseXOR(p) for p in probes])),
+    )
+    cb = c.withColumn("__bucket", lsh_bucket_expr(F.col("cv"), n_planes))
+    scored = (
+        qb.join(cb, "__bucket")
+        .filter(pre_rank_filter)
+        .select(
+            "query_id",
+            "neighbor_id",
+            *extra_cols,
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def pairwise_topk_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -505,26 +555,20 @@ def pairwise_topk_join(
                 F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
             )
         )
-    else:
-        probes = [F.lit(0)]
-        if multiprobe_hamming >= 1:
-            probes += [F.lit(2**b) for b in range(n_planes)]
-        qb = q.withColumn("__qb", lsh_bucket_expr(F.col("qv"), n_planes)).withColumn(
-            "__bucket",
-            F.explode(F.array(*[F.col("__qb").bitwiseXOR(p) for p in probes])),
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
         )
-        cb = c.withColumn("__bucket", lsh_bucket_expr(F.col("cv"), n_planes))
-        scored = (
-            qb.join(cb, "__bucket")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
-            )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
         )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _bucketed_candidate_rerank(
+        q,
+        c,
+        k,
+        n_planes,
+        multiprobe_hamming,
+        pre_rank_filter=F.col("query_id") != F.col("neighbor_id"),
+    )
 
 
 def hard_negative_topk(
@@ -542,19 +586,15 @@ def hard_negative_topk(
     standard batch-construction step for embedding-model fine-tuning
     (high-cosine wrong-label neighbors are the informative negatives).
 
-    Same no-cartesian shape as :func:`pairwise_topk_join`: both sides
-    get a deterministic random-hyperplane bucket, the query side
-    multiprobes its hamming-≤1 neighborhood, candidates materialize
-    only through the bucket equi-join, and the exact cosine reranks.
-    The label-mismatch filter runs BEFORE ranking, so rank is the
-    position among *negatives* (a same-label near-dup never displaces
-    a negative). Ranking ties break on neighbor id — deterministic,
-    hash-pinnable.
+    Same no-cartesian shape as :func:`pairwise_topk_join` — both ride
+    :func:`_bucketed_candidate_rerank` (ONE copy of the bucket/
+    multiprobe/rerank logic). The label-mismatch filter runs BEFORE
+    ranking, so rank is the position among *negatives* (a same-label
+    near-dup never displaces a negative). Ranking ties break on
+    neighbor id — deterministic, hash-pinnable.
 
     Output: (query_id, neighbor_id, neighbor_label, cosine, rank ≤ k).
     """
-    from pyspark.sql import Window
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -565,29 +605,14 @@ def hard_negative_topk(
         F.col(vec_col).alias("cv"),
         F.col(label_col).alias("neighbor_label"),
     )
-    probes = [F.lit(0)]
-    if multiprobe_hamming >= 1:
-        probes += [F.lit(2**b) for b in range(n_planes)]
-    qb = q.withColumn("__qb", lsh_bucket_expr(F.col("qv"), n_planes)).withColumn(
-        "__bucket",
-        F.explode(F.array(*[F.col("__qb").bitwiseXOR(p) for p in probes])),
-    )
-    cb = c.withColumn("__bucket", lsh_bucket_expr(F.col("cv"), n_planes))
-    scored = (
-        qb.join(cb, "__bucket")
-        .filter(F.col("__ql") != F.col("neighbor_label"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            "neighbor_label",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    return _bucketed_candidate_rerank(
+        q,
+        c,
+        k,
+        n_planes,
+        multiprobe_hamming,
+        pre_rank_filter=F.col("__ql") != F.col("neighbor_label"),
+        extra_cols=("neighbor_label",),
     )
 
 

@@ -47,50 +47,46 @@ def register(name: str, sql: str | None):
 # full registry is still verified every round by
 # tools/compare_oracle.py (ORACLE_FULL_r*.txt).
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round 11, slots 1-2: text_stemmed and emb_pca_project just gained
-    # frozen-table DuckDB twins (frozen_artifacts.py) — first driver
-    # hash rows ever for these two; cumulative verification goes 184/184.
-    "text_stemmed", "emb_pca_project",
-    # Slots 3-6: semantics touched this round (attribution conversion
-    # counting, floor hour bucketing, NULL-salt coalesce, string-id
-    # near-dup fallback) — re-hash immediately after the change.
-    "events_attribution_linear", "ts_seasonal_naive",
-    "join_salted_events", "dedup_embedding_near",
-    # Slots 7-13: new this round — the remaining classic TPC-H shapes
-    # expressible on this schema (Q8/Q9/Q13/Q15/Q16/Q17/Q22), inside
-    # the gate prefix so each gets a driver row on first appearance.
-    "rel_q8_market_share", "rel_q9_profit_nation_year",
-    "rel_q13_custdist", "rel_q15_top_supplier",
-    "rel_q16_supplier_variety", "rel_q17_small_qty_revenue",
-    "rel_q22_idle_customers",
-    # Slots 14-15: new this round — incremental near-dup band-index
-    # probe, contrastive hard-negative mining.
-    "dedup_incremental_near", "sim_hard_negatives",
-    # Slots 15-17: the oldest driver rows in the ledger (r2-r3).
-    "text_json_roundtrip", "prep_class_prevalence",
-    "prep_downsample_balance",
-    # Slots 10-50: the longest-unchecked tail — every remaining query
-    # whose last driver row is round 7 (three rounds stale), in
-    # registration-ledger order. The handful that don't fit the 50-row
-    # gate this round lead the round-12 rotation.
-    "asof_events_value", "dedup_components", "dedup_exact_groups",
-    "dedup_first_seen_1h", "dedup_jaccard_pairs", "dedup_lsh_band_pairs",
-    "dedup_minhash_sigs", "dedup_simhash_sigs", "doc_repetition_stats",
-    "doc_stats", "eval_auc_rank", "eval_confusion_scores",
-    "eval_curve_by_threshold", "eval_threshold_search",
-    "eval_youden_cutoff", "events_sessionize", "interval_events_30min",
-    "pipeline_dedup_canonical", "prep_fold_assign", "rel_anti_join",
-    "rel_cube", "rel_distinct", "rel_filter_project", "rel_group_concat",
-    "rel_min_cost_supplier", "rel_monthly_orders", "rel_q1_pricing",
-    "rel_q3_topk", "rel_quantiles", "rel_rollup", "rel_semi_join",
-    "rel_star_join", "rel_value_counts", "sim_bruteforce_topk",
-    "sim_ivf_assign", "sim_lsh_topk", "sim_pairwise_topk",
-    "stream_hourly_counts", "stream_sessionized_counts",
-    "text_chunk_documents", "text_clean_pipeline",
-    # Slots 51+ (overflow into round 12's gate): rest of the r7 tail.
-    "text_lexical_dispersion", "text_redacted", "text_token_stats",
-    "text_top_words", "text_word_match", "win_range_1hour",
-    "win_running_total", "win_topn_per_group",
+    # Round 12, slots 1-4: new this round — the bucketed-layout Q18
+    # variant and the last three TPC-H shapes (Q21 double self-join,
+    # Q20 nested-aggregate semi, Q11 HAVING-vs-global-fraction); first
+    # driver rows on first appearance.
+    "rel_q18_big_orders_bucketed", "rel_q21_waiting_suppliers",
+    "rel_q20_dominant_suppliers", "rel_q11_important_parts",
+    # Slots 5-9: plan or pair-generation changed this round (Q15
+    # scalar-max argmax, Q8 join order, pareto bucketed cumsum,
+    # star_over candidate edges) — re-hash immediately after the change.
+    "rel_q15_top_supplier", "rel_q8_market_share", "rel_pareto_share",
+    "dedup_components", "pipeline_dedup_canonical",
+    # Slots 10-26: the 17 queries that overflowed round 11's 50-row
+    # gate — their last driver rows date to round 7, the stalest in
+    # the ledger.
+    "rel_value_counts", "sim_bruteforce_topk", "sim_ivf_assign",
+    "sim_lsh_topk", "sim_pairwise_topk", "stream_hourly_counts",
+    "stream_sessionized_counts", "text_chunk_documents",
+    "text_clean_pipeline", "text_lexical_dispersion", "text_redacted",
+    "text_token_stats", "text_top_words", "text_word_match",
+    "win_range_1hour", "win_running_total", "win_topn_per_group",
+    # Slots 27-50: the next-stalest tier — last green round 8, in
+    # ledger order; the 17 round-8 rows that don't fit this gate lead
+    # the round-13 rotation.
+    "ab_funnel_conversion", "assoc_rules_pairs", "bpe_token_stats",
+    "bpe_vocab_threshold_cut", "dedup_cross_source_matrix",
+    "dedup_span_intervals", "dedup_span_removal", "er_blocked_pairs",
+    "eval_auc_bootstrap_ci", "eval_auc_by_group", "eval_calibration_bins",
+    "eval_ece", "eval_kappa_mcc", "eval_ndcg_rrf", "events_bounce_rate",
+    "events_kaplan_meier", "events_rolling_active", "events_top_paths",
+    "graph_hits_top", "graph_pagerank_top", "graph_triangle_count",
+    "join_bloom_semi", "pipeline_ccnet_buckets", "prep_temperature_mixture",
+    # Slots 51+ (overflow into round 13's gate): rest of the round-8
+    # tier.
+    "qc_ks_drift", "qc_psi_drift", "qc_woe_iv", "rel_rfm_segments",
+    "sketch_bloom_probe", "sketch_bottomk_distinct",
+    "sketch_cms_heavy_hitters", "sketch_hll_distinct",
+    "sketch_hll_overlap", "sketch_logbin_by_type",
+    "sketch_logbin_quantiles", "text_hapax_profile",
+    "text_token_entropy", "ts_gapfill_locf", "ts_twa_hourly",
+    "vocab_coverage_curve",
 )
 
 
@@ -382,6 +378,92 @@ def rel_q18_big_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sq"))
+        .filter(F.col("__sq") > 150)
+        .select("l_orderkey", F.col("__sq").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+def _bucketed_lineitem(spark, sf_dir: str, n_buckets: int = 32):
+    """A lineitem table bucketed (and sorted) by l_orderkey, written
+    once per sf_dir and reused — the pay-the-shuffle-once layout
+    (sources/bucketed.py). At 100 TB this is the warehouse move: every
+    groupBy/join on l_orderkey over the bucketed copy plans with NO
+    Exchange on the fact side, amortizing one write across every
+    orderkey-keyed query. Cache key is the sf_dir realpath, so each
+    scale factor gets its own copy; re-generate testdata → drop the
+    ``lineitem_bko_*`` tables."""
+    import hashlib
+    import os as _os
+
+    tag = hashlib.md5(_os.path.realpath(sf_dir).encode()).hexdigest()[:10]
+    table = f"lineitem_bko_{tag}"
+    if not spark.catalog.tableExists(table):
+        import shutil
+
+        from diagnosisextraction_ml_spark.sources.bucketed import (
+            write_bucketed_table,
+        )
+
+        # The default (non-Hive) catalog is per-session, but the
+        # managed-table DIRECTORY persists in spark.sql.warehouse.dir —
+        # a fresh session then fails saveAsTable with
+        # LOCATION_ALREADY_EXISTS. A stale location without catalog
+        # metadata carries no bucketing guarantee, so clear and rewrite.
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        stale = _os.path.join(warehouse, table)
+        if _os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+        write_bucketed_table(
+            _t(spark, sf_dir, "lineitem"), table, "l_orderkey", n_buckets
+        )
+    return spark.table(table)
+
+
+@register(
+    "rel_q18_big_orders_bucketed",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, big.sum_qty
+    FROM big
+      JOIN orders o ON o.o_orderkey = big.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def rel_q18_big_orders_bucketed(spark, sf_dir):
+    """Q18 over the bucketed-by-orderkey lineitem layout: identical
+    semantics to rel_q18_big_orders, but the full-fact
+    groupBy(l_orderkey) — Q18's whole cost at scale (the 8.3×/decade
+    driver in PERF.md's sf10 map) — reads pre-hash-partitioned buckets
+    and aggregates with ZERO shuffle of lineitem (asserted in
+    tests/test_bucketed.py). Orders shuffles to the bucket
+    partitioning (1.5M rows vs 60M per SF), customer attaches last,
+    top-k stays TakeOrderedAndProject."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _bucketed_lineitem(spark, sf_dir)
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sq"))
@@ -748,11 +830,15 @@ def rel_q8_market_share(spark, sf_dir):
     a region's order volume per year (two roles for the nation dim —
     customer side filters the market, supplier side tags the share).
 
-    Plan: lineitem⋈orders is the single big⋈big shuffle; customer
-    attaches on the (already reduced) order side; supplier and both
-    nation aliases plus region broadcast. The share is a conditional
-    aggregate over one pass — no self-join, no second scan. Ratios
-    divide as DOUBLE only after DECIMAL-exact sums.
+    Plan: the market filter runs FIRST — customer⋈nation⋈region(ASIA)
+    (dims broadcast) reduces to an ASIA-customer key set, a LEFT SEMI
+    against orders shrinks the order side ~regioncount× on the
+    custkey shuffle (orders-sized, not lineitem-sized), and only the
+    reduced orders meet lineitem in the single big⋈big shuffle.
+    Supplier and its nation alias broadcast onto the lineitem side.
+    The share is a conditional aggregate over one pass — no self-join,
+    no second scan. Ratios divide as DOUBLE only after DECIMAL-exact
+    sums.
     """
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
@@ -762,11 +848,16 @@ def rel_q8_market_share(spark, sf_dir):
     sn = _t(spark, sf_dir, "nation").alias("sn")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    flow = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+    cust_asia = (
+        c.join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
         .join(F.broadcast(r), F.col("cn.n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    o_asia = o.join(
+        cust_asia, o["o_custkey"] == cust_asia["c_custkey"], "left_semi"
+    ).select("o_orderkey", "o_orderdate")
+    flow = (
+        li.join(o_asia, li["l_orderkey"] == o_asia["o_orderkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
         .select(
@@ -890,14 +981,14 @@ def rel_q15_top_supplier(spark, sf_dir):
     aggregate reused twice (as join input and as the argmax bound),
     the view-reuse pattern.
 
-    Plan: the revenue aggregate is computed ONCE over the date-pruned
-    lineitem scan; a rank-1 dense window over the SINGLE-column
-    aggregate output finds the max without a second scan or a
-    cross-join against a scalar subquery (ties all surface, matching
-    the SQL's = max semantics). Supplier attaches by broadcast.
+    Plan: the revenue aggregate runs over the date-pruned lineitem
+    scan; the argmax bound is a SCALAR max of that aggregate
+    (partial-agg all the way down — no global-order window, which
+    would sort every supplier's row on one partition at scale), and
+    ties surface through a broadcast equi-join of the 1-row max
+    against the aggregate (exact DECIMAL equality — both sides come
+    from the same exact sums). Supplier attaches by broadcast.
     """
-    from pyspark.sql import Window
-
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
@@ -907,12 +998,10 @@ def rel_q15_top_supplier(spark, sf_dir):
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(disc).alias("total_rev")
     )
-    w = Window.orderBy(F.col("total_rev").desc())
-    top = (
-        rev.withColumn("__rk", F.dense_rank().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk")
-    )
+    mx = rev.agg(F.max("total_rev").alias("__max_rev"))
+    top = rev.join(
+        F.broadcast(mx), F.col("total_rev") == F.col("__max_rev")
+    ).drop("__max_rev")
     return top.join(F.broadcast(s), top["supplier_no"] == s["s_suppkey"]).select(
         "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
     )
@@ -1044,6 +1133,199 @@ def rel_q22_idle_customers(spark, sf_dir):
             F.count(F.lit(1)).alias("numcust"),
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "rel_q21_waiting_suppliers",
+    """
+    SELECT s.s_name AS s_name, count(*) AS numwait
+    FROM lineitem l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
+    """,
+)
+def rel_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape — suppliers who alone held up multi-supplier
+    orders: the EXISTS + NOT-EXISTS double self-join on the fact table
+    (this schema has no receipt/commit dates, so ``l_returnflag='R'``
+    stands in for "late" — same correlation structure).
+
+    Plan: every lineitem leg — the driving R-flagged scan, the
+    other-supplier EXISTS, the other-R-supplier NOT EXISTS, and the
+    orders(F) attach — joins on l_orderkey, so all four sit on ONE
+    scan-partitioning (semi/anti joins carry the ``suppkey <>``
+    residual as a join condition, never a cartesian); supplier and its
+    nation filter broadcast last; the top-k is TakeOrderedAndProject
+    with a total (numwait DESC, s_name) tie-break.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("__ok3"), F.col("l_suppkey").alias("__sk3")
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"]
+    )
+    return (
+        l1.join(
+            l2,
+            (l1["l_orderkey"] == F.col("__ok2"))
+            & (l1["l_suppkey"] != F.col("__sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1["l_orderkey"] == F.col("__ok3"))
+            & (l1["l_suppkey"] != F.col("__sk3")),
+            "left_anti",
+        )
+        .join(o, l1["l_orderkey"] == o["o_orderkey"], "left_semi")
+        .join(F.broadcast(s), l1["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "rel_q20_dominant_suppliers",
+    """
+    WITH ship AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2),
+    dominant AS (
+      SELECT DISTINCT ship.l_suppkey
+      FROM ship
+        JOIN (SELECT l_partkey, sum(qty) AS part_qty
+              FROM ship GROUP BY 1) tot
+          ON tot.l_partkey = ship.l_partkey
+        JOIN part p ON p.p_partkey = ship.l_partkey
+          AND p.p_name LIKE '%a%'
+      WHERE 2 * ship.qty > tot.part_qty)
+    SELECT s.s_name, s.s_suppkey, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+        AND n.n_name = 'NATION_3'
+    WHERE EXISTS (SELECT 1 FROM dominant d WHERE d.l_suppkey = s.s_suppkey)
+    """,
+)
+def rel_q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape — suppliers eligible for a part promotion: a
+    per-(part, supplier) aggregate compared against a per-part bound,
+    feeding a semi-join into the supplier dim (no partsupp table here,
+    so "availqty > half the shipped quantity" becomes "this supplier
+    shipped more than half the part's year total" — identical
+    nested-aggregate + EXISTS structure).
+
+    Plan: one shuffle aggregates the date-pruned fact to (part,
+    supplier) rows; the per-part total is a window over that
+    aggregate's l_partkey re-partitioning (partitioned window — never
+    global); the name-filtered part dim broadcasts as a semi-filter;
+    the surviving supplier keys dedup small and semi-join the
+    nation-filtered supplier dim. The 2·qty > total comparison is
+    DECIMAL-exact on both engines.
+    """
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%")).select(
+        "p_partkey"
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"]
+    )
+    ship = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        ship.join(F.broadcast(p), ship["l_partkey"] == p["p_partkey"], "left_semi")
+        .withColumn("part_qty", F.sum("qty").over(w))
+        .filter(F.lit(2) * F.col("qty") > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(
+        dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi"
+    ).select("s_name", "s_suppkey", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+
+
+@register(
+    "rel_q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+          AND n.n_name = 'NATION_3'
+      GROUP BY 1)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM val
+    WHERE val * 10000 > (SELECT sum(val) FROM val)
+    """,
+)
+def rel_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape — parts that concentrate a nation's supplied
+    value above a scaled share of the total: a grouped aggregate
+    filtered against a scalar aggregate of ITSELF (no partsupp table,
+    so lineitem revenue through the nation's suppliers stands in for
+    stock value — same HAVING-vs-global-fraction structure).
+
+    Plan: the nation's suppliers broadcast as a semi-reducing join
+    onto the fact scan; one shuffle groups by partkey; the global
+    total is a one-row broadcast crossJoin (recomputed, like Q15's
+    scalar max — two passes of a semi-reduced scan beat materializing
+    at this shape); `val·10⁴ > total` compares DECIMAL-exact in both
+    engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"]
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"], "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("val"))
+    )
+    total = val.agg(F.sum("val").alias("__total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * F.lit(10000) > F.col("__total"))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
     )
 
 

@@ -670,10 +670,16 @@ def _components_sql() -> str:
     """
 
 
+# star_over=16: components only need a CONNECTED candidate graph, so
+# big buckets emit g−1 star edges instead of C(g,2) pairs — identical
+# components (the oracle's transitive closure of the ALL-pairs graph
+# agrees by construction; equality test in tests/test_dedup.py), but
+# pair volume on gen_sf's 100×-dup cliques drops quadratic→linear.
 register("dedup_components", _components_sql())(
     lambda spark, sf_dir: dedup.connected_components(
         dedup.minhash_lsh_pairs(
-            _dup_union(spark, sf_dir), "text", "doc_id", shingle_n=3, k=16, bands=4
+            _dup_union(spark, sf_dir), "text", "doc_id", shingle_n=3, k=16,
+            bands=4, star_over=16,
         )
     )
 )
@@ -683,7 +689,11 @@ def _pipeline_dedup_canonical(spark, sf_dir):
     """End-to-end near-dup removal: LSH pairs → connected components →
     keep one canonical doc per cluster (singletons survive)."""
     docs = _dup_union(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", shingle_n=3, k=16, bands=4)
+    # star_over: canonical-keep consumes only component membership, so
+    # the connected candidate graph suffices (see dedup_components)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", shingle_n=3, k=16, bands=4, star_over=16
+    )
     comp = dedup.connected_components(pairs)
     return dedup.keep_canonical(docs, comp).select("doc_id")
 
@@ -6885,7 +6895,7 @@ def _pareto_entry() -> None:
     """
 
     def _fn(spark, sf_dir):
-        from pyspark.sql import Window
+        from diagnosisextraction_ml_spark.operators.evaluate import _bucketed_cumsum
 
         orders = _t(spark, sf_dir, "orders")
         rev = orders.groupBy("o_custkey").agg(
@@ -6898,21 +6908,30 @@ def _pareto_entry() -> None:
         perv = rev.groupBy(F.col("cents").alias("v")).agg(
             F.count(F.lit(1)).alias("c")
         )
-        w_run = (
-            Window.orderBy(F.col("v").desc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        w_all = Window.rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        cum = perv.withColumn("cm", F.sum("c").over(w_run)).withColumn(
-            "n", F.sum("c").over(w_all)
+        # Running count over distinct revenue values DESC via the curve
+        # engine's two-level bucketed cumsum (evaluate.py doctrine) — a
+        # global-order window here would sort every distinct customer
+        # revenue on one partition at scale. Buckets split on
+        # log1p(cents) so the heavy-tailed revenue range balances
+        # (range-clamping keeps the split order-correct; log1p is
+        # strictly monotone, so per-bucket DESC order on it equals DESC
+        # order on cents — ties impossible below ~1e14 cents).
+        keyed = perv.withColumn("lv", F.log1p(F.col("v").cast("double")))
+        cum = _bucketed_cumsum(
+            keyed,
+            "lv",
+            {"c": "cm"},
+            descending=True,
+            n_buckets=1024,
+            score_range=(0.0, 33.0),  # log1p(1e14 cents) ≈ 32.3
         )
         cut = cum.groupBy().agg(
             F.max(
-                F.when(F.col("cm") >= F.expr("(n + 9) div 10"), F.col("v"))
+                F.when(
+                    F.col("cm") >= F.expr("(__tot_c + 9) div 10"), F.col("v")
+                )
             ).alias("c10"),
-            F.max("n").alias("n"),
+            F.max("__tot_c").alias("n"),
         )
         agg = rev.crossJoin(F.broadcast(cut)).groupBy("n").agg(
             F.sum((F.col("cents") >= F.col("c10")).cast("long")).alias("top_n"),

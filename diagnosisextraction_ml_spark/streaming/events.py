@@ -12,6 +12,8 @@ partial-aggregated before the shuffle exactly like the batch groupBy.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -134,7 +136,7 @@ def streaming_dedup_exact(
 
 def streaming_near_dup_gate(
     docs: DataFrame,
-    seen_buckets: DataFrame,
+    seen_buckets: DataFrame | Callable[[], DataFrame],
     accept,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -149,6 +151,15 @@ def streaming_near_dup_gate(
     non-flagged documents reach ``accept(kept_df, batch_id)`` (the
     caller's sink — and the natural place to append
     ``index_band_buckets(kept_df)`` so the index rolls forward).
+
+    ``seen_buckets`` may be a DataFrame or a ZERO-ARG CALLABLE
+    returning one. Pass the callable when ``accept`` appends to the
+    index: a file-backed DataFrame resolves its file listing when the
+    DataFrame is CREATED, so a plain DataFrame captured at composition
+    screens every microbatch against the index as of stream start —
+    appends made inside ``accept`` only become visible if ``_gate``
+    re-resolves the index per batch, i.e.
+    ``lambda: spark.read.parquet(index_path)``.
 
     ``foreachBatch`` is the right tool here, not a stateful streaming
     operator: the dedup state (the band index) is a TABLE shared with
@@ -167,9 +178,10 @@ def streaming_near_dup_gate(
     )
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        index = seen_buckets() if callable(seen_buckets) else seen_buckets
         flags = dedup_incremental_near(
             batch_df,
-            seen_buckets,
+            index,
             text_col=text_col,
             id_col=id_col,
             shingle_n=shingle_n,

@@ -45,3 +45,32 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_q18_bucketed_agg_has_no_lineitem_shuffle(spark, sf_dir):
+    """rel_q18_big_orders_bucketed's whole point: the full-fact
+    groupBy(l_orderkey) must read pre-bucketed lineitem and aggregate
+    with no Exchange below the aggregate (the join/top-k above it may
+    shuffle the small sides)."""
+    import pyspark.sql.functions as F
+
+    from diagnosisextraction_ml_spark.plans.queries import (
+        _bucketed_lineitem,
+        queries,
+    )
+
+    li = _bucketed_lineitem(spark, sf_dir, n_buckets=8)
+    agg = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sq"))
+        .filter(F.col("__sq") > 150)
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # bucket-local aggregation
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+    # end-to-end parity with the plain variant
+    qs = queries()
+    a = [tuple(r) for r in qs["rel_q18_big_orders"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in qs["rel_q18_big_orders_bucketed"](spark, sf_dir).collect()]
+    assert a == b

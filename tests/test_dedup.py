@@ -782,3 +782,37 @@ def test_dedup_incremental_near_band_index(spark):
         ).collect()
     }
     assert strict == {10: False, 11: False}
+
+
+def test_star_expansion_same_components_fewer_pairs(spark):
+    """star_over: buckets above the threshold emit min-id stars. The
+    candidate pair set shrinks quadratic→linear on a near-clique
+    (100-dup boilerplate), but connected_components / keep_canonical
+    over it must be IDENTICAL to the all-pairs graph — a star keeps
+    every in-bucket id connected by construction."""
+    from diagnosisextraction_ml_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    clique = [(i, "the same boilerplate sentence repeated everywhere") for i in range(100)]
+    near = [
+        (200, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (201, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    solo = [(300, "completely unrelated content about rivers and mountains")]
+    docs = spark.createDataFrame(clique + near + solo, "doc_id long, text string")
+
+    full = minhash_lsh_pairs(docs, k=16, bands=4)
+    star = minhash_lsh_pairs(docs, k=16, bands=4, star_over=8)
+    n_full = full.count()
+    n_star = star.count()
+    assert n_full >= 100 * 99 // 2  # the clique alone is C(100,2)
+    assert n_star < 3 * 100 + 20    # stars: ≤ (g−1) per band-bucket group
+
+    a = sorted(map(tuple, connected_components(full).collect()))
+    b = sorted(map(tuple, connected_components(star).collect()))
+    assert a == b
+    # the clique must actually be one component in both
+    comp_of = dict(b)
+    assert len({comp_of[i] for i in range(100)}) == 1

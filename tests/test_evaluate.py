@@ -303,3 +303,55 @@ def test_ndcg_no_relevant_is_null(spark):
     rel = spark.createDataFrame([], "query_id string, doc_id long, rel int")
     r = ndcg_at_k(ranked, rel, k=3).collect()[0]
     assert r["dcg_micro"] == 0 and r["ndcg_micro"] is None
+
+
+def test_curve_metrics_pinned_to_independent_hand_computed_values(spark):
+    """Anchor curve_by_threshold + auc_trapezoid to constants derived
+    OUTSIDE this repo's code (GOLDEN gate licensing: the PR-AUC and
+    max-F1 goldens in tools/golden_report.py are recomputed with these
+    same functions, so a shared-convention bug would cancel there —
+    this fixture pins the convention itself).
+
+    Fixture: scores .9..-.1 step .1, labels [1,0,1,1,0,1,0,1,0,0] with
+    the two 0.7s tied. Hand-derived expectations:
+    - ROC-AUC = 0.72, cross-checked by Mann-Whitney pair counting:
+      positives {.9,.7,.7,.5,.3} beat negatives {.8,.6,.4,.2,.1} in
+      5+4+4+3+2 = 18 of 25 pairs.
+    - Anchored PR-AUC (sklearn-style (recall=0, precision=1) anchor,
+      trapezoid over (recall, precision) sorted x asc, y asc) =
+      3/20 + 8/25 + 37/280 + 7/60 = 3019/4200.
+    - max F1 = 10/13 at threshold 0.3 (p=5/8, r=1).
+    """
+    import pytest
+    from pyspark.sql import functions as F
+
+    from diagnosisextraction_ml_spark.operators.evaluate import (
+        auc_rank,
+        auc_trapezoid,
+        curve_by_threshold,
+    )
+
+    rows = list(
+        zip(
+            [0.9, 0.8, 0.7, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1],
+            [1, 0, 1, 1, 0, 1, 0, 1, 0, 0],
+        )
+    )
+    df = spark.createDataFrame(rows, "score double, label int")
+    curve = curve_by_threshold(df).cache()
+
+    roc = auc_trapezoid(curve, "fpr", "tpr").collect()[0]["auc"]
+    assert roc == pytest.approx(18 / 25, abs=1e-12)
+    rank = auc_rank(df).collect()[0]["auc"]
+    assert rank == pytest.approx(18 / 25, abs=1e-12)
+
+    pr_pts = curve.select(F.col("tpr").alias("x"), F.col("precision").alias("y"))
+    anchor = spark.range(1).select(F.lit(0.0).alias("x"), F.lit(1.0).alias("y"))
+    pr = auc_trapezoid(
+        pr_pts.unionByName(anchor), "x", "y", anchor_origin=False
+    ).collect()[0]["auc"]
+    assert pr == pytest.approx(3019 / 4200, abs=1e-12)
+
+    max_f1 = curve.agg(F.max("f1").alias("m")).collect()[0]["m"]
+    assert max_f1 == pytest.approx(10 / 13, abs=1e-12)
+    curve.unpersist()

@@ -222,3 +222,50 @@ def test_extract_features_robust_mixed_format_batch(spark):
     assert out[4]["feature"] is None and out[4]["decode_error"]
     assert out[5]["feature"] is None and out[5]["decode_error"] == "null payload"
     assert out[3]["n_bytes"] == len(jpeg_ish) and out[5]["n_bytes"] == 0
+
+
+def test_extract_features_robust_catches_struct_and_zlib_faults(spark):
+    """The two corruption modes that do NOT surface as ValueError —
+    truncation mid-chunk-header (struct.error: the 4-byte length field
+    unpack runs out of bytes) and a bit-flipped IDAT payload
+    (zlib.error from inflate) — must also cost one row, not the stage.
+    Driver-side repro first so the test documents which exception each
+    corruption actually raises."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from diagnosisextraction_ml_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+    from diagnosisextraction_ml_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features_robust,
+    )
+
+    rng = np.random.RandomState(7)
+    png = encode_png(rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8))
+    mid_header = png[:10]  # inside the IHDR length/type fields
+    with pytest.raises((struct.error, ValueError)):
+        decode_png(mid_header)
+    # flip one bit inside the IDAT deflate payload (skip 8B magic +
+    # IHDR; find the IDAT tag and corrupt past its header)
+    idat = png.index(b"IDAT")
+    flipped = bytearray(png)
+    flipped[idat + 8] ^= 0x40
+    with pytest.raises((zlib.error, ValueError)):
+        decode_png(bytes(flipped))
+
+    rows = [
+        (1, "image", "image/png", bytearray(png), 6, 5, None),
+        (2, "image", "image/png", bytearray(mid_header), None, None, None),
+        (3, "image", "image/png", flipped, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["asset_id"]: r for r in extract_features_robust(media).collect()}
+    assert out[1]["decode_error"] is None and out[1]["feature"] is not None
+    assert out[2]["feature"] is None and out[2]["decode_error"]
+    assert out[3]["feature"] is None and out[3]["decode_error"]

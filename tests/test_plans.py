@@ -57,33 +57,132 @@ def test_windows_are_partitioned(spark, sf_dir, qs):
         assert "windowspecdefinition(user_id" in plan.replace(" ", "") or "user_id" in plan
 
 
+def _window_spec_args(plan: str):
+    """Yield the (nesting-balanced) argument string of every
+    windowspecdefinition(...) in a physical-plan string. A simple
+    regex cannot do this — the frame spec nests parens two deep
+    (specifiedwindowframe(RowFrame, unboundedpreceding$(), ...)),
+    which is exactly what made this lint's first regex version
+    silently vacuous for every running-frame window."""
+    key = "windowspecdefinition("
+    i = 0
+    while True:
+        j = plan.find(key, i)
+        if j < 0:
+            return
+        depth, k = 1, j + len(key)
+        while depth and k < len(plan):
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        yield plan[j + len(key) : k - 1]
+        i = k
+
+
+def _split_top_level(args: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(args):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(args[start:i].strip())
+            start = i + 1
+    parts.append(args[start:].strip())
+    return parts
+
+
 def _unpartitioned_windows(plan: str) -> list[str]:
-    """windowspecdefinition(...) whose first argument is already an
-    ordering expression (ASC/DESC) — i.e. an empty partition spec, which
-    Spark executes as a single-partition sort+window over the whole
-    input."""
+    """windowspecdefinition(...) with an EMPTY partition spec — Spark
+    executes these as a single-partition sort+window over the whole
+    input (running frame) or a single-reducer total (entire frame);
+    either is a scale cliff unless the window input has bounded
+    cardinality. Spec layout: partition cols (bare exprs), then order
+    exprs (`... ASC|DESC NULLS FIRST|LAST`), then the frame spec."""
     import re
 
     hits = []
-    for m in re.finditer(r"windowspecdefinition\(([^()]*(?:\([^()]*\))?[^()]*)\)", plan):
-        first_arg = m.group(1).split(",")[0].strip()
-        if first_arg.endswith("ASC NULLS FIRST") or first_arg.endswith(
-            "ASC NULLS LAST"
-        ) or first_arg.endswith("DESC NULLS FIRST") or first_arg.endswith("DESC NULLS LAST"):
-            hits.append(m.group(0)[:120])
+    for spec in _window_spec_args(plan):
+        lead = [
+            p
+            for p in _split_top_level(spec)
+            if not p.startswith("specifiedwindowframe")
+        ]
+        part_cols = [
+            p for p in lead if not re.search(r"(ASC|DESC) NULLS (FIRST|LAST)$", p)
+        ]
+        if not part_cols:
+            hits.append(spec[:120])
     return hits
+
+
+# Queries ALLOWED an unpartitioned window, each with the cardinality
+# bound that licenses it. Anything else with an empty partition spec
+# fails test_no_unpartitioned_window_in_any_registered_query.
+UNPARTITIONED_WINDOW_WHITELIST = {
+    # global (ta, tb) totals over the PSI bin table — window input is
+    # ≤ n_bins rows (fixed by config, default 10), never data-sized
+    "qc_psi_drift",
+    # same shape: WOE/IV totals over the ≤ n_bins-row bin table
+    "qc_woe_iv",
+    # running CDF over bootstrap-resample AUCs — one row per resample
+    # (n_boot, config-bounded), never data-sized
+    "eval_auc_bootstrap_ci",
+}
 
 
 def test_no_unpartitioned_window_in_any_registered_query(spark, sf_dir, qs):
     """Repo-wide guard (the single-task funnel class of bug): no
-    registered query's physical plan may contain a Window with an empty
-    partition spec. The curve engine (curve_by_threshold / auc_rank)
-    uses the two-level bucketed cumsum precisely to stay out of this
-    list; new eval queries must too."""
+    registered query's physical plan may contain a Window with an
+    empty partition spec unless whitelisted above with a cardinality
+    bound. The curve engine (curve_by_threshold / auc_rank) and the
+    pareto/quantile cutoffs use the two-level bucketed cumsum
+    precisely to stay out of this list; new eval queries must too."""
     for name, fn in qs.items():
         plan = _plan(fn(spark, sf_dir))
         bad = _unpartitioned_windows(plan)
-        assert not bad, f"{name}: unpartitioned window(s): {bad}"
+        if name in UNPARTITIONED_WINDOW_WHITELIST:
+            # the whitelist must not rot: a whitelisted query that no
+            # longer plans an unpartitioned window should be delisted
+            assert bad, f"{name}: whitelisted but no unpartitioned window remains"
+        else:
+            assert not bad, f"{name}: unpartitioned window(s): {bad}"
+
+
+def test_q15_argmax_is_scalar_max_not_global_window(spark, sf_dir, qs):
+    """Q15's '= max' bound must come from a scalar aggregate joined
+    back by broadcast, not a global dense_rank (which sorts every
+    supplier's aggregate row on one partition)."""
+    plan = _plan(qs["rel_q15_top_supplier"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "dense_rank" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pareto_cutoff_uses_bucketed_cumsum(spark, sf_dir, qs):
+    """The top-decile cutoff must run on the two-level bucketed cumsum
+    (windows partitioned by __b), never a global-order window over the
+    distinct-revenue table."""
+    plan = _plan(qs["rel_pareto_share"](spark, sf_dir))
+    assert not _unpartitioned_windows(plan)
+    assert "windowspecdefinition(__b" in plan.replace(" ", "")
+
+
+def test_q8_market_filter_upstream_of_big_join(spark, sf_dir, qs):
+    """Q8's customer⋈nation⋈region(ASIA) reduction must apply to
+    orders BEFORE the lineitem⋈orders join (inside its subtree — the
+    plan prints parents before children), so the big shuffle moves
+    region-filtered volume only."""
+    import re
+
+    plan = _plan(qs["rel_q8_market_share"](spark, sf_dir))
+    big = re.search(r"Join \[l_orderkey[^\n]*o_orderkey", plan)
+    semi = plan.find("LeftSemi")
+    assert big is not None and semi >= 0
+    assert big.start() < semi, "customer semi-filter planned above the big join"
 
 
 def test_curve_engine_plan_shape(spark, sf_dir, qs):
@@ -232,3 +331,30 @@ def test_q6_all_predicates_pushed_and_four_column_scan(spark, sf_dir, qs):
     )
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
     assert "l_shipdate#" in plan and ">= 19" in plan  # DataFilters prefix
+
+
+def test_q21_exists_branches_are_semi_anti_on_orderkey(spark, sf_dir, qs):
+    """Q21's EXISTS / NOT EXISTS must plan as LeftSemi / LeftAnti
+    equi-joins on l_orderkey with the suppkey<> residual as a join
+    condition — and with broadcast disabled (the 100 TB case) every
+    fact-side join must still be an orderkey-keyed SortMergeJoin,
+    never a nested loop or cartesian."""
+    plan = _plan(qs["rel_q21_waiting_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(qs["rel_q21_waiting_suppliers"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    import re
+
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    semi = re.findall(r"SortMergeJoin \[l_orderkey[^\n]*LeftSemi", plan)
+    anti = re.findall(r"SortMergeJoin \[l_orderkey[^\n]*LeftAnti", plan)
+    assert len(semi) >= 2 and len(anti) >= 1  # both EXISTS legs + orders attach

@@ -454,3 +454,62 @@ def test_streaming_near_dup_gate(spark, tmp_path):
         ).collect()
     )
     assert batch_keep == [11]
+
+
+def test_streaming_near_dup_gate_rolling_index(spark, tmp_path):
+    """When accept() appends accepted docs' band buckets to a
+    file-backed index AND the gate receives a CALLABLE index provider,
+    a later microbatch must screen against the earlier batch's
+    appends: batch 2's copy of a batch-1 doc is dropped even though
+    neither was in the index at stream start."""
+    from diagnosisextraction_ml_spark.operators.dedup import index_band_buckets
+    from diagnosisextraction_ml_spark.streaming.events import (
+        streaming_near_dup_gate,
+    )
+
+    doc_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    doc_b = "red green blue cyan magenta yellow black white grey brown"
+    idx_path = str(tmp_path / "band_index")
+    # seed the index with one unrelated historical doc so batch 1 reads
+    # a non-empty parquet source
+    index_band_buckets(
+        spark.createDataFrame([(1, doc_b)], "doc_id long, text string"),
+        k=16,
+        bands=4,
+    ).write.mode("overwrite").parquet(idx_path)
+
+    src = str(tmp_path / "docs")
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(10, doc_a)], schema).write.mode("overwrite").parquet(src)
+
+    accepted: list[int] = []
+
+    def accept(df, batch_id):
+        kept = df.cache()
+        accepted.extend(r["doc_id"] for r in kept.collect())
+        index_band_buckets(kept, k=16, bands=4).write.mode("append").parquet(
+            idx_path
+        )
+        kept.unpersist()
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_near_dup_gate(
+                stream,
+                lambda: spark.read.parquet(idx_path),
+                accept,
+                k=16,
+                bands=4,
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_roll"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()  # batch 1: doc_a is novel → accepted + appended
+    assert accepted == [10]
+    spark.createDataFrame([(20, doc_a)], schema).write.mode("append").parquet(src)
+    run_stream()  # batch 2: doc_a now in the rolled-forward index
+    assert accepted == [10]  # 20 screened out by batch 1's append

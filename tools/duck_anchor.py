@@ -31,15 +31,19 @@ TABLES = [
 ]
 
 
-def main() -> int:
+def run_anchor(
+    sf_dir: str, names: list[str], threads: int | None = None, verbose: bool = False
+) -> dict:
+    """Time each named query's oracle SQL on DuckDB over the sf_dir
+    parquet. Returns {"total", "queries", "skipped", "errors"} —
+    callable in-process (bench.py embeds a same-session anchor in its
+    artifact so every BENCH_r*.json self-normalizes against host
+    weather) or from this file's CLI."""
     import duckdb
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
     con = duckdb.connect()
-    if len(sys.argv) > 2:
-        con.execute(f"SET threads={int(sys.argv[2])}")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
@@ -47,14 +51,13 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
 
-    from bench import HEADLINE
     from diagnosisextraction_ml_spark.plans.queries import oracle_sql
 
     oracles = oracle_sql()
     timings: dict[str, float] = {}
     skipped: list[str] = []
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in names:
         sql = oracles.get(name)
         if sql is None:
             skipped.append(name)
@@ -66,7 +69,26 @@ def main() -> int:
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             continue
         timings[name] = round(time.time() - t0, 3)
-        print(json.dumps({"query": name, "sec": timings[name]}), flush=True)
+        if verbose:
+            print(json.dumps({"query": name, "sec": timings[name]}), flush=True)
+    return {
+        "total": round(sum(timings.values()), 3),
+        "queries": timings,
+        "skipped": skipped,
+        "errors": errors,
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    threads = int(sys.argv[2]) if len(sys.argv) > 2 else None
+
+    from bench import HEADLINE
+
+    res = run_anchor(sf_dir, list(HEADLINE), threads=threads, verbose=True)
+    timings, skipped, errors = res["queries"], res["skipped"], res["errors"]
 
     out = {
         "metric": "duckdb_anchor_total_wall_sec",
