@@ -47,18 +47,20 @@ def register(name: str, sql: str | None):
 # full registry is still verified every round by
 # tools/compare_oracle.py (ORACLE_FULL_r*.txt).
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round 12, slots 1-4: new this round — the bucketed-layout Q18
-    # variant and the last three TPC-H shapes (Q21 double self-join,
-    # Q20 nested-aggregate semi, Q11 HAVING-vs-global-fraction); first
+    # Round 12, slots 1-5: new this round — the bucketed-layout Q18 and
+    # Q17 variants (orderkey and partkey keys of _bucketed_fact) and
+    # the last three TPC-H shapes (Q21 double self-join, Q20
+    # nested-aggregate semi, Q11 HAVING-vs-global-fraction); first
     # driver rows on first appearance.
-    "rel_q18_big_orders_bucketed", "rel_q21_waiting_suppliers",
+    "rel_q18_big_orders_bucketed", "rel_q17_small_qty_revenue_bucketed",
+    "rel_q21_waiting_suppliers",
     "rel_q20_dominant_suppliers", "rel_q11_important_parts",
-    # Slots 5-9: plan or pair-generation changed this round (Q15
+    # Slots 6-10: plan or pair-generation changed this round (Q15
     # scalar-max argmax, Q8 join order, pareto bucketed cumsum,
     # star_over candidate edges) — re-hash immediately after the change.
     "rel_q15_top_supplier", "rel_q8_market_share", "rel_pareto_share",
     "dedup_components", "pipeline_dedup_canonical",
-    # Slots 10-26: the 17 queries that overflowed round 11's 50-row
+    # Slots 11-27: the 17 queries that overflowed round 11's 50-row
     # gate — their last driver rows date to round 7, the stalest in
     # the ledger.
     "rel_value_counts", "sim_bruteforce_topk", "sim_ivf_assign",
@@ -67,7 +69,7 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "text_clean_pipeline", "text_lexical_dispersion", "text_redacted",
     "text_token_stats", "text_top_words", "text_word_match",
     "win_range_1hour", "win_running_total", "win_topn_per_group",
-    # Slots 27-50: the next-stalest tier — last green round 8, in
+    # Slots 28-50: the next-stalest tier — last green round 8, in
     # ledger order; the 17 round-8 rows that don't fit this gate lead
     # the round-13 rotation.
     "ab_funnel_conversion", "assoc_rules_pairs", "bpe_token_stats",
@@ -396,20 +398,26 @@ def rel_q18_big_orders(spark, sf_dir):
     )
 
 
-def _bucketed_lineitem(spark, sf_dir: str, n_buckets: int = 32):
-    """A lineitem table bucketed (and sorted) by l_orderkey, written
-    once per sf_dir and reused — the pay-the-shuffle-once layout
-    (sources/bucketed.py). At 100 TB this is the warehouse move: every
-    groupBy/join on l_orderkey over the bucketed copy plans with NO
-    Exchange on the fact side, amortizing one write across every
-    orderkey-keyed query. Cache key is the sf_dir realpath, so each
-    scale factor gets its own copy; re-generate testdata → drop the
-    ``lineitem_bko_*`` tables."""
+def _bucketed_fact(
+    spark, sf_dir: str, source: str, key: str, n_buckets: int = 32
+):
+    """A copy of fact table ``source`` bucketed (and sorted) by
+    ``key``, written once per (sf_dir, source, key) and reused — the
+    pay-the-shuffle-once layout (sources/bucketed.py). At 100 TB this
+    is the warehouse move: every groupBy/join on ``key`` over the
+    bucketed copy plans with NO Exchange on the fact side, amortizing
+    one write across every query keyed the same way (Q18's
+    orderkey aggregate, Q17's partkey aggregate+probe, Q21's three
+    orderkey legs, …). Cache key is the sf_dir realpath, so each scale
+    factor gets its own copy; re-generate testdata → drop the
+    ``*_b_*`` tables."""
     import hashlib
     import os as _os
 
-    tag = hashlib.md5(_os.path.realpath(sf_dir).encode()).hexdigest()[:10]
-    table = f"lineitem_bko_{tag}"
+    tag = hashlib.md5(
+        f"{_os.path.realpath(sf_dir)}|{key}".encode()
+    ).hexdigest()[:10]
+    table = f"{source}_b_{tag}"
     if not spark.catalog.tableExists(table):
         import shutil
 
@@ -429,9 +437,14 @@ def _bucketed_lineitem(spark, sf_dir: str, n_buckets: int = 32):
         if _os.path.isdir(stale):
             shutil.rmtree(stale, ignore_errors=True)
         write_bucketed_table(
-            _t(spark, sf_dir, "lineitem"), table, "l_orderkey", n_buckets
+            _t(spark, sf_dir, source), table, key, n_buckets
         )
     return spark.table(table)
+
+
+def _bucketed_lineitem(spark, sf_dir: str, n_buckets: int = 32):
+    """Lineitem bucketed by l_orderkey (see :func:`_bucketed_fact`)."""
+    return _bucketed_fact(spark, sf_dir, "lineitem", "l_orderkey", n_buckets)
 
 
 @register(
@@ -1073,6 +1086,46 @@ def rel_q17_small_qty_revenue(spark, sf_dir):
     global sum is a single-row reduce, DECIMAL-exact.
     """
     li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(avg_qty, li["l_partkey"] == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@register(
+    "rel_q17_small_qty_revenue_bucketed",
+    """
+    WITH avg_qty AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#2' AND l.l_quantity < a.half_avg
+    """,
+)
+def rel_q17_small_qty_revenue_bucketed(spark, sf_dir):
+    """Q17 over a lineitem copy bucketed by l_partkey: identical
+    semantics to rel_q17_small_qty_revenue, but BOTH fact reads — the
+    per-part average aggregate AND the probe side of the
+    decorrelated self-join — are partkey-keyed, so the bucketed layout
+    removes BOTH fact-side Exchanges (the whole query runs bucket-
+    local until the final one-row reduce; locality asserted in
+    tests/test_bucketed.py). The second key demonstrated on
+    :func:`_bucketed_fact` — the layout generalizes per (table, key)."""
+    li = _bucketed_fact(spark, sf_dir, "lineitem", "l_partkey")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
     avg_qty = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
         (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")

@@ -74,3 +74,20 @@ def test_q18_bucketed_agg_has_no_lineitem_shuffle(spark, sf_dir):
     a = [tuple(r) for r in qs["rel_q18_big_orders"](spark, sf_dir).collect()]
     b = [tuple(r) for r in qs["rel_q18_big_orders_bucketed"](spark, sf_dir).collect()]
     assert a == b
+
+
+def test_q17_bucketed_no_fact_exchange(spark, sf_dir):
+    """rel_q17_small_qty_revenue_bucketed: both partkey-keyed fact
+    reads (per-part average + probe) must plan bucket-local — no
+    hash-partitioning Exchange anywhere (the final one-row reduce's
+    SinglePartition exchange is the only one allowed)."""
+    from diagnosisextraction_ml_spark.plans.queries import queries
+
+    qs = queries()
+    df = qs["rel_q17_small_qty_revenue_bucketed"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    # parity with the plain variant
+    a = [tuple(r) for r in qs["rel_q17_small_qty_revenue"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in df.collect()]
+    assert a == b

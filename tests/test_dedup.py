@@ -816,3 +816,49 @@ def test_star_expansion_same_components_fewer_pairs(spark):
     # the clique must actually be one component in both
     comp_of = dict(b)
     assert len({comp_of[i] for i in range(100)}) == 1
+
+
+def test_star_expansion_equality_mixed_group_sizes(spark):
+    """Randomized (seeded) corpus with duplicate groups of every size
+    1..14 — some under, some at, some over star_over=8 — must yield
+    byte-identical components and canonical keeps vs all-pairs, and
+    sub-threshold buckets must still expand all-pairs (pair sets over
+    small groups unchanged)."""
+    import random
+
+    from diagnosisextraction_ml_spark.operators.dedup import (
+        connected_components,
+        keep_canonical,
+        minhash_lsh_pairs,
+    )
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(200)]
+    rows, doc_id = [], 0
+    for size in range(1, 15):
+        base = " ".join(rng.choice(vocab) for _ in range(12))
+        for _ in range(size):
+            rows.append((doc_id, base))
+            doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = minhash_lsh_pairs(docs, k=16, bands=4)
+    star = minhash_lsh_pairs(docs, k=16, bands=4, star_over=8)
+    comp_full = sorted(map(tuple, connected_components(full).collect()))
+    comp_star = sorted(map(tuple, connected_components(star).collect()))
+    assert comp_full == comp_star
+    keep_full = sorted(
+        r["doc_id"] for r in keep_canonical(docs, connected_components(full)).collect()
+    )
+    keep_star = sorted(
+        r["doc_id"] for r in keep_canonical(docs, connected_components(star)).collect()
+    )
+    assert keep_full == keep_star
+    # groups of size ≤ 8 keep their exact all-pairs (star only kicks in
+    # ABOVE the threshold): pair sets restricted to small groups match
+    small_ids = set(range(sum(range(1, 9))))  # doc ids of groups 1..8
+    fp = {(r["id_a"], r["id_b"]) for r in full.collect()
+          if r["id_a"] in small_ids and r["id_b"] in small_ids}
+    sp = {(r["id_a"], r["id_b"]) for r in star.collect()
+          if r["id_a"] in small_ids and r["id_b"] in small_ids}
+    assert fp == sp

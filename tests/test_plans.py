@@ -358,3 +358,27 @@ def test_q21_exists_branches_are_semi_anti_on_orderkey(spark, sf_dir, qs):
     semi = re.findall(r"SortMergeJoin \[l_orderkey[^\n]*LeftSemi", plan)
     anti = re.findall(r"SortMergeJoin \[l_orderkey[^\n]*LeftAnti", plan)
     assert len(semi) >= 2 and len(anti) >= 1  # both EXISTS legs + orders attach
+
+
+def test_no_row_python_udf_in_any_registered_query(spark, sf_dir, qs):
+    """Python in a hot path must be Arrow-batched (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas — 8 registered queries use
+    those). BatchEvalPython (row-at-a-time pickling, the 10-100×
+    slow path) is forbidden in every registered plan; this turns the
+    UDF-policy doctrine into a closed class like the window lint."""
+    for name, fn in qs.items():
+        plan = _plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_no_global_sort_in_any_registered_query(spark, sf_dir, qs):
+    """Every ORDER BY in the registry feeds a LIMIT and plans as
+    TakeOrderedAndProject; a bare global Sort (range-shuffle + full
+    sort of its input) has no place in a 100 TB plan. Zero queries
+    plan one today — keep it a closed class."""
+    import re
+
+    for name, fn in qs.items():
+        plan = _plan(fn(spark, sf_dir))
+        g = re.findall(r"Sort \[[^\n]*\], true, 0", plan)
+        assert not g, f"{name}: global Sort: {g[:2]}"
