@@ -75,11 +75,12 @@ HEADLINE = [
     "rel_q13_custdist",
     "rel_q17_small_qty_revenue",
     # added round 12 — Q21 double self-join (semi/anti on one
-    # orderkey partitioning), bucketed-layout Q18 (shuffle-free fact
-    # aggregate), pareto top-decile on the bucketed cumsum; totals
+    # orderkey partitioning), bucketed-layout Q18 and Q8 (shuffle-free
+    # fact side), pareto top-decile on the bucketed cumsum; totals
     # before r12 cover 35 queries (compare like-for-like).
     "rel_q21_waiting_suppliers",
     "rel_q18_big_orders_bucketed",
+    "rel_q8_market_share_bucketed",
     "rel_pareto_share",
 ]
 

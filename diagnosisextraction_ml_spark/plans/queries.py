@@ -47,20 +47,20 @@ def register(name: str, sql: str | None):
 # full registry is still verified every round by
 # tools/compare_oracle.py (ORACLE_FULL_r*.txt).
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round 12, slots 1-5: new this round — the bucketed-layout Q18 and
-    # Q17 variants (orderkey and partkey keys of _bucketed_fact) and
-    # the last three TPC-H shapes (Q21 double self-join, Q20
+    # Round 12, slots 1-6: new this round — the bucketed-layout Q18 /
+    # Q17 / Q8 variants (orderkey and partkey keys of _bucketed_fact)
+    # and the last three TPC-H shapes (Q21 double self-join, Q20
     # nested-aggregate semi, Q11 HAVING-vs-global-fraction); first
     # driver rows on first appearance.
     "rel_q18_big_orders_bucketed", "rel_q17_small_qty_revenue_bucketed",
-    "rel_q21_waiting_suppliers",
+    "rel_q8_market_share_bucketed", "rel_q21_waiting_suppliers",
     "rel_q20_dominant_suppliers", "rel_q11_important_parts",
-    # Slots 6-10: plan or pair-generation changed this round (Q15
+    # Slots 7-11: plan or pair-generation changed this round (Q15
     # scalar-max argmax, Q8 join order, pareto bucketed cumsum,
     # star_over candidate edges) — re-hash immediately after the change.
     "rel_q15_top_supplier", "rel_q8_market_share", "rel_pareto_share",
     "dedup_components", "pipeline_dedup_canonical",
-    # Slots 11-27: the 17 queries that overflowed round 11's 50-row
+    # Slots 12-28: the 17 queries that overflowed round 11's 50-row
     # gate — their last driver rows date to round 7, the stalest in
     # the ledger.
     "rel_value_counts", "sim_bruteforce_topk", "sim_ivf_assign",
@@ -69,8 +69,8 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "text_clean_pipeline", "text_lexical_dispersion", "text_redacted",
     "text_token_stats", "text_top_words", "text_word_match",
     "win_range_1hour", "win_running_total", "win_topn_per_group",
-    # Slots 28-50: the next-stalest tier — last green round 8, in
-    # ledger order; the 17 round-8 rows that don't fit this gate lead
+    # Slots 29-50: the next-stalest tier — last green round 8, in
+    # ledger order; the 18 round-8 rows that don't fit this gate lead
     # the round-13 rotation.
     "ab_funnel_conversion", "assoc_rules_pairs", "bpe_token_stats",
     "bpe_vocab_threshold_cut", "dedup_cross_source_matrix",
@@ -860,6 +860,76 @@ def rel_q8_market_share(spark, sf_dir):
     cn = _t(spark, sf_dir, "nation").alias("cn")
     sn = _t(spark, sf_dir, "nation").alias("sn")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    cust_asia = (
+        c.join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(r), F.col("cn.n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    o_asia = o.join(
+        cust_asia, o["o_custkey"] == cust_asia["c_custkey"], "left_semi"
+    ).select("o_orderkey", "o_orderdate")
+    flow = (
+        li.join(o_asia, li["l_orderkey"] == o_asia["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.col("sn.n_name").alias("supp_nation"),
+            vol.alias("volume"),
+        )
+    )
+    share_num = F.sum(
+        F.when(F.col("supp_nation") == "CHINA", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    ).cast("double")
+    return flow.groupBy("o_year").agg(
+        (share_num / F.sum("volume").cast("double")).alias("mkt_share"),
+        F.sum("volume").cast("double").alias("total_volume"),
+    )
+
+
+@register(
+    "rel_q8_market_share_bucketed",
+    """
+    WITH flow AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             sn.n_name AS supp_nation,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume
+      FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'ASIA')
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'CHINA' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+           CAST(sum(volume) AS DOUBLE) AS total_volume
+    FROM flow
+    GROUP BY o_year
+    """,
+)
+def rel_q8_market_share_bucketed(spark, sf_dir):
+    """Q8 over the bucketed-by-orderkey lineitem: the market-filter-
+    first shape of :func:`rel_q8_market_share` (semi-reduce orders by
+    ASIA customers upstream), with the big join's FACT side reading
+    pre-hash-partitioned buckets — lineitem never exchanges at all.
+    The reduced orders shuffle to the bucket partitioning and the join
+    runs bucket-local, so the plan that is right at 100 TB (no
+    customer broadcast assumed) is also the locally fastest: the
+    60M-row exchange that the layout removes was the whole cost of
+    the join-order trade measured in PERF.md Round 12."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cn = _t(spark, sf_dir, "nation").alias("cn")
+    sn = _t(spark, sf_dir, "nation").alias("sn")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    li = _bucketed_lineitem(spark, sf_dir)
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     cust_asia = (
         c.join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))

@@ -91,3 +91,18 @@ def test_q17_bucketed_no_fact_exchange(spark, sf_dir):
     a = [tuple(r) for r in qs["rel_q17_small_qty_revenue"](spark, sf_dir).collect()]
     b = [tuple(r) for r in df.collect()]
     assert a == b
+
+
+def test_q8_bucketed_no_lineitem_exchange(spark, sf_dir):
+    """rel_q8_market_share_bucketed: the fact side of the big join
+    reads pre-bucketed lineitem — zero l_orderkey exchanges anywhere
+    in the plan — and matches the plain variant row-for-row."""
+    from diagnosisextraction_ml_spark.plans.queries import queries
+
+    qs = queries()
+    df = qs["rel_q8_market_share_bucketed"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(l_orderkey") == 0
+    a = sorted(map(tuple, qs["rel_q8_market_share"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, df.collect()))
+    assert a == b
