@@ -410,9 +410,20 @@ def _bucketed_fact(
     orderkey aggregate, Q17's partkey aggregate+probe, Q21's three
     orderkey legs, …). Cache key is the sf_dir realpath, so each scale
     factor gets its own copy; re-generate testdata → drop the
-    ``*_b_*`` tables."""
+    ``*_b_*`` tables.
+
+    Robustness: the table is EXTERNAL under the system temp dir, so it
+    works whatever the session's ``spark.sql.warehouse.dir``/CWD is
+    (a driver harness may run from an unwritable directory). The
+    default (non-Hive) catalog is per-session while directories
+    persist, so a stale location is cleared before rewriting — stale
+    data carries no bucketing guarantee. If layout creation fails for
+    ANY environment reason, the query falls back to the plain parquet
+    scan: bucketing is a performance layout, never a correctness
+    dependency."""
     import hashlib
     import os as _os
+    import tempfile
 
     tag = hashlib.md5(
         f"{_os.path.realpath(sf_dir)}|{key}".encode()
@@ -425,20 +436,17 @@ def _bucketed_fact(
             write_bucketed_table,
         )
 
-        # The default (non-Hive) catalog is per-session, but the
-        # managed-table DIRECTORY persists in spark.sql.warehouse.dir —
-        # a fresh session then fails saveAsTable with
-        # LOCATION_ALREADY_EXISTS. A stale location without catalog
-        # metadata carries no bucketing guarantee, so clear and rewrite.
-        warehouse = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        stale = _os.path.join(warehouse, table)
-        if _os.path.isdir(stale):
-            shutil.rmtree(stale, ignore_errors=True)
-        write_bucketed_table(
-            _t(spark, sf_dir, source), table, key, n_buckets
+        loc = _os.path.join(
+            tempfile.gettempdir(), "spark_graft_bucketed", table
         )
+        try:
+            if _os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+            write_bucketed_table(
+                _t(spark, sf_dir, source), table, key, n_buckets, path=loc
+            )
+        except Exception:  # noqa: BLE001 — layout is optional, results aren't
+            return _t(spark, sf_dir, source)
     return spark.table(table)
 
 

@@ -22,13 +22,23 @@ def write_bucketed_table(
     n_buckets: int = 32,
     sort: bool = True,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Save ``df`` as a managed parquet table bucketed (and sorted) by
+    """Save ``df`` as a parquet table bucketed (and sorted) by
     ``key``. Joins/aggregations on ``key`` between tables with the
-    same bucket count then plan without a shuffle."""
+    same bucket count then plan without a shuffle.
+
+    Without ``path`` the table is managed (lives in
+    ``spark.sql.warehouse.dir`` — typically ``./spark-warehouse``,
+    which requires a writable CWD). With ``path`` it is EXTERNAL: the
+    bucketed data lands at ``path`` regardless of warehouse location,
+    the right mode when the session's CWD is not yours (driver
+    harnesses, notebooks)."""
     writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 
