@@ -382,3 +382,31 @@ def test_no_global_sort_in_any_registered_query(spark, sf_dir, qs):
         plan = _plan(fn(spark, sf_dir))
         g = re.findall(r"Sort \[[^\n]*\], true, 0", plan)
         assert not g, f"{name}: global Sort: {g[:2]}"
+
+
+def test_plan_fingerprints_unchanged(spark, sf_dir, qs):
+    """Closed-class plan-regression net: every registered query's
+    physical-plan shape (join strategies, exchange kinds, windows,
+    top-k, Python-eval nodes — counts at sf0.001) must match the
+    committed PLAN_FINGERPRINTS.json. An unintended plan change in ANY
+    query fails here with a named diff; after an INTENTIONAL change,
+    regenerate with `python tools/plan_fingerprints.py` and commit the
+    diff alongside the code."""
+    import json
+    import os
+
+    from tools.plan_fingerprints import FINGERPRINT_FILE, fingerprint
+
+    with open(FINGERPRINT_FILE) as f:
+        committed = json.load(f)
+    assert set(committed) == set(qs), (
+        "registry and PLAN_FINGERPRINTS.json disagree on query names — "
+        "regenerate with tools/plan_fingerprints.py"
+    )
+    bad = {}
+    for name, fn in qs.items():
+        plan = _plan(fn(spark, sf_dir))
+        cur = fingerprint(plan)
+        if cur != committed[name]:
+            bad[name] = {"committed": committed[name], "current": cur}
+    assert not bad, f"plan shape drift in {len(bad)} queries: {bad}"
