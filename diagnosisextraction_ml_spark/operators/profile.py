@@ -598,3 +598,36 @@ def quantile_normalize_by_group(
         .otherwise(F.lit(None).cast("long"))
         .alias("pct_micro"),
     )
+
+
+def observe_qc(
+    df: DataFrame,
+    rules: Mapping[str, Column],
+    name: str = "qc",
+):
+    """Attach single-pass QC counters to ``df`` via ``Dataset.observe``
+    — metrics that ride an action the pipeline ALREADY performs (the
+    sink write, a downstream aggregate) instead of a second scan.
+
+    :func:`check_expectations` is the right tool when profiling IS the
+    job; this is the right tool when profiling must be free: at 100 TB
+    a dedicated expectation pass re-reads the corpus, while an
+    observation folds the same ``sum(case when …)`` counters into the
+    task metrics of whatever job materializes ``df`` — zero extra
+    scans, zero extra shuffles, exact counts.
+
+    ``rules`` maps metric name → boolean Column counting VIOLATIONS
+    (same convention as :func:`check_expectations`). Returns
+    ``(observed_df, observation)``: run any action on ``observed_df``,
+    then ``observation.get`` yields ``{"rows": n, <rule>: violations,
+    …}``. The metrics describe the rows that actually flowed through
+    the observe node — a gate that also certifies delivered volume.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    counters = [F.count(F.lit(1)).alias("rows")] + [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(metric)
+        for metric, cond in rules.items()
+    ]
+    return df.observe(obs, *counters), obs
