@@ -622,6 +622,17 @@ def observe_qc(
     then ``observation.get`` yields ``{"rows": n, <rule>: violations,
     …}``. The metrics describe the rows that actually flowed through
     the observe node — a gate that also certifies delivered volume.
+
+    KNOWN Spark 4.1.2 interaction (repro'd, test-pinned): once any
+    Observation has registered in a session, that session's
+    ``ObservationManager`` is reachable from closures that later
+    RDD-boundary jobs serialize — an MLlib ``fit`` in the SAME session
+    afterwards dies with ``NotSerializableException:
+    ObservationManager`` (plain DataFrame jobs are unaffected). The
+    manager is per-session and has no public unregister, so when a
+    pipeline both observes and trains, run the observation under
+    ``spark.newSession()`` (shares the SparkContext; isolates session
+    state) — verified to keep the training session clean.
     """
     from pyspark.sql import Observation
 

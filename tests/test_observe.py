@@ -1,14 +1,29 @@
-"""observe_qc — QC counters that ride an existing action (no extra scan)."""
+"""observe_qc — QC counters that ride an existing action (no extra scan).
+
+All observations here run in a CHILD session (spark.newSession()):
+Spark 4.1.2's per-session ObservationManager, once it has registered
+any observation, breaks later MLlib fits in the same session with
+NotSerializableException (see observe_qc's docstring — repro'd on this
+box; plain DataFrame jobs are unaffected). The child session shares
+the SparkContext but isolates that state, keeping the suite's shared
+session clean for the ML/e2e tests that follow alphabetically.
+"""
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from diagnosisextraction_ml_spark.operators.profile import observe_qc
 
 
-def test_observe_qc_counts_violations_on_the_write_pass(spark, sf_dir):
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+@pytest.fixture()
+def obs_spark(spark):
+    return spark.newSession()
+
+
+def test_observe_qc_counts_violations_on_the_write_pass(obs_spark, sf_dir):
+    events = obs_spark.read.parquet(f"{sf_dir}/events.parquet")
     observed, obs = observe_qc(
         events,
         {
@@ -29,12 +44,36 @@ def test_observe_qc_counts_violations_on_the_write_pass(spark, sf_dir):
     assert got["nonpositive_value"] == (ded["np"] or 0)
 
 
-def test_observe_qc_reflects_delivered_rows_after_filter(spark, sf_dir):
+def test_observe_qc_reflects_delivered_rows_after_filter(obs_spark, sf_dir):
     """Observation placed AFTER a filter certifies what was delivered,
     not what was scanned."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = obs_spark.read.parquet(f"{sf_dir}/documents.parquet")
     kept = docs.filter(F.length("text") > 100)
     observed, obs = observe_qc(kept, {"null_text": F.col("text").isNull()}, "gate")
     observed.write.format("noop").mode("overwrite").save()
     assert obs.get["rows"] == kept.count()
     assert obs.get["null_text"] == 0
+
+
+def test_observation_session_isolation_keeps_ml_fits_healthy(spark, sf_dir):
+    """Pin the Spark 4.1.2 interaction this file works around: after an
+    observation in a CHILD session, an MLlib fit in the PARENT session
+    must still work (the per-session ObservationManager never enters
+    the parent's closures). If this ever fails, the newSession()
+    guidance in observe_qc's docstring needs rethinking."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    child = spark.newSession()
+    events = child.read.parquet(f"{sf_dir}/events.parquet")
+    observed, obs = observe_qc(events, {"null_user": F.col("user_id").isNull()})
+    observed.write.format("noop").mode("overwrite").save()
+    assert obs.get["rows"] > 0
+
+    df = spark.createDataFrame(
+        [(float(i % 2), float(i), float(2 * i)) for i in range(40)],
+        "label double, x double, y double",
+    )
+    va = VectorAssembler(inputCols=["x", "y"], outputCol="features")
+    model = LogisticRegression(maxIter=2).fit(va.transform(df))
+    assert model.numFeatures == 2
