@@ -82,6 +82,13 @@ HEADLINE = [
     "rel_q18_big_orders_bucketed",
     "rel_q8_market_share_bucketed",
     "rel_pareto_share",
+    # added round 13 — Q21 on the bucketed layout (all three lineitem
+    # legs + the orders semi bucket-local) and the decode-health QC
+    # over the frozen corrupt-media fixture (real from-spec PNG/WAV
+    # decode through mapInPandas); totals before r13 cover 39 queries
+    # (compare like-for-like).
+    "rel_q21_waiting_suppliers_bucketed",
+    "mm_decode_health",
 ]
 
 # Every headline name must exist in the registry — a typo here would

@@ -279,8 +279,11 @@ def minhash_lsh_pairs(
     crawls — drops g²→g (the sf10 decade-map driver for
     dedup_components). Leave ``None`` (default) when the PAIRS
     themselves are the product (per-pair verification, band-overlap
-    counts): a star suppresses non-min pairs, and ``n_bands_shared``
-    then counts only the min-id's edges.
+    counts): a star suppresses non-min pairs, so with ``star_over``
+    set the output's ``n_bands_shared`` is NULL — a partial band count
+    (exact in small buckets, min-id edges only in starred ones) would
+    be two semantics in one column, and NULL makes the column
+    impossible to misread as a similarity signal.
     """
     if k % bands != 0:
         # The fused band construction enumerates exactly `bands` bands of
@@ -362,11 +365,18 @@ def minhash_lsh_pairs(
     else:
         expansion = all_pairs
     pair = F.explode(expansion).alias("p")
-    return (
-        ids.select(pair)
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_bands_shared"))
+    pairs = ids.select(pair).select(F.col("p.id_a"), F.col("p.id_b"))
+    if star_over is not None:
+        # Under star expansion the per-pair band count would mix two
+        # semantics (exact for small buckets, min-id-edges-only for
+        # starred ones) — emit NULL instead of a number downstream code
+        # could misread as a similarity signal. Connectivity consumers
+        # (connected_components / keep_canonical) never look at it.
+        return pairs.distinct().withColumn(
+            "n_bands_shared", F.lit(None).cast("long")
+        )
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n_bands_shared")
     )
 
 

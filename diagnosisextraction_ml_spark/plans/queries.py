@@ -47,41 +47,24 @@ def register(name: str, sql: str | None):
 # full registry is still verified every round by
 # tools/compare_oracle.py (ORACLE_FULL_r*.txt).
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round 12, slots 1-6: new this round — the bucketed-layout Q18 /
-    # Q17 / Q8 variants (orderkey and partkey keys of _bucketed_fact)
-    # and the last three TPC-H shapes (Q21 double self-join, Q20
-    # nested-aggregate semi, Q11 HAVING-vs-global-fraction); first
-    # driver rows on first appearance.
+    # Round 13, slots 1-2: new this round — Q21 on the bucketed layout
+    # (all three lineitem legs + the orders semi bucket-local) and the
+    # decode-health QC over the frozen mixed-corruption media fixture;
+    # first driver rows on first appearance.
+    "rel_q21_waiting_suppliers_bucketed", "mm_decode_health",
+    # Slots 3-7: plan or lifecycle changed this round — the bucketed
+    # variants' layout registration moved to staging+atomic-rename with
+    # external-DDL re-registration (scan node source changed), and the
+    # star_over output now NULLs n_bands_shared (distinct instead of
+    # count in dedup_components / pipeline_dedup_canonical's candidate
+    # stage) — re-hash immediately after the change.
     "rel_q18_big_orders_bucketed", "rel_q17_small_qty_revenue_bucketed",
-    "rel_q8_market_share_bucketed", "rel_q21_waiting_suppliers",
-    "rel_q20_dominant_suppliers", "rel_q11_important_parts",
-    # Slots 7-11: plan or pair-generation changed this round (Q15
-    # scalar-max argmax, Q8 join order, pareto bucketed cumsum,
-    # star_over candidate edges) — re-hash immediately after the change.
-    "rel_q15_top_supplier", "rel_q8_market_share", "rel_pareto_share",
-    "dedup_components", "pipeline_dedup_canonical",
-    # Slots 12-28: the 17 queries that overflowed round 11's 50-row
-    # gate — their last driver rows date to round 7, the stalest in
-    # the ledger.
-    "rel_value_counts", "sim_bruteforce_topk", "sim_ivf_assign",
-    "sim_lsh_topk", "sim_pairwise_topk", "stream_hourly_counts",
-    "stream_sessionized_counts", "text_chunk_documents",
-    "text_clean_pipeline", "text_lexical_dispersion", "text_redacted",
-    "text_token_stats", "text_top_words", "text_word_match",
-    "win_range_1hour", "win_running_total", "win_topn_per_group",
-    # Slots 29-50: the next-stalest tier — last green round 8, in
-    # ledger order; the 18 round-8 rows that don't fit this gate lead
-    # the round-13 rotation.
-    "ab_funnel_conversion", "assoc_rules_pairs", "bpe_token_stats",
-    "bpe_vocab_threshold_cut", "dedup_cross_source_matrix",
-    "dedup_span_intervals", "dedup_span_removal", "er_blocked_pairs",
-    "eval_auc_bootstrap_ci", "eval_auc_by_group", "eval_calibration_bins",
-    "eval_ece", "eval_kappa_mcc", "eval_ndcg_rrf", "events_bounce_rate",
-    "events_kaplan_meier", "events_rolling_active", "events_top_paths",
-    "graph_hits_top", "graph_pagerank_top", "graph_triangle_count",
-    "join_bloom_semi", "pipeline_ccnet_buckets", "prep_temperature_mixture",
-    # Slots 51+ (overflow into round 13's gate): rest of the round-8
-    # tier.
+    "rel_q8_market_share_bucketed", "dedup_components",
+    "pipeline_dedup_canonical",
+    # Slots 8-25: the round-8-stale tier — the 18 rows whose last
+    # driver green dates to CORRECTNESS_r08 (the two round-12 overflow
+    # rows first, then the r12 slot-51+ queue in its posted order).
+    "pipeline_ccnet_buckets", "prep_temperature_mixture",
     "qc_ks_drift", "qc_psi_drift", "qc_woe_iv", "rel_rfm_segments",
     "sketch_bloom_probe", "sketch_bottomk_distinct",
     "sketch_cms_heavy_hitters", "sketch_hll_distinct",
@@ -89,6 +72,28 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "sketch_logbin_quantiles", "text_hapax_profile",
     "text_token_entropy", "ts_gapfill_locf", "ts_twa_hourly",
     "vocab_coverage_curve",
+    # Slots 26-50: the round-9-stale tier (first 25 of 40, name
+    # order); the remaining 15 lead the round-14 rotation.
+    "decontam_ngram_overlap", "dedup_boilerplate_sentences",
+    "dedup_incremental_batch", "dedup_prefix_jaccard_pairs",
+    "dedup_semantic", "doc_token_commonness", "emb_quantize_int8",
+    "events_cohort_retention", "events_funnel_conversion",
+    "events_funnel_latency", "events_props_json", "filter_c4_lines",
+    "filter_gopher_rules", "pack_greedy_sequences",
+    "pipeline_corpus_gate", "pipeline_search_rerank",
+    "pipeline_text_semdedup", "prep_mixture_resample",
+    "prep_stratified_sample", "prep_weighted_sample_es",
+    "qc_expectations_orders", "qc_key_skew_events",
+    "qc_profile_documents", "qc_table_checksum", "rel_grouping_sets",
+    # Slots 51+ (overflow into round 14's gate): rest of the round-9
+    # tier.
+    "rel_pivot_event_counts", "rel_unpivot_part_attrs",
+    "rollup_incremental_hourly", "scd2_order_priority",
+    "stream_cusum_state", "stream_hourly_distinct",
+    "text_kl_divergence", "text_mojibake_fixed", "text_nfc_normalized",
+    "text_zipf_slope", "ts_anomaly_hourly", "ts_trend_ols",
+    "upsert_latest_state", "upsert_snapshot_diff",
+    "zorder_morton_codes",
 )
 
 
@@ -398,56 +403,123 @@ def rel_q18_big_orders(spark, sf_dir):
     )
 
 
+def _bucketed_base_dir() -> str:
+    """Per-user layout root (mode 0700) under the system temp dir.
+
+    Scoped by username so two users on one host can't pre-create or
+    collide on each other's layout paths; 0700 so the published parquet
+    is private. Kept under tempdir (not the repo) because the layout is
+    a cache — disposable, machine-local, never versioned."""
+    import getpass
+    import os as _os
+    import tempfile
+
+    d = _os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bucketed_{getpass.getuser()}"
+    )
+    _os.makedirs(d, mode=0o700, exist_ok=True)
+    return d
+
+
+def _publish_bucketed_layout(
+    spark, sf_dir: str, source: str, key: str, n_buckets: int, loc: str
+) -> None:
+    """Write the bucketed copy into a process-unique staging directory,
+    then publish with one atomic ``os.rename``. Concurrent builders
+    (a driver gate and a judge rerun on the same sf_dir) each stage
+    privately; exactly one rename wins, the loser discards its staging
+    and reads the winner's identical data — no reader can ever observe
+    a half-written or mid-``rmtree`` layout at ``loc``."""
+    import os as _os
+    import shutil
+
+    from diagnosisextraction_ml_spark.sources.bucketed import (
+        write_bucketed_table,
+    )
+
+    stage = f"{loc}.stage.{_os.getpid()}"
+    stage_table = f"{_os.path.basename(loc)}__stage_{_os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {stage_table}")
+    try:
+        write_bucketed_table(
+            _t(spark, sf_dir, source), stage_table, key, n_buckets, path=stage
+        )
+    finally:
+        # External table: dropping the catalog entry keeps the files.
+        spark.sql(f"DROP TABLE IF EXISTS {stage_table}")
+    try:
+        _os.rename(stage, loc)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+        if not _os.path.isdir(loc):  # not a lost race — a real failure
+            raise
+
+
 def _bucketed_fact(
     spark, sf_dir: str, source: str, key: str, n_buckets: int = 32
 ):
     """A copy of fact table ``source`` bucketed (and sorted) by
-    ``key``, written once per (sf_dir, source, key) and reused — the
-    pay-the-shuffle-once layout (sources/bucketed.py). At 100 TB this
-    is the warehouse move: every groupBy/join on ``key`` over the
-    bucketed copy plans with NO Exchange on the fact side, amortizing
-    one write across every query keyed the same way (Q18's
+    ``key``, written once per (sf_dir, source, key, n_buckets) and
+    reused — the pay-the-shuffle-once layout (sources/bucketed.py). At
+    100 TB this is the warehouse move: every groupBy/join on ``key``
+    over the bucketed copy plans with NO Exchange on the fact side,
+    amortizing one write across every query keyed the same way (Q18's
     orderkey aggregate, Q17's partkey aggregate+probe, Q21's three
-    orderkey legs, …). Cache key is the sf_dir realpath, so each scale
-    factor gets its own copy; re-generate testdata → drop the
-    ``*_b_*`` tables.
+    orderkey legs, …). The cache tag hashes the sf_dir realpath AND the
+    bucket count, so each scale factor / bucket count gets its own
+    table — two tables meant to co-bucket-join must simply ask for the
+    same ``n_buckets``. Re-generate testdata → drop the ``*_b_*``
+    layout dirs.
 
-    Robustness: the table is EXTERNAL under the system temp dir, so it
-    works whatever the session's ``spark.sql.warehouse.dir``/CWD is
-    (a driver harness may run from an unwritable directory). The
-    default (non-Hive) catalog is per-session while directories
-    persist, so a stale location is cleared before rewriting — stale
-    data carries no bucketing guarantee. If layout creation fails for
-    ANY environment reason, the query falls back to the plain parquet
-    scan: bucketing is a performance layout, never a correctness
-    dependency."""
+    Robustness (all paths end in a correct answer — bucketing is a
+    performance layout, never a correctness dependency):
+
+    - The data is EXTERNAL under a per-user 0700 temp dir
+      (:func:`_bucketed_base_dir`), so it works whatever the session's
+      ``spark.sql.warehouse.dir``/CWD is, and multi-user hosts can't
+      collide on a shared predictable path.
+    - Publication is write-to-staging + atomic rename
+      (:func:`_publish_bucketed_layout`): concurrent sessions racing
+      to build the same layout each stage privately and at most one
+      rename lands; nobody reads a half-built directory.
+    - The catalog entry is re-derived from the on-disk layout: if the
+      directory exists (this process or another already published it)
+      the table is (re)registered over it with the bucket spec DDL; if
+      the catalog has the table but a tmp cleaner removed the data,
+      the check below notices and rebuilds instead of failing at scan.
+    - Any failure anywhere falls back to the plain parquet scan."""
     import hashlib
     import os as _os
-    import tempfile
 
     tag = hashlib.md5(
-        f"{_os.path.realpath(sf_dir)}|{key}".encode()
+        f"{_os.path.realpath(sf_dir)}|{key}|{n_buckets}".encode()
     ).hexdigest()[:10]
     table = f"{source}_b_{tag}"
-    if not spark.catalog.tableExists(table):
-        import shutil
-
-        from diagnosisextraction_ml_spark.sources.bucketed import (
-            write_bucketed_table,
+    try:
+        loc = _os.path.join(_bucketed_base_dir(), table)
+        if spark.catalog.tableExists(table) and _os.path.isdir(loc):
+            return spark.table(table)
+        if not _os.path.isdir(loc):
+            _publish_bucketed_layout(spark, sf_dir, source, key, n_buckets, loc)
+        # Register (or refresh) the external bucketed table over the
+        # published directory. The bucket spec lives in the catalog;
+        # the files carry their bucket ids in their names, so a table
+        # created over an already-published layout scans bucket-local
+        # exactly like the original saveAsTable registration.
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in _t(spark, sf_dir, source).schema.fields
         )
-
-        loc = _os.path.join(
-            tempfile.gettempdir(), "spark_graft_bucketed", table
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING PARQUET "
+            f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
         )
-        try:
-            if _os.path.isdir(loc):
-                shutil.rmtree(loc, ignore_errors=True)
-            write_bucketed_table(
-                _t(spark, sf_dir, source), table, key, n_buckets, path=loc
-            )
-        except Exception:  # noqa: BLE001 — layout is optional, results aren't
-            return _t(spark, sf_dir, source)
-    return spark.table(table)
+        return spark.table(table)
+    except Exception:  # noqa: BLE001 — layout is optional, results aren't
+        return _t(spark, sf_dir, source)
 
 
 def _bucketed_lineitem(spark, sf_dir: str, n_buckets: int = 32):
@@ -1314,6 +1386,85 @@ def rel_q21_waiting_suppliers(spark, sf_dir):
     )
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"]
+    )
+    return (
+        l1.join(
+            l2,
+            (l1["l_orderkey"] == F.col("__ok2"))
+            & (l1["l_suppkey"] != F.col("__sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1["l_orderkey"] == F.col("__ok3"))
+            & (l1["l_suppkey"] != F.col("__sk3")),
+            "left_anti",
+        )
+        .join(o, l1["l_orderkey"] == o["o_orderkey"], "left_semi")
+        .join(F.broadcast(s), l1["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "rel_q21_waiting_suppliers_bucketed",
+    """
+    SELECT s.s_name AS s_name, count(*) AS numwait
+    FROM lineitem l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
+    """,
+)
+def rel_q21_waiting_suppliers_bucketed(spark, sf_dir):
+    """Q21 on the bucketed layout — the shape that wants it most.
+
+    The plain plan (:func:`rel_q21_waiting_suppliers`) is correct but
+    pays THREE lineitem-sized l_orderkey exchanges (each side of the
+    driving⋈EXISTS and ⋈NOT-EXISTS sort-merge joins shuffles) plus an
+    orders-sized one for the status semi. Here all three lineitem legs
+    read ONE orderkey-bucketed copy (:func:`_bucketed_lineitem` —
+    shared with Q18/Q8, so the layout write is amortized across four
+    queries) and orders reads an o_orderkey-bucketed copy at the same
+    bucket count, so every l_orderkey join in the plan is bucket-local:
+    zero fact-side Exchange (plan-asserted in tests/test_bucketed.py).
+    The only shuffles left are the tiny s_name aggregate and the
+    broadcast of the nation-filtered supplier dim. Join logic,
+    residuals, and tie-breaks are identical to the plain variant
+    (equality test) — only the physical layout differs.
+    """
+    li = _bucketed_lineitem(spark, sf_dir)
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("__ok3"), F.col("l_suppkey").alias("__sk3")
+    )
+    o = (
+        _bucketed_fact(spark, sf_dir, "orders", "o_orderkey")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
     )
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     s = _t(spark, sf_dir, "supplier").join(

@@ -1474,6 +1474,74 @@ register(
 )(_mm_features)
 
 
+def _mm_fixture_path() -> str:
+    """The frozen mixed-corruption media fixture (committed;
+    regenerate with tools/gen_mm_fixture.py)."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "mm_corrupt_fixture.parquet",
+    )
+
+
+def _mm_decode_health(spark, sf_dir):
+    """Decode-health QC over the frozen mixed-corruption corpus: run
+    the REAL from-spec codecs (PNG/WAV via the magic-byte sniffing
+    decoder) distributed through mapInPandas, classify each row's
+    outcome, and score it against the ground truth recorded at fixture
+    generation time. This turns the documented external-library decode
+    boundary (JPEG/video → NotImplementedError) into a measured,
+    monitorable quantity: per corruption mode, how many rows decoded,
+    how many quarantined, and under which fault class — exactly the
+    health dashboard a 100 TB multimodal ingest runs on its sink pass.
+
+    The oracle groups the SAME fixture by the recorded
+    ``expected_error_class``, so any drift between the distributed
+    decode path and the generation-time outcome (codec change, fault
+    class reshuffle, a lost row) is a hash mismatch, not a silent
+    skew. sf-independent by design (the corpus is the fixture), like
+    any frozen-golden check."""
+    from diagnosisextraction_ml_spark.operators import multimodal as mm
+
+    fx = spark.read.parquet(_mm_fixture_path())
+    feats = mm.extract_features_robust(
+        fx.select("asset_id", "payload"), decoder=mm.sniffing_decoder
+    )
+    classed = feats.select(
+        "asset_id",
+        F.when(F.col("decode_error").isNull(), F.lit(None).cast("string"))
+        .when(F.col("decode_error") == "null payload", F.lit("null payload"))
+        .otherwise(F.split(F.col("decode_error"), ": ", 2)[0])
+        .alias("err_class"),
+        (F.col("feature").isNotNull()).cast("int").alias("decoded"),
+    )
+    return (
+        fx.select("asset_id", "mode")
+        .join(classed, "asset_id")
+        .groupBy("mode", "err_class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("decoded").alias("n_decoded"),
+        )
+    )
+
+
+register(
+    "mm_decode_health",
+    f"""
+    SELECT mode,
+           expected_error_class AS err_class,
+           count(*) AS n,
+           CAST(sum(CASE WHEN expected_error_class IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_decoded
+    FROM read_parquet('{_mm_fixture_path()}')
+    GROUP BY 1, 2
+    """,
+)(_mm_decode_health)
+
+
 def _pipeline_llm_prep(spark, sf_dir):
     """Composed LLM-training-data prep: quality gate → exact dedup →
     chunking → per-chunk stats. One lazy plan end-to-end: the quality

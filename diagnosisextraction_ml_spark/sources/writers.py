@@ -153,7 +153,8 @@ def write_training_shards(
     sort_within: bool = True,
     mode: str = "overwrite",
     compression: str | None = None,
-) -> int:
+    qc_rules=None,
+) -> int | tuple[int, dict]:
     """Deterministically sharded corpus sink for training-data exports.
 
     The output side of the 100 TB story: naive ``df.write`` inherits
@@ -182,6 +183,21 @@ def write_training_shards(
     ``n_shards`` from a known corpus size instead). ``fmt="json"``
     writes JSONL, the common training-corpus interchange format.
     Returns the shard count.
+
+    ``qc_rules`` (optional, mapping metric name → boolean violation
+    Column, the :func:`~diagnosisextraction_ml_spark.operators.profile.
+    check_expectations` convention) rides QC counters on the write
+    itself via ``Dataset.observe`` — the sink IS the action the
+    pipeline already performs, so delivered volume and violation
+    counts are certified with ZERO extra scans (at 100 TB a follow-up
+    validation pass re-reads everything you just wrote). With rules
+    the return becomes ``(n_shards, metrics)`` where ``metrics`` is
+    ``{"rows": delivered, <rule>: violations, …}`` — ``rows`` counts
+    exactly what flowed into the files, so a gate can assert both
+    quality and volume. Mind observe_qc's documented Spark 4.1.2
+    caveat: a session that has observed must not later run MLlib fits;
+    export from a ``spark.newSession()`` when the pipeline also
+    trains.
     """
     from diagnosisextraction_ml_spark.functions.hashing import md5_hash64
 
@@ -208,6 +224,11 @@ def write_training_shards(
             if f.name != key_col and _orderable(f.dataType)
         ]
         out = out.sortWithinPartitions("shard", key_col, *sortable)
+    obs = None
+    if qc_rules is not None:
+        from diagnosisextraction_ml_spark.operators.profile import observe_qc
+
+        out, obs = observe_qc(out, qc_rules, name="shard_qc")
     writer = out.write.mode(mode).partitionBy("shard")
     if compression:
         writer = writer.option("compression", compression)
@@ -219,4 +240,6 @@ def write_training_shards(
         writer.option("header", True).csv(path)
     else:
         raise ValueError(f"unsupported fmt {fmt!r}")
+    if obs is not None:
+        return n_shards, dict(obs.get)
     return n_shards

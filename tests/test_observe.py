@@ -77,3 +77,44 @@ def test_observation_session_isolation_keeps_ml_fits_healthy(spark, sf_dir):
     va = VectorAssembler(inputCols=["x", "y"], outputCol="features")
     model = LogisticRegression(maxIter=2).fit(va.transform(df))
     assert model.numFeatures == 2
+
+
+def test_write_training_shards_with_qc_rules_certifies_the_write(
+    obs_spark, sf_dir, tmp_path
+):
+    """qc_rules on write_training_shards: the observed counters must
+    equal an independent recount of the files actually written — the
+    QC rode the sink action itself, no second scan of the source."""
+    import pyspark.sql.functions as F
+
+    from diagnosisextraction_ml_spark.sources.writers import (
+        write_training_shards,
+    )
+
+    docs = obs_spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "shards")
+    n, metrics = write_training_shards(
+        docs,
+        out,
+        "doc_id",
+        n_shards=5,
+        qc_rules={
+            "short_text": F.length("text") < 20,
+            "null_lang": F.col("lang").isNull(),
+        },
+    )
+    assert n == 5
+    written = obs_spark.read.parquet(out)
+    recount = written.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum((F.length("text") < 20).cast("long")).alias("short_text"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("null_lang"),
+    ).collect()[0]
+    assert metrics["rows"] == recount["rows"]
+    assert metrics["short_text"] == (recount["short_text"] or 0)
+    assert metrics["null_lang"] == (recount["null_lang"] or 0)
+    # without rules the return type is unchanged (int)
+    n2 = write_training_shards(docs, str(tmp_path / "s2"), "doc_id", n_shards=3)
+    assert n2 == 3
