@@ -83,12 +83,13 @@ HEADLINE = [
     "rel_q8_market_share_bucketed",
     "rel_pareto_share",
     # added round 13 — Q21 on the bucketed layout (all three lineitem
-    # legs + the orders semi bucket-local) and the decode-health QC
-    # over the frozen corrupt-media fixture (real from-spec PNG/WAV
-    # decode through mapInPandas); totals before r13 cover 39 queries
-    # (compare like-for-like).
+    # legs + the orders semi bucket-local); totals before r13 cover 39
+    # queries (compare like-for-like). mm_decode_health is registry/
+    # oracle-gated but deliberately NOT headline: Spark decodes 300
+    # real PNG/WAV payloads while its DuckDB twin only groups the
+    # precomputed ground-truth column — a ~100× apples-to-oranges row
+    # that would distort the anchored ratio without measuring any plan.
     "rel_q21_waiting_suppliers_bucketed",
-    "mm_decode_health",
 ]
 
 # Every headline name must exist in the registry — a typo here would
@@ -147,20 +148,30 @@ def main() -> int:
     # Fault isolation: one broken query must never cost the round its
     # timings — time what runs, record what errored, always print the
     # JSON line.
+    #
+    # min-of-2 (round 13+): single-pass totals rode host weather —
+    # the r12/r13 anchored ratios swung ±20% purely on one noisy run
+    # of one query. Two timed passes, min per query, is the standard
+    # steady-state estimator; the DuckDB anchor below gets the same
+    # treatment so the ratio compares mins to mins. Totals before r13
+    # are single-pass (compare like-for-like across rounds).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001 — harness boundary
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            continue
-        timings[name] = round(time.time() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = qs.get(name)
+            if fn is None or name in errors:
+                continue
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — harness boundary
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                continue
+            wall = round(time.time() - t0, 3)
+            if name not in timings or wall < timings[name]:
+                timings[name] = wall
 
     total = round(sum(timings.values()), 3)
     out = {

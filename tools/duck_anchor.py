@@ -32,13 +32,17 @@ TABLES = [
 
 
 def run_anchor(
-    sf_dir: str, names: list[str], threads: int | None = None, verbose: bool = False
+    sf_dir: str, names: list[str], threads: int | None = None,
+    verbose: bool = False, repeats: int = 2,
 ) -> dict:
     """Time each named query's oracle SQL on DuckDB over the sf_dir
     parquet. Returns {"total", "queries", "skipped", "errors"} —
     callable in-process (bench.py embeds a same-session anchor in its
     artifact so every BENCH_r*.json self-normalizes against host
-    weather) or from this file's CLI."""
+    weather) or from this file's CLI. ``repeats``: min-of-N per query
+    (default 2, matching bench.py's Spark side from round 13 — a
+    single pass of the doc_stats twin alone swung the anchor total
+    ±30% with host weather)."""
     import duckdb
 
     con = duckdb.connect()
@@ -57,20 +61,26 @@ def run_anchor(
     timings: dict[str, float] = {}
     skipped: list[str] = []
     errors: dict[str, str] = {}
-    for name in names:
-        sql = oracles.get(name)
-        if sql is None:
-            skipped.append(name)
-            continue
-        t0 = time.time()
-        try:
-            con.execute(sql).fetchall()
-        except Exception as exc:  # noqa: BLE001 — harness boundary
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            continue
-        timings[name] = round(time.time() - t0, 3)
-        if verbose:
-            print(json.dumps({"query": name, "sec": timings[name]}), flush=True)
+    for _pass in range(max(1, repeats)):
+        for name in names:
+            sql = oracles.get(name)
+            if sql is None:
+                if _pass == 0:
+                    skipped.append(name)
+                continue
+            if name in errors:
+                continue
+            t0 = time.time()
+            try:
+                con.execute(sql).fetchall()
+            except Exception as exc:  # noqa: BLE001 — harness boundary
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                continue
+            wall = round(time.time() - t0, 3)
+            if name not in timings or wall < timings[name]:
+                timings[name] = wall
+            if verbose:
+                print(json.dumps({"query": name, "pass": _pass, "sec": wall}), flush=True)
     return {
         "total": round(sum(timings.values()), 3),
         "queries": timings,
