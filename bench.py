@@ -90,6 +90,8 @@ HEADLINE = [
     # precomputed ground-truth column — a ~100× apples-to-oranges row
     # that would distort the anchored ratio without measuring any plan.
     "rel_q21_waiting_suppliers_bucketed",
+    "rel_q20_dominant_suppliers_bucketed",
+    "qc_split_leakage",
 ]
 
 # Every headline name must exist in the registry — a typo here would

@@ -47,11 +47,15 @@ def register(name: str, sql: str | None):
 # full registry is still verified every round by
 # tools/compare_oracle.py (ORACLE_FULL_r*.txt).
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round 13, slots 1-2: new this round — Q21 on the bucketed layout
-    # (all three lineitem legs + the orders semi bucket-local) and the
-    # decode-health QC over the frozen mixed-corruption media fixture;
-    # first driver rows on first appearance.
-    "rel_q21_waiting_suppliers_bucketed", "mm_decode_health",
+    # Round 13, slots 1-4: new this round — Q21 on the bucketed layout
+    # (all three lineitem legs + the orders semi bucket-local), Q20 on
+    # Q17's partkey layout (subset-clustering satisfies the two-key
+    # aggregate), the decode-health QC over the frozen mixed-corruption
+    # media fixture, and the fold-pair split-leakage matrix; first
+    # driver rows on first appearance.
+    "rel_q21_waiting_suppliers_bucketed",
+    "rel_q20_dominant_suppliers_bucketed",
+    "mm_decode_health", "qc_split_leakage",
     # Slots 3-7: plan or lifecycle changed this round — the bucketed
     # variants' layout registration moved to staging+atomic-rename with
     # external-DDL re-registration (scan node source changed), and the
@@ -1537,6 +1541,74 @@ def rel_q20_dominant_suppliers(spark, sf_dir):
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%")).select(
+        "p_partkey"
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"]
+    )
+    ship = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        ship.join(F.broadcast(p), ship["l_partkey"] == p["p_partkey"], "left_semi")
+        .withColumn("part_qty", F.sum("qty").over(w))
+        .filter(F.lit(2) * F.col("qty") > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(
+        dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi"
+    ).select("s_name", "s_suppkey", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+
+
+@register(
+    "rel_q20_dominant_suppliers_bucketed",
+    """
+    WITH ship AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2),
+    dominant AS (
+      SELECT DISTINCT ship.l_suppkey
+      FROM ship
+        JOIN (SELECT l_partkey, sum(qty) AS part_qty
+              FROM ship GROUP BY 1) tot
+          ON tot.l_partkey = ship.l_partkey
+        JOIN part p ON p.p_partkey = ship.l_partkey
+          AND p.p_name LIKE '%a%'
+      WHERE 2 * ship.qty > tot.part_qty)
+    SELECT s.s_name, s.s_suppkey, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+        AND n.n_name = 'NATION_3'
+    WHERE EXISTS (SELECT 1 FROM dominant d WHERE d.l_suppkey = s.s_suppkey)
+    """,
+)
+def rel_q20_dominant_suppliers_bucketed(spark, sf_dir):
+    """Q20 on the partkey-bucketed layout — a free rider on Q17's
+    layout: the big (l_partkey, l_suppkey) aggregate's required
+    clustering is SATISFIED by hash-partitioning on l_partkey alone
+    (every row of a (part, supplier) group shares the part key), so
+    the same bucketed copy Q17 wrote serves Q20's fact aggregate AND
+    the per-part window bound with zero fact-side Exchange — this is
+    the amortization argument for layout at 100 TB: one write, every
+    partkey-clustered shape (aggregate, window, join) rides it. The
+    date filter prunes at the scan as usual (bucketing does not cost
+    pushdown). Logic identical to :func:`rel_q20_dominant_suppliers`
+    (equality via shared oracle); only the physical layout differs.
+    """
+    from pyspark.sql import Window
+
+    li = _bucketed_fact(spark, sf_dir, "lineitem", "l_partkey").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )

@@ -685,6 +685,61 @@ register("dedup_components", _components_sql())(
 )
 
 
+def _qc_split_leakage(spark, sf_dir):
+    """Train/val split-leakage check — the contamination question a
+    training-data pipeline must answer BEFORE a model sees the splits:
+    how many near-duplicate pairs straddle a fold boundary? (A doc in
+    train with its near-copy in validation silently inflates every
+    metric; benchmark decontamination — decontam_* — covers external
+    eval sets, this covers the pipeline's OWN splits.)
+
+    Composition of two already-verified primitives, deliberately with
+    NO new join: fold membership uses the same md5 convention as
+    prep.assign_folds (md5(key‖'§'‖round) % n_folds) applied as a pure
+    expression to BOTH endpoint columns of the LSH candidate pairs —
+    at 100 TB the fold map never materializes and nothing joins; the
+    check rides the dedup pass the pipeline already runs. Output: one
+    row per unordered fold pair with its leaky-pair count — the
+    train/test contamination matrix.
+    """
+    pairs = dedup.minhash_lsh_pairs(
+        _dup_union(spark, sf_dir), "text", "doc_id", shingle_n=3, k=16, bands=4
+    )
+
+    def fold(col):
+        return (
+            md5_hash64(F.concat(col.cast("string"), F.lit("§"), F.lit("0"))) % 5
+        ).cast("int")
+
+    fa, fb = fold(F.col("id_a")), fold(F.col("id_b"))
+    return (
+        pairs.select(
+            F.least(fa, fb).alias("fold_lo"), F.greatest(fa, fb).alias("fold_hi")
+        )
+        .filter(F.col("fold_lo") != F.col("fold_hi"))
+        .groupBy("fold_lo", "fold_hi")
+        .agg(F.count(F.lit(1)).alias("n_leaky_pairs"))
+    )
+
+
+register(
+    "qc_split_leakage",
+    f"""
+    WITH edges AS ({_lsh_band_pairs_sql(k=16, bands=4)}),
+    f AS (SELECT
+            CAST({md5_hash64_sql("concat(CAST(id_a AS VARCHAR), '§', '0')")} % 5 AS INT) AS fold_a,
+            CAST({md5_hash64_sql("concat(CAST(id_b AS VARCHAR), '§', '0')")} % 5 AS INT) AS fold_b
+          FROM edges)
+    SELECT CAST(least(fold_a, fold_b) AS INT) AS fold_lo,
+           CAST(greatest(fold_a, fold_b) AS INT) AS fold_hi,
+           count(*) AS n_leaky_pairs
+    FROM f
+    WHERE fold_a <> fold_b
+    GROUP BY 1, 2
+    """,
+)(_qc_split_leakage)
+
+
 def _pipeline_dedup_canonical(spark, sf_dir):
     """End-to-end near-dup removal: LSH pairs → connected components →
     keep one canonical doc per cluster (singletons survive)."""

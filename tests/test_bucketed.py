@@ -130,6 +130,27 @@ def test_q21_bucketed_no_fact_exchange(spark, sf_dir):
     assert a == b
 
 
+def test_q20_bucketed_no_fact_exchange(spark, sf_dir):
+    """rel_q20_dominant_suppliers_bucketed: hash-partitioning on
+    l_partkey alone satisfies the (l_partkey, l_suppkey) aggregate's
+    required clustering AND the per-part window, so Q17's partkey
+    layout serves Q20 with zero fact-side Exchange."""
+    from diagnosisextraction_ml_spark.plans.queries import queries
+
+    qs = queries()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = qs["rel_q20_dominant_suppliers_bucketed"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning(l_partkey") == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    a = sorted(map(tuple, qs["rel_q20_dominant_suppliers"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, df.collect()))
+    assert a == b
+
+
 def _bucketed_loc(sf_dir: str, source: str, key: str, n_buckets: int) -> str:
     import hashlib
     import os
@@ -237,6 +258,7 @@ def test_bucketed_variants_no_fact_exchange_at_sf01(spark):
         "rel_q17_small_qty_revenue_bucketed": ["l_partkey"],
         "rel_q8_market_share_bucketed": ["l_orderkey"],
         "rel_q21_waiting_suppliers_bucketed": ["l_orderkey", "o_orderkey"],
+        "rel_q20_dominant_suppliers_bucketed": ["l_partkey"],
     }.items():
         plan = (
             qs[name](spark, sf01)._jdf.queryExecution().executedPlan().toString()
