@@ -92,6 +92,7 @@ HEADLINE = [
     "rel_q21_waiting_suppliers_bucketed",
     "rel_q20_dominant_suppliers_bucketed",
     "qc_split_leakage",
+    "corpus_source_report",
 ]
 
 # Every headline name must exist in the registry — a typo here would

@@ -146,14 +146,12 @@ def _gram_col(text_col: str, n: int):
 def _fan_out(df: DataFrame) -> DataFrame:
     """Shingling runs at the INPUT's parallelism, so a narrow source
     (a 1-2 partition single-file scan) would pin the tokenize+zip+
-    concat CPU to 1-2 cores; fan out round-robin when the input is
-    narrower than the session parallelism (no-op for wide scans — the
-    100 TB case — and for shuffle-produced inputs, which already
-    arrive at spark.sql.shuffle.partitions)."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
-    return df
+    concat CPU to 1-2 cores; see functions.partitioning.fan_out (the
+    shared helper — no-op for wide scans, the 100 TB case, and for
+    shuffle-produced inputs)."""
+    from diagnosisextraction_ml_spark.functions.partitioning import fan_out
+
+    return fan_out(df)
 
 
 def shingle_arrays(

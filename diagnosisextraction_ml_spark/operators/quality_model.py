@@ -50,7 +50,13 @@ DEFAULT_BUCKETS = 4096
 def _token_buckets(
     df: DataFrame, text_col: str, id_col: str, n_buckets: int, extra: list[str] | None = None
 ) -> DataFrame:
-    """(id, [extra cols], bucket) — one row per whitespace token."""
+    """(id, [extra cols], bucket) — one row per whitespace token.
+
+    Not fanned out (cf. document_stats vs top_k_words): the consumers
+    aggregate immediately on bucket/id, and an A/B at sf0.1 measured
+    the wider partial-aggregate shuffle canceling the tokenize
+    parallelism (4.14s narrow vs 4.07s fanned — a wash, not worth the
+    extra Exchange in every plan)."""
     toks = F.explode(
         F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
     ).alias("token")

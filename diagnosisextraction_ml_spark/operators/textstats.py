@@ -149,11 +149,17 @@ def document_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     that is referenced more than once (``__toks`` feeds four stats,
     ``__sw``/``__punct`` feed two each) instead of inlining it, so the
     physical plan evaluates each shared expression a single time while
-    the three Projects still fuse into one WholeStageCodegen span with
-    zero Exchanges (asserted in tests/test_plans.py).
+    the three Projects still fuse into one WholeStageCodegen span
+    (asserted in tests/test_plans.py). A narrow input is first
+    round-robined up to session parallelism (functions.partitioning.
+    fan_out — the per-doc tokenize/regex CPU must not pin to a
+    single-file scan's 1-2 cores; no-op on wide scans, i.e. at scale),
+    so the only Exchange the plan may contain is that fan-out.
     """
+    from diagnosisextraction_ml_spark.functions.partitioning import fan_out
+
     c = F.col(text_col)
-    with_toks = df.select(
+    with_toks = fan_out(df).select(
         F.col(id_col), c.alias("__text"), ws_tokens(c).alias("__toks")
     )
     t, toks = F.col("__text"), F.col("__toks")
@@ -267,6 +273,11 @@ def top_k_words(
     (partition, word) — Zipf-small — and the final top-k is a
     TakeOrdered, not a full sort.
     """
+    # Deliberately NOT fanned out (cf. document_stats): this shape is
+    # aggregation-dominated, and widening a narrow input 32× also
+    # multiplies the map-side partial-aggregate rows per word by 32 —
+    # measured A/B (sf0.1, narrow 1.47s vs fanned 2.30s): the bigger
+    # partial shuffle costs more than the tokenize parallelism buys.
     c = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     toks = F.explode(F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")).alias("word")
     words = df.select(toks)

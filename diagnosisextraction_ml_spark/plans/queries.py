@@ -55,7 +55,7 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # driver rows on first appearance.
     "rel_q21_waiting_suppliers_bucketed",
     "rel_q20_dominant_suppliers_bucketed",
-    "mm_decode_health", "qc_split_leakage",
+    "mm_decode_health", "qc_split_leakage", "corpus_source_report",
     # Slots 3-7: plan or lifecycle changed this round — the bucketed
     # variants' layout registration moved to staging+atomic-rename with
     # external-DDL re-registration (scan node source changed), and the
@@ -65,6 +65,9 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "rel_q18_big_orders_bucketed", "rel_q17_small_qty_revenue_bucketed",
     "rel_q8_market_share_bucketed", "dedup_components",
     "pipeline_dedup_canonical",
+    # (also plan-changed: doc_stats gained the narrow-scan fan-out
+    # exchange — values identical, re-hash anyway)
+    "doc_stats",
     # Slots 8-25: the round-8-stale tier — the 18 rows whose last
     # driver green dates to CORRECTNESS_r08 (the two round-12 overflow
     # rows first, then the r12 slot-51+ queue in its posted order).

@@ -685,6 +685,62 @@ register("dedup_components", _components_sql())(
 )
 
 
+def _corpus_source_report(spark, sf_dir):
+    """Per-(source, lang) corpus health rollup with GROUPING SETS —
+    the mixing report a training-data pipeline publishes per ingest:
+    volume, exact-dup rate, token mass, and mean length at three
+    granularities ((source, lang), per source, corpus total) in ONE
+    pass over the text (the Expand operator replicates rows per
+    grouping set AFTER the narrow projection, so the corpus is read
+    and fingerprinted once, not three times).
+
+    Cross-engine determinism: every metric is exact-integer (counts,
+    distinct md5 fingerprints, whitespace token counts, n_chars sums)
+    or a single IEEE division of exact integers — no float summation
+    order anywhere.
+    """
+    from diagnosisextraction_ml_spark.operators.textstats import (
+        token_count_ws,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).alias("__fp"),
+        token_count_ws(F.col("text")).cast("long").alias("__toks"),
+        F.col("n_chars"),
+    )
+    n = F.count(F.lit(1))
+    nd = F.countDistinct("__fp")
+    return base.groupingSets(
+        [["source", "lang"], ["source"], []], "source", "lang"
+    ).agg(
+        n.alias("n_docs"),
+        nd.alias("n_distinct_texts"),
+        ((n - nd).cast("double") / n).alias("dup_rate"),
+        F.sum("__toks").alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / n).alias("mean_chars"),
+    )
+
+
+register(
+    "corpus_source_report",
+    f"""
+    SELECT source, lang, count(*) AS n_docs,
+           count(DISTINCT md5(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+             AS n_distinct_texts,
+           CAST(count(*) - count(DISTINCT
+                 md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS DOUBLE)
+             / count(*) AS dup_rate,
+           CAST(sum(len({_toks_sql('text')})) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), ())
+    """,
+)(_corpus_source_report)
+
+
 def _qc_split_leakage(spark, sf_dir):
     """Train/val split-leakage check — the contamination question a
     training-data pipeline must answer BEFORE a model sees the splits:

@@ -201,8 +201,13 @@ def test_group_concat_single_shuffle(spark, sf_dir, qs):
 
 
 def test_doc_stats_is_scan_plus_project(spark, sf_dir, qs):
+    """Pure map stage — the only Exchange allowed is the narrow-scan
+    fan-out (RoundRobin; functions.partitioning.fan_out), which no-ops
+    on wide inputs. No hash/range exchange, no aggregation."""
     plan = _plan(qs["doc_stats"](spark, sf_dir))
-    assert "Exchange" not in plan  # zero shuffles: pure map stage
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # at most the round-robin fan-out
 
 
 def test_salted_merge_equivalence(spark):
