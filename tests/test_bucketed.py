@@ -267,3 +267,59 @@ def test_bucketed_variants_no_fact_exchange_at_sf01(spark):
             assert (
                 plan.count(f"Exchange hashpartitioning({key}") == 0
             ), f"{name}: unexpected fact-side shuffle on {key}"
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_bucketed_fact_two_process_concurrent_build(spark, sf_dir, tmp_path):
+    """The REAL race: a second OS process (its own JVM, its own
+    catalog) builds the same layout while this session builds it.
+    Staging is per-PID and publish is one atomic rename, so whatever
+    the interleaving, both processes must return correct results and
+    the published directory must be a complete layout. (The in-process
+    tests above pin each race arm deterministically; this pins the
+    end-to-end property.)"""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    from diagnosisextraction_ml_spark.plans import queries as q
+
+    loc = _bucketed_loc(sf_dir, "orders", "o_orderkey", 4)
+    tbl = os.path.basename(loc)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(loc, ignore_errors=True)  # force both sides to build
+
+    script = tmp_path / "build_layout.py"
+    script.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "from diagnosisextraction_ml_spark import get_spark\n"
+        "from diagnosisextraction_ml_spark.plans import queries as q\n"
+        "spark = get_spark('race-peer', master='local[2]', shuffle_partitions=4)\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        f"df = q._bucketed_fact(spark, {sf_dir!r}, 'orders', 'o_orderkey', 4)\n"
+        "print('PEER_COUNT', df.count())\n"
+    )
+    peer = subprocess.Popen(
+        [sys.executable, str(script)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    # build in this session while the peer JVM boots and builds
+    df = q._bucketed_fact(spark, sf_dir, "orders", "o_orderkey", 4)
+    mine = df.count()
+    out, _ = peer.communicate(timeout=300)
+    assert peer.returncode == 0, out
+    peer_count = int([l for l in out.splitlines() if l.startswith("PEER_COUNT")][0].split()[1])
+    expect = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert mine == expect and peer_count == expect
+    assert os.path.isdir(loc)  # someone published
+    # no staging debris from either process
+    assert not any(".stage." in p for p in os.listdir(os.path.dirname(loc)))
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(loc, ignore_errors=True)
