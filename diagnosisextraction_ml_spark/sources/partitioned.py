@@ -1,0 +1,55 @@
+"""Hive-partitioned storage layout — partition pruning for time/category scans.
+
+The complement to the bucketed layout (sources/bucketed.py): bucketing
+pre-pays the JOIN shuffle, directory partitioning pre-pays the SCAN.
+At 100 TB a fact table carrying a time column is stored partitioned by
+a coarse derivative of it (day, month) so that a query touching one
+year reads one year's directories — the listing itself prunes, before
+a single row is decoded. Spark shows the decision in the scan node's
+``PartitionFilters:``; anything there never leaves storage.
+
+Two rules make the layout safe rather than clever:
+
+- The partition column is DERIVED (e.g. ``l_shipmonth =
+  date_format(l_shipdate, 'yyyy-MM')``) and the original column is
+  kept, so queries keep their exact predicates; the coarse partition
+  predicate is an *implied* extra filter, never a replacement. Results
+  are identical with or without the layout.
+- Partition values are chosen to round-trip as STRINGS through Spark's
+  partition-value type inference where possible (``yyyy-MM`` is not a
+  parseable date so it stays a string); queries compare with string
+  literals, which behave identically against an inferred DATE column
+  (Spark casts the literal) and against the derived string column on
+  the fallback path.
+
+Granularity at 100 TB: aim for partitions of 100 MB-10 GB of parquet.
+Day-partitioning a 100 TB/year table gives ~275 GB/day — right-sized;
+minute-partitioning would create millions of tiny directories and the
+listing would dominate. Too-fine partitioning is the classic failure
+mode of this layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+def write_partitioned_table(df: DataFrame, path: str, part_col: str) -> None:
+    """Write ``df`` as parquet partitioned by ``part_col`` (one
+    directory per distinct value, ``part_col=value/`` Hive layout).
+    ``part_col`` must already exist on ``df`` (use
+    :func:`with_partition_col`). Readers that filter on ``part_col``
+    prune directories at listing time."""
+    df.write.mode("overwrite").partitionBy(part_col).parquet(path)
+
+
+def with_partition_col(df: DataFrame, name: str, expr: Column) -> DataFrame:
+    """Attach the derived partition column. Shared by the layout writer
+    and the plain-scan fallback so both paths expose an identical
+    schema — the layout is performance, never a correctness
+    dependency."""
+    return df.withColumn(name, expr)
+
+
+def read_partitioned_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

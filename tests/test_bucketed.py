@@ -69,8 +69,21 @@ def test_q18_bucketed_agg_has_no_lineitem_shuffle(spark, sf_dir):
     assert "Exchange" not in plan  # bucket-local aggregation
     assert "HashAggregate" in plan or "SortAggregate" in plan
 
-    # end-to-end parity with the plain variant
+    # the big⋈orders join reads the o_orderkey-bucketed copy: zero
+    # orderkey Exchange on EITHER fact side (broadcast off so the join
+    # strategy itself is what's tested)
     qs = queries()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        full = qs["rel_q18_big_orders_bucketed"](spark, sf_dir)
+        fplan = full._jdf.queryExecution().executedPlan().toString()
+        assert fplan.count("Exchange hashpartitioning(l_orderkey") == 0
+        assert fplan.count("Exchange hashpartitioning(o_orderkey") == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # end-to-end parity with the plain variant
     a = [tuple(r) for r in qs["rel_q18_big_orders"](spark, sf_dir).collect()]
     b = [tuple(r) for r in qs["rel_q18_big_orders_bucketed"](spark, sf_dir).collect()]
     assert a == b

@@ -1,0 +1,130 @@
+"""Hive-partitioned layout (sources/partitioned.py + _partitioned_fact):
+the coarse partition predicate must PRUNE at listing time (fewer
+directories read), the exact predicates must stay pushed, and results
+must be identical to the plain scan — including when the layout
+machinery fails entirely (fallback path)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _scan_lines(df, needle: str) -> list[str]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [l for l in plan.splitlines() if needle in l]
+
+
+def test_q6_pruned_partition_filters_and_parity(spark, sf_dir):
+    from diagnosisextraction_ml_spark.plans.queries import (
+        _partitioned_fact,
+        queries,
+    )
+
+    qs = queries()
+    df = qs["rel_q6_revenue_pruned"](spark, sf_dir)
+    scans = _scan_lines(df, "PartitionFilters")
+    assert scans, "no FileScan with PartitionFilters in the plan"
+    line = scans[0]
+    # the month bounds prune; the exact shipdate predicates stay pushed
+    assert "l_shipmonth" in line.split("PartitionFilters:")[1].split("]")[0]
+    assert "GreaterThanOrEqual(l_shipda" in line or "l_shipdate" in line
+    # file-level pruning is real: the year reads strictly fewer
+    # directories than the table has, and exactly the matching months
+    li = _partitioned_fact(spark, sf_dir, "lineitem", "l_shipmonth")
+    total = li.select("l_shipmonth").distinct().count()
+    pruned_files = (
+        li.filter(
+            (F.col("l_shipmonth") >= "1997-01") & (F.col("l_shipmonth") <= "1997-12")
+        )
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert pruned_files < total
+    assert pruned_files == 12  # testdata spans 1995-2001: full 1997
+    # parity with the unpartitioned plain scan
+    a = [tuple(r) for r in qs["rel_q6_forecast_revenue"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in df.collect()]
+    assert a == b
+
+
+def test_events_week_pruned_reads_seven_days(spark, sf_dir):
+    from diagnosisextraction_ml_spark.plans.queries import (
+        _partitioned_fact,
+        queries,
+    )
+
+    qs = queries()
+    df = qs["events_week_stats_pruned"](spark, sf_dir)
+    scans = _scan_lines(df, "PartitionFilters")
+    assert scans and "event_day" in scans[0].split("PartitionFilters:")[1].split("]")[0]
+    ev = _partitioned_fact(spark, sf_dir, "events", "event_day")
+    total = ev.select(F.input_file_name()).distinct().count()
+    pruned = (
+        ev.filter(F.col("event_day").between("2024-01-08", "2024-01-14"))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert pruned == 7 and total >= 30  # one directory+file per day
+    # parity with the same aggregate over the plain (unpartitioned) scan
+    from diagnosisextraction_ml_spark.plans.queries import _t
+
+    plain = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_partitioned_fallback_is_identical(spark, sf_dir, monkeypatch):
+    """Any layout failure must yield the plain scan with the derived
+    column attached — same rows, same query results."""
+    import diagnosisextraction_ml_spark.plans.queries as q
+
+    qs = q.queries()
+    want = [tuple(r) for r in qs["rel_q6_revenue_pruned"](spark, sf_dir).collect()]
+
+    def boom() -> str:
+        raise OSError("layout root unavailable")
+
+    monkeypatch.setattr(q, "_bucketed_base_dir", boom)
+    got_df = qs["rel_q6_revenue_pruned"](spark, sf_dir)
+    # fallback plan has no partitioned scan — but identical results
+    assert not _scan_lines(got_df, "PartitionFilters: [isnotnull(l_shipmonth")
+    assert [tuple(r) for r in got_df.collect()] == want
+
+
+def test_partitioned_layout_publish_is_atomic(spark, sf_dir):
+    """A loser of the publish race (rename fails because the winner
+    already landed) must silently read the winner's layout."""
+    import os
+
+    import diagnosisextraction_ml_spark.plans.queries as q
+
+    ev = q._partitioned_fact(spark, sf_dir, "events", "event_day")
+    n = ev.count()
+    # simulate a losing racer: stage again while the published dir exists
+    import hashlib
+
+    tag = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}|event_day".encode()
+    ).hexdigest()[:10]
+    loc = os.path.join(q._bucketed_base_dir(), f"events_p_{tag}")
+    assert os.path.isdir(loc)
+    again = q._partitioned_fact(spark, sf_dir, "events", "event_day")
+    assert again.count() == n
+    # no staging debris left behind
+    parent = os.path.dirname(loc)
+    assert not [d for d in os.listdir(parent) if d.startswith(f"events_p_{tag}.stage")]
