@@ -93,6 +93,13 @@ HEADLINE = [
     "rel_q20_dominant_suppliers_bucketed",
     "qc_split_leakage",
     "corpus_source_report",
+    # added round 13 session 4 — the partition-pruned storage layout
+    # (static month/day pruning + dynamic partition pruning); totals
+    # before these cover 43 queries (compare like-for-like). Layout
+    # builds are warmed outside the timed loop like the bucketed ones.
+    "rel_q6_revenue_pruned",
+    "events_week_stats_pruned",
+    "rel_revenue_dpp_months",
 ]
 
 # Every headline name must exist in the registry — a typo here would
@@ -132,9 +139,17 @@ def main() -> int:
     # rel_q18_big_orders_bucketed would charge a one-time layout cost
     # to a per-query number.
     try:
-        from diagnosisextraction_ml_spark.plans.queries import _bucketed_lineitem
+        from diagnosisextraction_ml_spark.plans.queries import (
+            _bucketed_fact,
+            _bucketed_lineitem,
+            _partitioned_fact,
+        )
 
         _bucketed_lineitem(spark, sf_dir)
+        _bucketed_fact(spark, sf_dir, "orders", "o_orderkey")
+        _bucketed_fact(spark, sf_dir, "lineitem", "l_partkey")
+        _partitioned_fact(spark, sf_dir, "lineitem", "l_shipmonth")
+        _partitioned_fact(spark, sf_dir, "events", "event_day")
     except Exception:  # noqa: BLE001 — warmup must never fail the bench
         pass
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")

@@ -53,6 +53,7 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # whose plan changed (orders now reads the o_orderkey-bucketed
     # copy: zero orderkey Exchange on either fact side).
     "rel_q6_revenue_pruned", "events_week_stats_pruned",
+    "rel_revenue_dpp_months",
     # Round 13, slots 1-4: new this round — Q21 on the bucketed layout
     # (all three lineitem legs + the orders semi bucket-local), Q20 on
     # Q17's partkey layout (subset-clustering satisfies the two-key
@@ -980,6 +981,54 @@ def events_week_stats_pruned(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,6)"))
             .cast("double")
             .alias("total_value"),
+        )
+    )
+
+
+@register(
+    "rel_revenue_dpp_months",
+    """
+    WITH hot AS (
+      SELECT DISTINCT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS m
+      FROM orders WHERE o_totalprice > 499500)
+    SELECT hot.m AS ship_month,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+      JOIN hot ON strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m') = hot.m
+    GROUP BY hot.m
+    """,
+)
+def rel_revenue_dpp_months(spark, sf_dir):
+    """Shipping revenue in the months that saw a near-ceiling-priced
+    order — DYNAMIC partition pruning over the month-partitioned
+    lineitem layout. Unlike :func:`rel_q6_revenue_pruned` the pruning
+    predicate is not knowable statically: the qualifying months come
+    out of a runtime aggregate over orders. Spark plans the dim side
+    as a broadcast, then REUSES the broadcast result as a
+    ``dynamicpruningexpression`` in the fact scan's PartitionFilters
+    (asserted in tests/test_partitioned.py) — the fact directories for
+    non-qualifying months are never listed or decoded. At 100 TB this
+    is the month-filtered-dashboard pattern: a dim-derived filter
+    prunes the fact scan without anyone materializing the month list
+    by hand. Falls back to a plain join (no pruning, same rows) if the
+    layout is unavailable."""
+    li = _partitioned_fact(spark, sf_dir, "lineitem", "l_shipmonth")
+    hot = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 499500)
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
+        .distinct()
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(hot, li["l_shipmonth"] == hot["m"])
+        .groupBy(F.col("m").alias("ship_month"))
+        .agg(
+            F.sum(disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
         )
     )
 

@@ -128,3 +128,37 @@ def test_partitioned_layout_publish_is_atomic(spark, sf_dir):
     # no staging debris left behind
     parent = os.path.dirname(loc)
     assert not [d for d in os.listdir(parent) if d.startswith(f"events_p_{tag}.stage")]
+
+
+def test_dpp_months_dynamic_pruning_and_parity(spark, sf_dir):
+    """rel_revenue_dpp_months: the month list is a runtime aggregate,
+    so the fact scan must carry a dynamicpruningexpression partition
+    filter (DPP), and results must equal the plain unpartitioned
+    join."""
+    from diagnosisextraction_ml_spark.plans.queries import _t, queries
+
+    qs = queries()
+    df = qs["rel_revenue_dpp_months"](spark, sf_dir)
+    scans = _scan_lines(df, "PartitionFilters")
+    assert any("dynamicpruningexpression" in l for l in scans)
+    hot = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 499500)
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
+        .distinct()
+    )
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_shipmonth", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    plain = (
+        li.join(hot, li["l_shipmonth"] == hot["m"])
+        .groupBy(F.col("m").alias("ship_month"))
+        .agg(
+            F.sum(disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))

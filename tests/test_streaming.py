@@ -513,3 +513,41 @@ def test_streaming_near_dup_gate_rolling_index(spark, tmp_path):
     spark.createDataFrame([(20, doc_a)], schema).write.mode("append").parquet(src)
     run_stream()  # batch 2: doc_a now in the rolled-forward index
     assert accepted == [10]  # 20 screened out by batch 1's append
+
+
+def test_stream_sink_day_partitioned_layout(spark, sf_dir, tmp_path):
+    """The partition-pruned layout is what a streaming event sink
+    writes at 100 TB: writeStream.partitionBy(event_day) lands one
+    directory per day, and a later batch reader with a day predicate
+    prunes at listing time (PartitionFilters) — the same contract
+    tests/test_partitioned.py pins for _partitioned_fact."""
+    path, schema = _events_dir(spark, sf_dir, tmp_path)
+    stream = read_events_stream(spark, path, schema, max_files_per_trigger=2)
+    out = str(tmp_path / "events_day_sink")
+    q = (
+        stream.withColumn("event_day", F.date_format("ts", "yyyy-MM-dd"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_day_sink"))
+        .partitionBy("event_day")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    # one directory per day, row parity with the source
+    src = spark.read.parquet(path)
+    assert back.count() == src.count()
+    week = back.filter(F.col("event_day").between("2024-01-08", "2024-01-14"))
+    plan = week._jdf.queryExecution().executedPlan().toString()
+    line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "event_day" in line.split("PartitionFilters:")[1].split("]")[0]
+    n_days_week = week.select(F.input_file_name()).distinct().count()
+    n_days_all = back.select(F.input_file_name()).distinct().count()
+    assert 0 < n_days_week < n_days_all
+    # rows match the ts-predicate equivalent on the unpartitioned source
+    want = src.filter(
+        (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    ).count()
+    assert week.count() == want
