@@ -53,7 +53,8 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # whose plan changed (orders now reads the o_orderkey-bucketed
     # copy: zero orderkey Exchange on either fact side).
     "rel_q6_revenue_pruned", "events_week_stats_pruned",
-    "rel_revenue_dpp_months",
+    "rel_revenue_dpp_months", "docs_lang_pruned_stats",
+    "rel_q3_topk_bucketed", "rel_q4_priority_exists_bucketed",
     # Round 13, slots 1-4: new this round — Q21 on the bucketed layout
     # (all three lineitem legs + the orders semi bucket-local), Q20 on
     # Q17's partkey layout (subset-clustering satisfies the two-key
@@ -274,6 +275,77 @@ def rel_q3_topk(spark, sf_dir):
         .select("o_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
+    )
+
+
+@register(
+    "rel_q3_topk_bucketed",
+    """
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def rel_q3_topk_bucketed(spark, sf_dir):
+    """Q3 over the co-bucketed orderkey layouts: lineitem⋈orders — the
+    only big⋈big join in Q3 — reads the two o/l_orderkey-bucketed
+    copies already amortized by Q18/Q21/Q8, so the join AND the
+    (o_orderkey, o_orderdate) aggregate above it (hash partitioning on
+    the bucket key satisfies the superset grouping's clustering) run
+    with zero fact-side Exchange (plan-asserted in
+    tests/test_bucketed.py). Customer stays an explicit broadcast;
+    top-k stays TakeOrderedAndProject. Semantics and oracle identical
+    to :func:`rel_q3_topk`."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _bucketed_fact(spark, sf_dir, "orders", "o_orderkey")
+    li = _bucketed_lineitem(spark, sf_dir)
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "rel_q4_priority_exists_bucketed",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def rel_q4_priority_exists_bucketed(spark, sf_dir):
+    """Q4 over the co-bucketed orderkey layouts: the EXISTS semi join
+    — Q4's only fact⋈fact edge — reads both bucketed copies, so the
+    semi runs bucket-local with zero orderkey Exchange (plan-asserted);
+    the date and quantity predicates still push to the bucketed scans
+    as ordinary data filters (bucketing and pushdown compose). Only
+    the metadata-sized priority rollup shuffles. Semantics and oracle
+    identical to :func:`rel_q4_priority_exists`."""
+    o = _bucketed_fact(spark, sf_dir, "orders", "o_orderkey").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _bucketed_lineitem(spark, sf_dir).filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
     )
 
 
@@ -550,6 +622,10 @@ _PARTITION_EXPRS: dict[tuple[str, str], "Callable[[], F.Column]"] = {
         F.col("l_shipdate"), "yyyy-MM"
     ),
     ("events", "event_day"): lambda: F.date_format(F.col("ts"), "yyyy-MM-dd"),
+    # identity: lang is already the right granularity (≤ a few hundred
+    # languages → a few hundred directories at any corpus size); the
+    # fallback's withColumn("lang", col("lang")) is a no-op replace.
+    ("documents", "lang"): lambda: F.col("lang"),
 }
 
 
@@ -1029,6 +1105,44 @@ def rel_revenue_dpp_months(spark, sf_dir):
         .agg(
             F.sum(disc).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "docs_lang_pruned_stats",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source
+    """,
+)
+def docs_lang_pruned_stats(spark, sf_dir):
+    """Per-source corpus stats for ONE language over a
+    lang-partitioned documents layout — categorical partition pruning,
+    the layout every multilingual training corpus actually has (one
+    directory tree per language; per-language pipelines never touch
+    the other languages' bytes). The lang predicate prunes to 1 of the
+    5 testdata language directories at listing time
+    (tests/test_partitioned.py); exact-integer sums, one IEEE division
+    rounded to 6 dp."""
+    docs = _partitioned_fact(spark, sf_dir, "documents", "lang")
+    return (
+        docs.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .withColumn(
+            "avg_chars",
+            F.round(
+                F.col("total_chars").cast("double") / F.col("n_docs"), 6
+            ),
         )
     )
 

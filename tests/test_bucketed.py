@@ -336,3 +336,48 @@ def test_bucketed_fact_two_process_concurrent_build(spark, sf_dir, tmp_path):
     assert not any(".stage." in p for p in os.listdir(os.path.dirname(loc)))
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_q3_bucketed_no_fact_exchange(spark, sf_dir):
+    """rel_q3_topk_bucketed: lineitem⋈orders reads the two co-bucketed
+    orderkey copies, and the (o_orderkey, o_orderdate) aggregate's
+    clustering is satisfied by the bucket partitioning — zero orderkey
+    Exchange end to end (broadcast off), parity with plain Q3."""
+    from diagnosisextraction_ml_spark.plans.queries import queries
+
+    qs = queries()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = qs["rel_q3_topk_bucketed"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning(l_orderkey") == 0
+        assert plan.count("Exchange hashpartitioning(o_orderkey") == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    a = [tuple(r) for r in qs["rel_q3_topk"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in df.collect()]
+    assert a == b
+
+
+def test_q4_bucketed_no_fact_exchange(spark, sf_dir):
+    """rel_q4_priority_exists_bucketed: the EXISTS semi runs
+    bucket-local (zero orderkey Exchange, broadcast off) and the date/
+    quantity predicates still reach the bucketed scans' PushedFilters
+    — bucketing and pushdown compose."""
+    from diagnosisextraction_ml_spark.plans.queries import queries
+
+    qs = queries()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = qs["rel_q4_priority_exists_bucketed"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning(l_orderkey") == 0
+        assert plan.count("Exchange hashpartitioning(o_orderkey") == 0
+        assert "GreaterThan(l_quantity,45" in plan  # pushdown survives
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    a = sorted(map(tuple, qs["rel_q4_priority_exists"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, df.collect()))
+    assert a == b

@@ -162,3 +162,44 @@ def test_dpp_months_dynamic_pruning_and_parity(spark, sf_dir):
         )
     )
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_docs_lang_pruned_reads_one_language(spark, sf_dir):
+    """docs_lang_pruned_stats: categorical pruning — the lang='en'
+    predicate lists one of the five language directories."""
+    from diagnosisextraction_ml_spark.plans.queries import (
+        _partitioned_fact,
+        queries,
+    )
+
+    qs = queries()
+    df = qs["docs_lang_pruned_stats"](spark, sf_dir)
+    scans = _scan_lines(df, "PartitionFilters")
+    assert scans and "lang" in scans[0].split("PartitionFilters:")[1].split("]")[0]
+    docs = _partitioned_fact(spark, sf_dir, "documents", "lang")
+    langs = docs.select("lang").distinct().count()
+    pruned = (
+        docs.filter(F.col("lang") == "en")
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    total = docs.select(F.input_file_name()).distinct().count()
+    assert langs == 5 and pruned < total
+    # parity with the plain scan
+    from diagnosisextraction_ml_spark.plans.queries import _t
+
+    plain = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .withColumn(
+            "avg_chars",
+            F.round(F.col("total_chars").cast("double") / F.col("n_docs"), 6),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
