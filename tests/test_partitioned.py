@@ -203,3 +203,41 @@ def test_docs_lang_pruned_reads_one_language(spark, sf_dir):
         )
     )
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_parquet_aggregate_pushdown_capability(spark, sf_dir, tmp_path):
+    """Parquet footer-statistics aggregate pushdown: with
+    spark.sql.parquet.aggregatePushdown on, MIN/MAX/COUNT over a
+    parquet scan answer from row-group metadata (PushedAggregation in
+    the scan node) — at 100 TB a table-wide COUNT/MIN/MAX reads
+    footers, not data. Pinned here as a capability test (session conf,
+    v2 scan) rather than a registered query: the registry's plans must
+    not depend on a session flag."""
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    path = str(tmp_path / "li_v2")
+    src.write.mode("overwrite").parquet(path)
+    prev = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    prev_v2 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")  # v2 scans only
+    try:
+        df = spark.read.parquet(path).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("k0"),
+            F.max("l_orderkey").alias("k1"),
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # footer stats answer the whole aggregate (numeric columns only
+        # — timestamp MIN/MAX is not pushdown-eligible in Spark 4.1)
+        assert "PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]" in plan
+        got = df.collect()[0]
+        want = src.agg(
+            F.count(F.lit(1)), F.min("l_orderkey"), F.max("l_orderkey")
+        ).collect()[0]
+        assert tuple(got) == tuple(want)
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
+        if prev_v2 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev_v2)
