@@ -7,6 +7,7 @@ machinery fails entirely (fallback path)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 
 def _scan_lines(df, needle: str) -> list[str]:
@@ -241,3 +242,57 @@ def test_parquet_aggregate_pushdown_capability(spark, sf_dir, tmp_path):
             spark.conf.unset("spark.sql.sources.useV1SourceList")
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", prev_v2)
+
+
+@pytest.mark.slow
+def test_partitioned_fact_two_process_concurrent_build(spark, sf_dir, tmp_path):
+    """Same end-to-end race property as the bucketed layout's
+    two-process test: a second OS process builds the SAME day-
+    partitioned events layout concurrently; per-PID staging + one
+    atomic rename means both read correct complete data and no staging
+    debris survives."""
+    import hashlib
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    import diagnosisextraction_ml_spark.plans.queries as q
+
+    tag = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}|event_day".encode()
+    ).hexdigest()[:10]
+    loc = os.path.join(q._bucketed_base_dir(), f"events_p_{tag}")
+    shutil.rmtree(loc, ignore_errors=True)  # force both sides to build
+
+    script = tmp_path / "build_part_layout.py"
+    script.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "from diagnosisextraction_ml_spark import get_spark\n"
+        "from diagnosisextraction_ml_spark.plans import queries as q\n"
+        "spark = get_spark('race-peer-p', master='local[2]', shuffle_partitions=4)\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        f"df = q._partitioned_fact(spark, {sf_dir!r}, 'events', 'event_day')\n"
+        "print('PEER_COUNT', df.count())\n"
+    )
+    peer = subprocess.Popen(
+        [sys.executable, str(script)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    df = q._partitioned_fact(spark, sf_dir, "events", "event_day")
+    mine = df.count()
+    out, _ = peer.communicate(timeout=300)
+    assert peer.returncode == 0, out
+    peer_count = int(
+        [l for l in out.splitlines() if l.startswith("PEER_COUNT")][0].split()[1]
+    )
+    expect = q._t(spark, sf_dir, "events").count()
+    assert mine == expect and peer_count == expect
+    assert os.path.isdir(loc)
+    assert not any(
+        p.startswith(f"events_p_{tag}.stage")
+        for p in os.listdir(os.path.dirname(loc))
+    )
