@@ -100,6 +100,7 @@ HEADLINE = [
     "rel_q6_revenue_pruned",
     "events_week_stats_pruned",
     "rel_revenue_dpp_months",
+    "rel_q12_priority_lines_bucketed_pruned",
 ]
 
 # Every headline name must exist in the registry — a typo here would
@@ -150,6 +151,13 @@ def main() -> int:
         _bucketed_fact(spark, sf_dir, "lineitem", "l_partkey")
         _partitioned_fact(spark, sf_dir, "lineitem", "l_shipmonth")
         _partitioned_fact(spark, sf_dir, "events", "event_day")
+        from diagnosisextraction_ml_spark.plans.queries import (
+            _bucketed_partitioned_fact,
+        )
+
+        _bucketed_partitioned_fact(
+            spark, sf_dir, "lineitem", "l_orderkey", "l_shipmonth"
+        )
     except Exception:  # noqa: BLE001 — warmup must never fail the bench
         pass
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")

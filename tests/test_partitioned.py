@@ -296,3 +296,50 @@ def test_partitioned_fact_two_process_concurrent_build(spark, sf_dir, tmp_path):
         p.startswith(f"events_p_{tag}.stage")
         for p in os.listdir(os.path.dirname(loc))
     )
+
+
+def test_q12_combined_layout_prunes_and_joins_bucket_local(spark, sf_dir):
+    """rel_q12_priority_lines_bucketed_pruned: the COMBINED layout must
+    deliver both levers in one plan — month PartitionFilters on the
+    lineitem scan AND zero orderkey Exchange on the join (broadcast
+    off) — with results identical to plain Q12."""
+    from diagnosisextraction_ml_spark.plans.queries import queries
+
+    qs = queries()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = qs["rel_q12_priority_lines_bucketed_pruned"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning(l_orderkey") == 0
+        assert plan.count("Exchange hashpartitioning(o_orderkey") == 0
+        pf = [
+            l
+            for l in plan.splitlines()
+            if "PartitionFilters" in l
+            and "l_shipmonth" in l.split("PartitionFilters:")[1].split("]")[0]
+        ]
+        assert pf, "no month partition filter on the combined-layout scan"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    a = sorted(map(tuple, qs["rel_q12_priority_lines"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, df.collect()))
+    assert a == b
+
+
+def test_combined_layout_foreign_session_reregisters(spark, sf_dir):
+    """A fresh session (empty in-memory catalog) must re-derive the
+    combined table over the published directory via DDL + MSCK and
+    read identical data; a swept directory must fall back to the
+    plain scan."""
+    import diagnosisextraction_ml_spark.plans.queries as q
+
+    base = q._bucketed_partitioned_fact(
+        spark, sf_dir, "lineitem", "l_orderkey", "l_shipmonth"
+    )
+    n = base.count()
+    fresh = spark.newSession()
+    again = q._bucketed_partitioned_fact(
+        fresh, sf_dir, "lineitem", "l_orderkey", "l_shipmonth"
+    )
+    assert again.count() == n
