@@ -381,3 +381,36 @@ def test_q4_bucketed_no_fact_exchange(spark, sf_dir):
     a = sorted(map(tuple, qs["rel_q4_priority_exists"](spark, sf_dir).collect()))
     b = sorted(map(tuple, df.collect()))
     assert a == b
+
+
+def test_bucket_pruning_point_lookup(spark, sf_dir):
+    """Bucket pruning: an equality predicate on the bucket key reads
+    ONE bucket of 32 (SelectedBucketsCount in the scan) — the
+    point-lookup path a 100 TB fact wants. The planner only keeps the
+    bucketed scan when something needs it, so the capability is pinned
+    with autoBucketedScan disabled (session flag — kept as a test, not
+    a registered query, same policy as aggregate pushdown)."""
+    import pyspark.sql.functions as F
+
+    from diagnosisextraction_ml_spark.plans.queries import _bucketed_lineitem
+
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        li = _bucketed_lineitem(spark, sf_dir)
+        df = li.filter(F.col("l_orderkey") == 42)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 32" in plan
+        want = sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+                .filter(F.col("l_orderkey") == 42)
+                .collect(),
+            )
+        )
+        assert sorted(map(tuple, df.collect())) == want
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
+        )
