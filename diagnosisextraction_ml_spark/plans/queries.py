@@ -629,6 +629,15 @@ _PARTITION_EXPRS: dict[tuple[str, str], "Callable[[], F.Column]"] = {
     ("documents", "lang"): lambda: F.col("lang"),
 }
 
+# Fine-grained column each derived partition value comes from: files
+# are sorted on it within partitions so row-group stats stay tight
+# (sources/partitioned.py). None → no meaningful within-file order.
+_PARTITION_SORT_COLS: dict[tuple[str, str], str | None] = {
+    ("lineitem", "l_shipmonth"): "l_shipdate",
+    ("events", "event_day"): "ts",
+    ("documents", "lang"): None,
+}
+
 
 def _bucketed_partitioned_fact(
     spark, sf_dir: str, source: str, key: str, part_col: str, n_buckets: int = 32
@@ -743,7 +752,12 @@ def _partitioned_fact(spark, sf_dir: str, source: str, part_col: str):
         if not _os.path.isdir(loc):
             stage = f"{loc}.stage.{_os.getpid()}"
             shutil.rmtree(stage, ignore_errors=True)
-            write_partitioned_table(fallback(), stage, part_col)
+            write_partitioned_table(
+                fallback(),
+                stage,
+                part_col,
+                sort_col=_PARTITION_SORT_COLS.get((source, part_col)),
+            )
             try:
                 _os.rename(stage, loc)
             except OSError:

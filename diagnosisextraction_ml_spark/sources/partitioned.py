@@ -34,12 +34,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 
 
-def write_partitioned_table(df: DataFrame, path: str, part_col: str) -> None:
+def write_partitioned_table(
+    df: DataFrame, path: str, part_col: str, sort_col: str | None = None
+) -> None:
     """Write ``df`` as parquet partitioned by ``part_col`` (one
     directory per distinct value, ``part_col=value/`` Hive layout).
     ``part_col`` must already exist on ``df`` (use
     :func:`with_partition_col`). Readers that filter on ``part_col``
-    prune directories at listing time."""
+    prune directories at listing time.
+
+    ``sort_col`` (typically the fine-grained time column the partition
+    value derives from) clusters values inside each written file, so
+    row-group min/max statistics become tight and predicate pushdown
+    skips row groups WITHIN the surviving directories — file-internal
+    pruning composing with directory pruning
+    (tests/test_partitioned.py pins the ~4× span tightening)."""
+    if sort_col is not None:
+        df = df.sortWithinPartitions(part_col, sort_col)
     df.write.mode("overwrite").partitionBy(part_col).parquet(path)
 
 
