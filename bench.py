@@ -139,27 +139,37 @@ def main() -> int:
     # every orderkey-keyed query — timing the write inside
     # rel_q18_big_orders_bucketed would charge a one-time layout cost
     # to a per-query number.
+    # Each layout build gets its OWN try/except: if one build throws,
+    # the later layouts must still be warmed — otherwise their one-time
+    # write cost lands in the first timed iteration of their headline
+    # queries, exactly the skew this warmup exists to prevent. Failed
+    # builds are recorded in the JSON so a partially-warmed run is
+    # visible, not silent.
     layout_warmup_sec = None
+    layout_warmup_failed: list[str] = []
     try:
         from diagnosisextraction_ml_spark.plans.queries import (
             _bucketed_fact,
             _bucketed_lineitem,
+            _bucketed_partitioned_fact,
             _partitioned_fact,
         )
 
+        builds = [
+            ("lineitem/l_orderkey", lambda: _bucketed_lineitem(spark, sf_dir)),
+            ("orders/o_orderkey", lambda: _bucketed_fact(spark, sf_dir, "orders", "o_orderkey")),
+            ("lineitem/l_partkey", lambda: _bucketed_fact(spark, sf_dir, "lineitem", "l_partkey")),
+            ("lineitem/l_shipmonth", lambda: _partitioned_fact(spark, sf_dir, "lineitem", "l_shipmonth")),
+            ("events/event_day", lambda: _partitioned_fact(spark, sf_dir, "events", "event_day")),
+            ("lineitem/l_orderkey+l_shipmonth", lambda: _bucketed_partitioned_fact(
+                spark, sf_dir, "lineitem", "l_orderkey", "l_shipmonth")),
+        ]
         _t0 = time.time()
-        _bucketed_lineitem(spark, sf_dir)
-        _bucketed_fact(spark, sf_dir, "orders", "o_orderkey")
-        _bucketed_fact(spark, sf_dir, "lineitem", "l_partkey")
-        _partitioned_fact(spark, sf_dir, "lineitem", "l_shipmonth")
-        _partitioned_fact(spark, sf_dir, "events", "event_day")
-        from diagnosisextraction_ml_spark.plans.queries import (
-            _bucketed_partitioned_fact,
-        )
-
-        _bucketed_partitioned_fact(
-            spark, sf_dir, "lineitem", "l_orderkey", "l_shipmonth"
-        )
+        for tag, build in builds:
+            try:
+                build()
+            except Exception:  # noqa: BLE001 — one layout must not skip the rest
+                layout_warmup_failed.append(tag)
         # one-time storage cost, amortized across every layout query —
         # reported for transparency, never added to per-query timings
         layout_warmup_sec = round(time.time() - _t0, 3)
@@ -214,6 +224,8 @@ def main() -> int:
     }
     if layout_warmup_sec is not None:
         out["layout_warmup_sec"] = layout_warmup_sec
+    if layout_warmup_failed:
+        out["layout_warmup_failed"] = layout_warmup_failed
     if errors:
         # A partial total is NOT comparable to a full round's total —
         # flag it so a silently failing query can't read as a speedup.
@@ -230,6 +242,22 @@ def main() -> int:
         anchor = run_anchor(sf_dir, [n for n in HEADLINE if n in timings])
         common = [n for n in anchor["queries"] if n in timings]
         spark_common = round(sum(timings[n] for n in common), 3)
+        # Per-query ratios: the aggregate can hide one query running
+        # many× its own twin. Flag any headline query >2× its twin so
+        # the weak-list reads straight off the artifact (expected
+        # empty). Sub-50ms twins are ratio-noise (fixed per-query
+        # overhead dominates), so the flag requires the Spark side to
+        # also be ≥0.25s — a real cost, not a constant.
+        ratio_per_query = {
+            n: (round(timings[n] / anchor["queries"][n], 2)
+                if anchor["queries"][n] > 0 else None)
+            for n in common
+        }
+        flagged = sorted(
+            n for n, r in ratio_per_query.items()
+            if r is not None and r > 2.0
+            and timings[n] >= 0.25 and anchor["queries"][n] >= 0.05
+        )
         out["anchor"] = {
             "duckdb_total_sec": anchor["total"],
             "spark_common_total_sec": spark_common,
@@ -238,6 +266,8 @@ def main() -> int:
             ),
             "n_common": len(common),
             "skipped_no_oracle": anchor["skipped"],
+            "ratio_per_query": ratio_per_query,
+            "flagged_over_2x": flagged,
         }
         if anchor["errors"]:
             out["anchor"]["errors"] = anchor["errors"]

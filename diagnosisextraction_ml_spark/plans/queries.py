@@ -47,62 +47,25 @@ def register(name: str, sql: str | None):
 # full registry is still verified every round by
 # tools/compare_oracle.py (ORACLE_FULL_r*.txt).
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round 13 session 4: the partition-pruned layout pair (new — the
-    # scan-side complement to the bucketed layouts; month/day directory
-    # pruning plan-asserted in tests/test_partitioned.py), then Q18
-    # whose plan changed (orders now reads the o_orderkey-bucketed
-    # copy: zero orderkey Exchange on either fact side).
+    # Round 14, slots 1-6: changed this round — mm_decode_health's
+    # frozen fixture grew three BMP corruption modes (the from-spec BMP
+    # codec is new; ground truth regenerated), and the partitioned
+    # layout reads now PIN the fallback schema (event_day stays a
+    # string, partition column kept in derivation position) — the scan
+    # schema changed, so every pruned-layout query re-hashes first.
+    "mm_decode_health",
     "rel_q6_revenue_pruned", "events_week_stats_pruned",
     "rel_revenue_dpp_months", "docs_lang_pruned_stats",
-    "rel_q3_topk_bucketed", "rel_q4_priority_exists_bucketed",
     "rel_q12_priority_lines_bucketed_pruned",
-    # Round 13, slots 1-4: new this round — Q21 on the bucketed layout
-    # (all three lineitem legs + the orders semi bucket-local), Q20 on
-    # Q17's partkey layout (subset-clustering satisfies the two-key
-    # aggregate), the decode-health QC over the frozen mixed-corruption
-    # media fixture, and the fold-pair split-leakage matrix; first
-    # driver rows on first appearance.
-    "rel_q21_waiting_suppliers_bucketed",
-    "rel_q20_dominant_suppliers_bucketed",
-    "mm_decode_health", "qc_split_leakage", "corpus_source_report",
-    # Slots 3-7: plan or lifecycle changed this round — the bucketed
-    # variants' layout registration moved to staging+atomic-rename with
-    # external-DDL re-registration (scan node source changed), and the
-    # star_over output now NULLs n_bands_shared (distinct instead of
-    # count in dedup_components / pipeline_dedup_canonical's candidate
-    # stage) — re-hash immediately after the change.
-    "rel_q18_big_orders_bucketed", "rel_q17_small_qty_revenue_bucketed",
-    "rel_q8_market_share_bucketed", "dedup_components",
-    "pipeline_dedup_canonical",
-    # (also plan-changed: doc_stats gained the narrow-scan fan-out
-    # exchange — values identical, re-hash anyway)
-    "doc_stats",
-    # Slots 8-25: the round-8-stale tier — the 18 rows whose last
-    # driver green dates to CORRECTNESS_r08 (the two round-12 overflow
-    # rows first, then the r12 slot-51+ queue in its posted order).
-    "pipeline_ccnet_buckets", "prep_temperature_mixture",
-    "qc_ks_drift", "qc_psi_drift", "qc_woe_iv", "rel_rfm_segments",
-    "sketch_bloom_probe", "sketch_bottomk_distinct",
-    "sketch_cms_heavy_hitters", "sketch_hll_distinct",
-    "sketch_hll_overlap", "sketch_logbin_by_type",
-    "sketch_logbin_quantiles", "text_hapax_profile",
-    "text_token_entropy", "ts_gapfill_locf", "ts_twa_hourly",
-    "vocab_coverage_curve",
-    # Slots 26-50: the round-9-stale tier (first 25 of 40, name
-    # order); the remaining 15 lead the round-14 rotation.
-    "decontam_ngram_overlap", "dedup_boilerplate_sentences",
-    "dedup_incremental_batch", "dedup_prefix_jaccard_pairs",
-    "dedup_semantic", "doc_token_commonness", "emb_quantize_int8",
-    "events_cohort_retention", "events_funnel_conversion",
-    "events_funnel_latency", "events_props_json", "filter_c4_lines",
-    "filter_gopher_rules", "pack_greedy_sequences",
+    # Slots 7-32: the round-9-stale tier — the 26 rows whose newest
+    # driver green dates to CORRECTNESS_r09 (r13 verdict item 2; all
+    # re-verified in the full local gate, this is driver-hash
+    # freshness).
     "pipeline_corpus_gate", "pipeline_search_rerank",
     "pipeline_text_semdedup", "prep_mixture_resample",
     "prep_stratified_sample", "prep_weighted_sample_es",
     "qc_expectations_orders", "qc_key_skew_events",
     "qc_profile_documents", "qc_table_checksum", "rel_grouping_sets",
-    # Slots 51+ (overflow into round 14's gate): rest of the round-9
-    # tier.
     "rel_pivot_event_counts", "rel_unpivot_part_attrs",
     "rollup_incremental_hourly", "scd2_order_priority",
     "stream_cusum_state", "stream_hourly_distinct",
@@ -110,6 +73,29 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "text_zipf_slope", "ts_anomaly_hourly", "ts_trend_ols",
     "upsert_latest_state", "upsert_snapshot_diff",
     "zorder_morton_codes",
+    # Slots 33-50: first 18 of the 45-row round-10-stale tier (name
+    # order); the remaining 27 lead the round-15 rotation.
+    "ab_proportion_test", "decontam_winnow_overlap",
+    "dedup_containment_pairs", "dedup_dup_gram_stats",
+    "dsir_gumbel_topk", "dsir_logratio_weights", "emb_gram_upper",
+    "events_attribution", "events_markov_transitions",
+    "events_peak_concurrency", "feat_target_encode_loo",
+    "filter_ccnet_buckets", "graph_triangle_doulion",
+    "langid_char_ngram", "lm_bigram_logprob", "lm_trigram_interp",
+    "mix_doremi_weights", "mm_extract_features",
+    # Slots 51+ (overflow into round 15's gate): rest of the
+    # round-10 tier.
+    "pipeline_llm_prep", "pipeline_search_rrf", "qc_benford_digits",
+    "qc_corr_matrix", "qc_gini_revenue", "qc_quantile_norm",
+    "qc_source_scorecard", "quality_token_logodds",
+    "rel_q10_returned_topk", "rel_q12_priority_lines",
+    "rel_q14_promo_share", "rel_q18_big_orders",
+    "rel_q19_or_predicates", "rel_q4_priority_exists",
+    "rel_q5_region_revenue", "rel_q6_forecast_revenue",
+    "rel_q7_nation_volume", "search_bm25_topk", "search_qld_topk",
+    "stream_sliding_counts", "text_fertility_stats", "text_pmi_pairs",
+    "text_script_profile", "text_typo_corrected",
+    "text_winnow_fingerprints", "ts_cusum_drift", "ts_robust_stats",
 )
 
 
@@ -764,7 +750,12 @@ def _partitioned_fact(spark, sf_dir: str, source: str, part_col: str):
                 shutil.rmtree(stage, ignore_errors=True)
                 if not _os.path.isdir(loc):  # a real failure, not a race
                     raise
-        return read_partitioned_table(spark, loc)
+        # Pin the fallback's schema on the layout read so both paths
+        # expose IDENTICAL columns (type and order): without it Spark
+        # infers event_day (yyyy-MM-dd) as DATE and appends partition
+        # columns at the end, so a query projecting the partition
+        # column would silently differ between layout and fallback.
+        return read_partitioned_table(spark, loc, schema=fallback().schema)
     except Exception:  # noqa: BLE001 — layout is optional, results aren't
         return fallback()
 
@@ -1047,7 +1038,14 @@ def rel_q12_priority_lines_bucketed_pruned(spark, sf_dir):
     tests/test_partitioned.py. Q12 is the query shape that wants both:
     a time window on the fact and a key join to another fact. Exact
     shipdate predicates are kept; semantics and oracle identical to
-    :func:`rel_q12_priority_lines`."""
+    :func:`rel_q12_priority_lines`.
+
+    Sizing: this layout needs ≥~100 MB per (partition, bucket) cell to
+    win and measurably LOSES 2.1× at sf10 (PERF.md) — the decision
+    rule is codified in sources/advisor.py (``advise_layout`` returns
+    regime='loss' for exactly this table at local scale and 'win' at
+    the 100 TB shape); kept registered because the plan mechanics are
+    what transfer to the cluster."""
     li = _bucketed_partitioned_fact(
         spark, sf_dir, "lineitem", "l_orderkey", "l_shipmonth"
     ).filter(

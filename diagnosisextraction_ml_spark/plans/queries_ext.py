@@ -1599,7 +1599,7 @@ def _mm_fixture_path() -> str:
 
 def _mm_decode_health(spark, sf_dir):
     """Decode-health QC over the frozen mixed-corruption corpus: run
-    the REAL from-spec codecs (PNG/WAV via the magic-byte sniffing
+    the REAL from-spec codecs (PNG/WAV/BMP via the magic-byte sniffing
     decoder) distributed through mapInPandas, classify each row's
     outcome, and score it against the ground truth recorded at fixture
     generation time. This turns the documented external-library decode

@@ -1,0 +1,232 @@
+"""Layout advisor — the measured storage-layout decision rules as code.
+
+PERF.md records WHEN each physical-layout lever pays, as same-session
+measured pairs (sf1/sf10/sf100). This module turns that prose into a
+pure function so the knowledge is consumed programmatically instead of
+re-derived: given a table's size, its key cardinalities, and the query
+kinds that hit it, recommend a layout and say which cost regime the
+recommendation lives in.
+
+The thresholds are MEASUREMENTS, not tunables (tests pin them to the
+PERF.md numbers they come from):
+
+- ``MIN_COMBINED_CELL_BYTES = 100 MB`` — the combined
+  (partitioned+bucketed) layout loses 2.1× locally at sf10 because
+  months × buckets cells land ~1 MB each and a bucketed scan can
+  neither split nor coalesce files; the win region starts when every
+  (partition, bucket) cell clears ~100 MB (a ~265 GB table at
+  83×32 cells; 100 TB/7 years ⇒ ~37 GB/cell — comfortably right).
+- ``PARTITION_DIR_BYTES = (100 MB, 10 GB)`` — directory-partitioning
+  granularity (sources/partitioned.py): day-partitioning 100 TB/year
+  gives ~275 GB/day (right-sized); minute-partitioning makes millions
+  of tiny directories and the listing dominates.
+- ``BROADCAST_MAX_BYTES = 10 MB`` — Spark's autoBroadcastJoinThreshold
+  default: a dimension under it broadcasts; no layout lever applies.
+- Bucketing pays when a repeated join/aggregate KEY matches the bucket
+  key and both sides are too big to broadcast (Q3 3.6×, Q18 5.4×,
+  Q21 sf100: 55.5 s @ 8 GB vs plain 339 s needing 48 GB). Amortize:
+  one layout serves every query on that key (Q3/Q4/Q8/Q18/Q21 ride
+  one lineitem copy; Q20 rides Q17's partkey copy free).
+- Partition pruning pays in the IO-bound / cold-object-store regime;
+  on a warm local page cache it is a WASH until the decode cost
+  outgrows constant per-directory overhead (Q6: wash at sf1/sf10,
+  crossover at sf100 — 2.44 s plain vs 1.58 s pruned). The advisor
+  still recommends it for time/category-filtered scans at scale, with
+  the regime labelled honestly.
+- ``fan_out`` applies only when a narrow scan yields fewer input
+  partitions than the session has cores (functions/partitioning.py;
+  doc_stats 1.27→0.71 s, REJECTED for already-wide scans).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+MB = 1024 * 1024
+GB = 1024 * MB
+
+MIN_COMBINED_CELL_BYTES = 100 * MB
+PARTITION_DIR_BYTES = (100 * MB, 10 * GB)
+BROADCAST_MAX_BYTES = 10 * MB
+# bucket files want the same ~128 MB-1 GB band as any parquet split
+TARGET_BUCKET_BYTES = 512 * MB
+
+
+@dataclass(frozen=True)
+class LayoutAdvice:
+    """One recommended physical decision for a table."""
+
+    kind: str  # 'broadcast' | 'bucketed' | 'partitioned' | 'combined' | 'fan_out' | 'none'
+    column: str | None  # bucket key or partition column (None for table-wide)
+    n_buckets: int | None
+    regime: str  # 'win' | 'wash_until_io_bound' | 'loss'
+    reason: str
+
+
+@dataclass(frozen=True)
+class TableStats:
+    total_bytes: int
+    rows: int
+    # distinct-value counts for candidate columns (join keys and
+    # candidate partition columns alike)
+    key_cardinalities: dict[str, int] = field(default_factory=dict)
+
+
+def suggest_n_buckets(total_bytes: int) -> int:
+    """Bucket count sizing each bucket file near TARGET_BUCKET_BYTES,
+    clamped to a power of two in [8, 4096] (powers of two keep bucket
+    unions/splits aligned when tables with different counts join)."""
+    want = max(1, total_bytes // TARGET_BUCKET_BYTES)
+    n = 8
+    while n < want and n < 4096:
+        n *= 2
+    return n
+
+
+def advise_layout(
+    table: TableStats,
+    query_kinds: list[tuple[str, str]],
+    session_parallelism: int | None = None,
+    scan_partitions: int | None = None,
+) -> list[LayoutAdvice]:
+    """The measured decision procedure. ``query_kinds`` is the workload
+    summary for this table: (kind, column) pairs where kind is one of
+    ``join`` / ``agg`` (shuffle-keyed operations on column) or
+    ``time_range`` / ``category_eq`` (prunable scan predicates on
+    column). Returns recommendations ordered most- to
+    least-impactful; 'none'/'loss' rows are included so a rejected
+    lever is an explicit, explained decision (PERF.md doctrine:
+    record the losses, don't tune them away)."""
+    out: list[LayoutAdvice] = []
+
+    # 1. Small table: broadcast ends the discussion — no layout lever
+    #    beats shipping the table to every executor once.
+    if table.total_bytes <= BROADCAST_MAX_BYTES:
+        return [
+            LayoutAdvice(
+                "broadcast", None, None, "win",
+                f"table is {table.total_bytes / MB:.1f} MB ≤ "
+                f"{BROADCAST_MAX_BYTES // MB} MB: broadcast every join; "
+                "bucketing/partitioning add build cost for nothing",
+            )
+        ]
+
+    shuffle_keys = [c for k, c in query_kinds if k in ("join", "agg")]
+    prune_cols = [c for k, c in query_kinds if k in ("time_range", "category_eq")]
+
+    # 2. Bucketing: one copy per hot shuffle key, sized to the table.
+    for col in dict.fromkeys(shuffle_keys):  # preserve order, dedup
+        n = suggest_n_buckets(table.total_bytes)
+        out.append(
+            LayoutAdvice(
+                "bucketed", col, n, "win",
+                f"repeated join/agg on {col}: bucket-local plan deletes "
+                f"the fact shuffle (measured 3.6-5.4× at sf10; sf100 Q21 "
+                f"ran in 8 GB heap where the plain plan needed 48 GB); "
+                f"{n} buckets target ~{TARGET_BUCKET_BYTES // MB} MB files",
+            )
+        )
+
+    # 3. Directory partitioning: granularity must land in the measured
+    #    band, and the win is honestly an IO-bound-regime win.
+    for col in dict.fromkeys(prune_cols):
+        card = table.key_cardinalities.get(col)
+        if not card:
+            continue
+        dir_bytes = table.total_bytes // card
+        lo, hi = PARTITION_DIR_BYTES
+        if dir_bytes < lo:
+            out.append(
+                LayoutAdvice(
+                    "partitioned", col, None, "loss",
+                    f"{card} directories of ~{dir_bytes / MB:.1f} MB each "
+                    f"< {lo // MB} MB: listing/footer overhead dominates "
+                    "(the too-fine-partitioning failure mode); use a "
+                    "coarser derived column",
+                )
+            )
+        elif dir_bytes > hi:
+            out.append(
+                LayoutAdvice(
+                    "partitioned", col, None, "wash_until_io_bound",
+                    f"directories of ~{dir_bytes / GB:.1f} GB exceed "
+                    f"{hi // GB} GB: pruning still correct but each "
+                    "surviving directory is a huge scan; prefer a finer "
+                    "derived column",
+                )
+            )
+        else:
+            out.append(
+                LayoutAdvice(
+                    "partitioned", col, None, "wins_when_io_bound",
+                    f"{card} right-sized directories "
+                    f"(~{dir_bytes / MB:.0f} MB): prunable predicates "
+                    "skip listing+fetch; measured wash on warm local "
+                    "cache until the sf100 decade (Q6 2.44→1.58 s), the "
+                    "real payoff is the cold-store regime",
+                )
+            )
+
+    # 4. Combined layout: only when EVERY (partition, bucket) cell
+    #    clears the measured 100 MB line.
+    if shuffle_keys and prune_cols:
+        key, pcol = shuffle_keys[0], prune_cols[0]
+        card = table.key_cardinalities.get(pcol)
+        if card:
+            n = suggest_n_buckets(table.total_bytes)
+            cell = table.total_bytes // (card * n)
+            if cell >= MIN_COMBINED_CELL_BYTES:
+                out.append(
+                    LayoutAdvice(
+                        "combined", f"{pcol}+{key}", n, "win",
+                        f"~{cell / GB:.1f} GB per (partition, bucket) "
+                        f"cell ≥ {MIN_COMBINED_CELL_BYTES // MB} MB: both "
+                        "levers in one table (prune at listing, join "
+                        "bucket-local)",
+                    )
+                )
+            else:
+                out.append(
+                    LayoutAdvice(
+                        "combined", f"{pcol}+{key}", n, "loss",
+                        f"~{cell / MB:.2f} MB per cell < "
+                        f"{MIN_COMBINED_CELL_BYTES // MB} MB: measured "
+                        "2.1× SLOWER at sf10 (bucketed scans can't "
+                        "coalesce tiny files); keep the single-axis "
+                        "layouts until the table feeds both",
+                    )
+                )
+
+    # 5. fan_out: a session-level fix, only for under-parallel scans.
+    if session_parallelism and scan_partitions:
+        if scan_partitions < session_parallelism:
+            out.append(
+                LayoutAdvice(
+                    "fan_out", None, None, "win",
+                    f"scan yields {scan_partitions} partitions < "
+                    f"{session_parallelism} cores: round-robin fan-out "
+                    "packs the CPU (doc_stats 1.27→0.71 s); no-ops on "
+                    "wide scans",
+                )
+            )
+        else:
+            out.append(
+                LayoutAdvice(
+                    "fan_out", None, None, "loss",
+                    f"scan already yields {scan_partitions} ≥ "
+                    f"{session_parallelism} partitions: fan-out adds an "
+                    "exchange for nothing (measured-and-rejected for "
+                    "top_k_words)",
+                )
+            )
+
+    if not out:
+        out.append(
+            LayoutAdvice(
+                "none", None, None, "win",
+                "no repeated shuffle key and no prunable predicate: a "
+                "plain parquet scan with pushdown is already the plan "
+                "you'd want",
+            )
+        )
+    return out

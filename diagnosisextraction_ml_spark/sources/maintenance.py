@@ -14,13 +14,36 @@ Compaction here is one Spark job, not a driver-side file loop:
 - ``repartition(part_col)`` clusters each partition value into one
   task (AQE coalesces small ones), so each directory is rewritten as
   ~1 file, capped by ``maxRecordsPerFile`` for oversized partitions.
-- The rewrite lands in a staging directory and is swapped in with two
-  renames (live → trash, staging → live). The swap window is not
-  atomic; this is the standard maintenance-window trade, and the
-  layout readers in this repo (plans/queries._partitioned_fact) fall
-  back to the plain source scan whenever the directory is missing, so
-  a reader hitting the window degrades to a slower correct scan,
-  never a wrong or failed one.
+
+Publication is ATOMIC and VERIFIED (same doctrine as the bucketed /
+partitioned layout builds in plans/queries.py):
+
+- Each compaction lands in a new immutable VERSION directory under
+  ``<path>.versions/`` and the user-facing ``path`` is a SYMLINK
+  retargeted with ``symlink + os.rename`` — a single atomic POSIX
+  rename over the old link. A reader never observes a missing or
+  half-written ``path``. (The only non-atomic step is the one-time
+  migration of a plain directory into version v000001, the first time
+  a tree is ever compacted; every subsequent compaction is a pure
+  pointer flip.)
+- Before the flip, the staged tree is RE-COUNTED and compared against
+  the pre-compaction snapshot count; any mismatch aborts — the staged
+  tree is discarded and the live tree is untouched.
+- The PREVIOUS version is retained (``keep_versions``, default 2), so
+  an in-flight DataFrame that planned file paths against the old
+  version keeps reading them after the flip. Readers that resolve
+  ``current_version_dir(path)`` (realpath) at plan time are fully
+  isolated for the version's whole retention window.
+- A crash at any point leaves a live tree: either the old pointer
+  still stands, or (migration only) :func:`recover_layout` restores
+  the pointer from the newest complete version on the next call.
+
+WRITER CONTRACT: writers must be quiesced during compaction. The
+rewrite is a point-in-time snapshot of the current version; files
+appended to the live tree after the snapshot read are not part of the
+new version (they survive in the retained previous version until it
+is pruned, so a violation is detectable and recoverable — not silent —
+but the only supported mode is stop-writers, compact, resume).
 """
 
 from __future__ import annotations
@@ -31,11 +54,60 @@ import shutil
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+_VERSIONS_SUFFIX = ".versions"
+
+
+def _versions_root(path: str) -> str:
+    return path.rstrip("/") + _VERSIONS_SUFFIX
+
+
+def _list_versions(vroot: str) -> list[str]:
+    """Version directory names under vroot, oldest first."""
+    if not os.path.isdir(vroot):
+        return []
+    return sorted(
+        d for d in os.listdir(vroot)
+        if d.startswith("v") and d[1:].isdigit()
+        and os.path.isdir(os.path.join(vroot, d))
+    )
+
+
+def current_version_dir(path: str) -> str:
+    """The physical directory behind ``path`` (realpath). Readers that
+    plan against this are pinned to one immutable version for the
+    whole query, isolated from concurrent pointer flips."""
+    return os.path.realpath(path)
+
+
+def read_compacted(spark: SparkSession, path: str):
+    """Read a (possibly compaction-managed) partitioned tree, pinned
+    to the current version at plan time."""
+    return spark.read.parquet(current_version_dir(path))
+
+
+def recover_layout(path: str) -> bool:
+    """Crash recovery: if ``path`` is missing but versions exist
+    (a crash during the one-time dir→symlink migration), restore the
+    pointer to the newest complete version. Returns True if a restore
+    happened. Safe to call any time; no-op when ``path`` exists."""
+    if os.path.lexists(path):
+        return False
+    versions = _list_versions(_versions_root(path))
+    if not versions:
+        return False
+    target = os.path.join(_versions_root(path), versions[-1])
+    tmp = f"{path}.lnk.{os.getpid()}"
+    if os.path.lexists(tmp):
+        os.remove(tmp)
+    os.symlink(target, tmp)
+    os.rename(tmp, path)
+    return True
+
 
 def partition_file_stats(path: str, part_col: str) -> dict[str, tuple[int, int]]:
     """Per partition-value (n_files, total_bytes) from the directory
-    tree. Local-filesystem listing; on a cluster store, do the same
-    walk through the Hadoop FileSystem API."""
+    tree (symlinks resolved). Local-filesystem listing; on a cluster
+    store, do the same walk through the Hadoop FileSystem API."""
     out: dict[str, tuple[int, int]] = {}
     prefix = f"{part_col}="
     for d in os.listdir(path):
@@ -50,45 +122,93 @@ def partition_file_stats(path: str, part_col: str) -> dict[str, tuple[int, int]]
     return out
 
 
+def _count_rows(spark: SparkSession, path: str) -> int:
+    """Row count of a parquet tree (isolated so the verification step
+    is independently testable/monkeypatchable)."""
+    return spark.read.parquet(path).count()
+
+
 def compact_partitioned(
     spark: SparkSession,
     path: str,
     part_col: str,
     max_records_per_file: int = 5_000_000,
+    keep_versions: int = 2,
 ) -> dict[str, int]:
     """Rewrite the partitioned parquet tree at ``path`` with ~1 file
     per partition value (``max_records_per_file`` caps oversized
-    ones). Returns {"files_before": n, "files_after": m,
-    "rows": total}. Layout, schema, and row set are unchanged —
-    only the file granularity."""
-    before = partition_file_stats(path, part_col)
+    ones), published as a new version behind an atomically-flipped
+    pointer (module docstring). Returns {"files_before": n,
+    "files_after": m, "rows": total, "version": k}. Layout, schema,
+    and row set are unchanged — verified by a staged-tree recount
+    before the old tree is ever touched. Writers must be quiesced
+    (module docstring, WRITER CONTRACT)."""
+    recover_layout(path)
+    src = current_version_dir(path)
+    before = partition_file_stats(src, part_col)
     files_before = sum(n for n, _ in before.values())
-    df = spark.read.parquet(path)
-    rows = df.count()
+    rows = _count_rows(spark, src)
 
-    stage = f"{path}.compact.{os.getpid()}"
-    trash = f"{path}.trash.{os.getpid()}"
+    vroot = _versions_root(path)
+    os.makedirs(vroot, exist_ok=True)
+    # sweep stale staging debris from crashed/finished peers
+    for d in os.listdir(vroot):
+        if d.startswith(".stage."):
+            shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
+
+    existing = _list_versions(vroot)
+    nxt = (int(existing[-1][1:]) if existing else 0) + 1
+    migrating = not os.path.islink(path)
+    if migrating:
+        nxt += 1  # reserve the first slot for the migrated live tree
+
+    stage = os.path.join(vroot, f".stage.{os.getpid()}")
     shutil.rmtree(stage, ignore_errors=True)
     (
-        df.repartition(F.col(part_col))
+        spark.read.parquet(src)
+        .repartition(F.col(part_col))
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy(part_col)
         .parquet(stage)
     )
-    # two-rename swap (see module docstring for the window semantics)
-    os.rename(path, trash)
-    try:
-        os.rename(stage, path)
-    except OSError:
-        os.rename(trash, path)  # restore the live tree, then re-raise
+    # VERIFY before publishing: the compacted tree must carry exactly
+    # the snapshot's rows — abort (live tree untouched) on mismatch.
+    staged_rows = _count_rows(spark, stage)
+    if staged_rows != rows:
         shutil.rmtree(stage, ignore_errors=True)
-        raise
-    shutil.rmtree(trash, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction aborted: staged tree has {staged_rows} rows, "
+            f"snapshot had {rows}; live tree at {path} is untouched"
+        )
+    newdir = os.path.join(vroot, f"v{nxt:06d}")
+    os.rename(stage, newdir)
+
+    if migrating:
+        # one-time migration: archive the live plain directory as the
+        # previous version, then put the pointer in place. The only
+        # window in which ``path`` is briefly absent — ever; a crash
+        # here is healed by recover_layout on the next call.
+        os.rename(path, os.path.join(vroot, f"v{nxt - 1:06d}"))
+    tmp = f"{path}.lnk.{os.getpid()}"
+    if os.path.lexists(tmp):
+        os.remove(tmp)
+    os.symlink(newdir, tmp)
+    os.rename(tmp, path)  # atomic pointer flip (replaces old symlink)
+    try:  # drop any cached file listings planned over the old pointer
+        spark.catalog.refreshByPath(path)
+    except Exception:  # noqa: BLE001 — refresh is best-effort
+        pass
+
+    # prune old versions, always retaining the newest ``keep_versions``
+    # (the previous version keeps in-flight readers alive post-flip)
+    for d in _list_versions(vroot)[:-max(1, keep_versions)]:
+        shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
 
     after = partition_file_stats(path, part_col)
     return {
         "files_before": files_before,
         "files_after": sum(n for n, _ in after.values()),
         "rows": rows,
+        "version": nxt,
     }

@@ -58,9 +58,26 @@ def with_partition_col(df: DataFrame, name: str, expr: Column) -> DataFrame:
     """Attach the derived partition column. Shared by the layout writer
     and the plain-scan fallback so both paths expose an identical
     schema — the layout is performance, never a correctness
-    dependency."""
+    dependency. Identical is enforced, not assumed: the layout read
+    pins this DataFrame's schema (see :func:`read_partitioned_table`),
+    because Spark's partition-value inference would otherwise turn
+    ``yyyy-MM-dd`` values into DATE and always append the partition
+    column at the end of the schema, while this fallback keeps it a
+    STRING in derivation position."""
     return df.withColumn(name, expr)
 
 
-def read_partitioned_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_partitioned_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read a written layout. ``schema`` (when given, the fallback
+    DataFrame's schema) pins partition-value TYPES — Spark honors
+    user-schema types for partition columns, so ``yyyy-MM-dd`` stays a
+    string instead of inferring DATE — but Spark still APPENDS
+    partition columns regardless of their declared position, so the
+    read is re-projected to the schema's field order (a pure Project;
+    partition pruning under it is unaffected — the filter still binds
+    to the partition attribute beneath)."""
+    if schema is None:
+        return spark.read.parquet(path)
+    return spark.read.schema(schema).parquet(path).select(
+        *[f.name for f in schema.fields]
+    )

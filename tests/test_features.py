@@ -93,3 +93,31 @@ def test_tfidf_pipeline_and_coefficients(spark):
     pos_terms = [t for t, _ in top_pos]
     assert "artritis" in pos_terms
     assert all(w1 >= w2 for (_, w1), (_, w2) in zip(top_pos, top_pos[1:]))
+
+
+def test_vocab_size_caps_driver_side_vocabulary(spark):
+    """The EP2 scale control (SURVEY §7 / tools/ep2_scale.py): the
+    CountVectorizer vocabulary is the one harness structure that lives
+    on the DRIVER and grows with corpus content, so ``vocab_size``
+    must be a hard cap — corpus growth beyond it costs recall on rare
+    grams, never driver memory. Pinned: an over-cap corpus fits a
+    vocabulary of exactly the cap (most-frequent-first per
+    CountVectorizer's contract), and the default cap is 2^18."""
+    import inspect
+
+    from diagnosisextraction_ml_spark.plans.features import build_tfidf_stages
+
+    rows = [(f"term{i} term{i} shared word{i % 7}",) for i in range(60)]
+    df = spark.createDataFrame(rows, ["Text"])
+    cap = 16
+    pipe = build_tfidf_pipeline(
+        input_col="Text", ngram_range=(1, 1), stopwords=None, vocab_size=cap
+    )
+    model = pipe.fit(df)
+    vocab = vocabulary_of(model)
+    assert len(vocab) == cap  # >cap distinct terms exist; cap binds
+    assert "shared" in vocab  # most-frequent term survives the cut
+    out = model.transform(df).select("features").first()["features"]
+    assert out.size == cap  # feature width == vocab cap, everywhere
+    default_cap = inspect.signature(build_tfidf_stages).parameters["vocab_size"].default
+    assert default_cap == 1 << 18

@@ -1,16 +1,20 @@
 """Compaction (sources/maintenance.py): fragmented partition
 directories are rewritten to ~1 file each with identical rows and
-intact pruning."""
+intact pruning — published as an immutable version behind an
+atomically-flipped pointer, verified by recount before the flip."""
 
 from __future__ import annotations
 
 import os
 
 import pyspark.sql.functions as F
+import pytest
 
 from diagnosisextraction_ml_spark.sources.maintenance import (
     compact_partitioned,
+    current_version_dir,
     partition_file_stats,
+    recover_layout,
 )
 
 
@@ -47,41 +51,159 @@ def test_compaction_reduces_files_preserves_rows_and_pruning(
 
     got = spark.read.parquet(path)
     assert sorted(map(tuple, got.collect())) == want_rows
-    # pruning still works on the compacted tree
+    # pruning still works on the compacted tree (read through the link)
     week = got.filter(F.col("event_day").between("2024-01-08", "2024-01-14"))
     plan = week._jdf.queryExecution().executedPlan().toString()
     line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "event_day" in line.split("PartitionFilters:")[1].split("]")[0]
     assert week.select(F.input_file_name()).distinct().count() == 7
-    # no staging or trash debris
+    # pointer semantics: path is now a symlink into the versions root,
+    # the pre-compaction tree is retained as the previous version, and
+    # no staging/pointer debris is left behind
+    assert os.path.islink(path)
+    vroot = path + ".versions"
+    versions = sorted(d for d in os.listdir(vroot) if d.startswith("v"))
+    assert len(versions) == 2  # migrated original + compacted
+    assert current_version_dir(path) == os.path.join(vroot, versions[-1])
+    assert not [d for d in os.listdir(vroot) if d.startswith(".stage.")]
     parent = os.path.dirname(path)
-    assert not [
-        d for d in os.listdir(parent) if ".compact." in d or ".trash." in d
-    ]
+    assert not [d for d in os.listdir(parent) if ".lnk." in d]
 
 
-def test_compaction_failure_restores_live_tree(spark, sf_dir, tmp_path, monkeypatch):
-    """If the second rename fails, the first is rolled back: the live
-    tree must still be the original data."""
+def test_second_compaction_is_pure_pointer_flip_and_prunes_versions(
+    spark, sf_dir, tmp_path
+):
+    path = _fragmented_events(spark, sf_dir, tmp_path)
+    want = spark.read.parquet(path).count()
+    r1 = compact_partitioned(spark, path, "event_day")
+    r2 = compact_partitioned(spark, path, "event_day", keep_versions=2)
+    assert r2["version"] == r1["version"] + 1
+    assert r2["rows"] == want
+    vroot = path + ".versions"
+    versions = sorted(d for d in os.listdir(vroot) if d.startswith("v"))
+    assert len(versions) == 2  # oldest pruned, previous retained
+    assert spark.read.parquet(path).count() == want
+
+
+def test_compaction_pointer_flip_failure_leaves_live_tree(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """If the atomic pointer flip itself fails, the live tree (still
+    the original plain directory) must be untouched and readable."""
     import diagnosisextraction_ml_spark.sources.maintenance as m
 
     path = _fragmented_events(spark, sf_dir, tmp_path)
     want = spark.read.parquet(path).count()
 
-    real_rename = os.rename
+    real_symlink = os.symlink
+
+    def broken_symlink(src, dst):
+        raise OSError("simulated pointer-flip failure")
+
+    monkeypatch.setattr(m.os, "symlink", broken_symlink)
+    with pytest.raises(OSError):
+        compact_partitioned(spark, path, "event_day")
+    monkeypatch.setattr(m.os, "symlink", real_symlink)
+    # migration had archived the plain dir; recovery restores a pointer
+    recover_layout(path)
+    assert spark.read.parquet(path).count() == want
+
+
+def test_compaction_verification_mismatch_aborts_untouched(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r13 (medium): the staged tree is recounted against the
+    snapshot BEFORE anything live is touched — a mismatch aborts with
+    the original tree fully intact and no version/staging debris."""
+    import diagnosisextraction_ml_spark.sources.maintenance as m
+
+    path = _fragmented_events(spark, sf_dir, tmp_path)
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    real_count = m._count_rows
     calls = {"n": 0}
 
-    def flaky_rename(src, dst):
+    def lying_count(spark_, p):
         calls["n"] += 1
-        if calls["n"] == 2:  # the staging → live rename
-            raise OSError("simulated failure")
-        return real_rename(src, dst)
+        n = real_count(spark_, p)
+        return n - 1 if calls["n"] == 2 else n  # corrupt the recount
 
-    monkeypatch.setattr(m.os, "rename", flaky_rename)
-    try:
+    monkeypatch.setattr(m, "_count_rows", lying_count)
+    with pytest.raises(RuntimeError, match="compaction aborted"):
         compact_partitioned(spark, path, "event_day")
-        raised = False
-    except OSError:
-        raised = True
-    assert raised
-    assert spark.read.parquet(path).count() == want  # restored
+    assert not os.path.islink(path)  # live tree never replaced
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    vroot = path + ".versions"
+    assert not [d for d in os.listdir(vroot) if d.startswith(".stage.")]
+    assert not [d for d in os.listdir(vroot) if d.startswith("v")]
+
+
+def test_recover_layout_restores_pointer_after_migration_crash(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r13 (low): a crash between the migration renames leaves
+    no live path; recover_layout restores the newest version."""
+    path = _fragmented_events(spark, sf_dir, tmp_path)
+    want = spark.read.parquet(path).count()
+    compact_partitioned(spark, path, "event_day")
+    # simulate the crash state: pointer gone, versions intact
+    os.remove(path)
+    assert recover_layout(path)
+    assert os.path.islink(path)
+    assert spark.read.parquet(path).count() == want
+    assert not recover_layout(path)  # no-op when path exists
+
+
+def test_inflight_reader_survives_pointer_flip(spark, sf_dir, tmp_path):
+    """A DataFrame planned against current_version_dir BEFORE a
+    compaction still collects correctly AFTER the flip — the previous
+    version is retained for exactly this reason."""
+    path = _fragmented_events(spark, sf_dir, tmp_path)
+    compact_partitioned(spark, path, "event_day")
+    pinned = spark.read.parquet(current_version_dir(path))
+    want = pinned.count()
+    compact_partitioned(spark, path, "event_day")  # flips the pointer
+    assert pinned.count() == want  # old version still on disk
+
+
+@pytest.mark.slow
+def test_two_process_reader_through_concurrent_compaction(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r13 #4 done-criterion: a second OS process reads the
+    tree in a loop while this process compacts it twice; every read
+    succeeds with the full row count — no reader ever hits a missing
+    path or a half-published tree."""
+    import subprocess
+    import sys
+
+    path = _fragmented_events(spark, sf_dir, tmp_path)
+    expect = spark.read.parquet(path).count()
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "reader_loop.py"
+    script.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {repo_root!r})\n"
+        "from diagnosisextraction_ml_spark import get_spark\n"
+        "from diagnosisextraction_ml_spark.sources.maintenance import read_compacted\n"
+        "spark = get_spark('compact-reader', master='local[2]', shuffle_partitions=4)\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "for i in range(12):\n"
+        f"    n = read_compacted(spark, {path!r}).count()\n"
+        "    print('READ', i, n, flush=True)\n"
+        f"    assert n == {expect}, (i, n)\n"
+        "print('READER_OK')\n"
+    )
+    peer = subprocess.Popen(
+        [sys.executable, str(script)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    compact_partitioned(spark, path, "event_day")
+    compact_partitioned(spark, path, "event_day")
+    out, _ = peer.communicate(timeout=600)
+    assert peer.returncode == 0, out
+    assert "READER_OK" in out
+    assert spark.read.parquet(path).count() == expect

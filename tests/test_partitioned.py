@@ -328,21 +328,64 @@ def test_q12_combined_layout_prunes_and_joins_bucket_local(spark, sf_dir):
 
 
 def test_combined_layout_foreign_session_reregisters(spark, sf_dir):
-    """A fresh session (empty in-memory catalog) must re-derive the
+    """A session whose catalog lacks the table must re-derive the
     combined table over the published directory via DDL + MSCK and
-    read identical data; a swept directory must fall back to the
-    plain scan."""
+    read identical data. ``spark.newSession()`` SHARES SharedState
+    (and therefore the external catalog) with its parent, so the
+    catalog entry is explicitly dropped first — otherwise the
+    tableExists early-return is taken and the DDL+MSCK path is never
+    exercised (the two-process tests cover true catalog isolation)."""
+    import hashlib
+    import os
+
     import diagnosisextraction_ml_spark.plans.queries as q
 
     base = q._bucketed_partitioned_fact(
         spark, sf_dir, "lineitem", "l_orderkey", "l_shipmonth"
     )
     n = base.count()
+    tag = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}|l_orderkey|l_shipmonth|32".encode()
+    ).hexdigest()[:10]
+    table = f"lineitem_bp_{tag}"
     fresh = spark.newSession()
+    fresh.sql(f"DROP TABLE IF EXISTS {table}")  # external: data stays
+    assert not fresh.catalog.tableExists(table)
     again = q._bucketed_partitioned_fact(
         fresh, sf_dir, "lineitem", "l_orderkey", "l_shipmonth"
     )
+    assert fresh.catalog.tableExists(table)  # DDL+MSCK path ran
     assert again.count() == n
+
+
+def test_layout_and_fallback_schemas_identical(spark, sf_dir):
+    """The layout read and the plain-scan fallback must expose
+    IDENTICAL schemas — names, types, AND order. Without the pinned
+    read schema, Spark's partition-value inference types event_day
+    (yyyy-MM-dd) as DATE and always appends partition columns at the
+    end, so a query projecting the partition column (or ``*``) would
+    silently differ between the two paths."""
+    import diagnosisextraction_ml_spark.plans.queries as q
+
+    for source, part_col in [
+        ("lineitem", "l_shipmonth"),
+        ("events", "event_day"),
+        ("documents", "lang"),
+    ]:
+        layout = q._partitioned_fact(spark, sf_dir, source, part_col)
+        fb = q._t(spark, sf_dir, source).withColumn(
+            part_col, q._PARTITION_EXPRS[(source, part_col)]()
+        )
+        assert layout.schema == fb.schema, (source, part_col)
+    # pruning must survive the pinned-schema read + reorder Project
+    ev = q._partitioned_fact(spark, sf_dir, "events", "event_day")
+    n = (
+        ev.filter(F.col("event_day") == "2024-01-08")
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert n == 1
 
 
 def test_sort_within_partitions_tightens_rowgroup_stats(spark, sf_dir, tmp_path):

@@ -33,6 +33,7 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+from diagnosisextraction_ml_spark.functions.bmp import encode_bmp  # noqa: E402
 from diagnosisextraction_ml_spark.functions.png import encode_png  # noqa: E402
 from diagnosisextraction_ml_spark.functions.wav import encode_wav  # noqa: E402
 from diagnosisextraction_ml_spark.operators.multimodal import (  # noqa: E402
@@ -47,8 +48,11 @@ OUT = os.path.join(
 MODES = (
     "png_ok",
     "wav_ok",
+    "bmp_ok",
     "png_trunc_header",
     "png_idat_bitflip",
+    "bmp_trunc_header",
+    "bmp_trunc_pixels",
     "unknown_magic",
     "null_payload",
 )
@@ -66,6 +70,19 @@ def make_payload(mode: str, i: int) -> bytes | None:
         n = 32 + (i % 64)
         sig = rng.randint(-3000, 3000, size=n).astype(np.int16)
         return encode_wav(sig, 8000)
+    if mode.startswith("bmp"):
+        h, w = 3 + i % 5, 3 + (i // 5) % 5
+        bmp = encode_bmp(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
+        if mode == "bmp_ok":
+            return bmp
+        if mode == "bmp_trunc_header":
+            # cut inside the fixed-width BITMAPINFOHEADER fields: the
+            # <iihHI unpack runs out of bytes (struct.error)
+            return bmp[: 16 + (i % 14)]
+        if mode == "bmp_trunc_pixels":
+            # headers intact, pixel array short: semantic ValueError
+            return bmp[: 54 + (i % max(1, (len(bmp) - 54) // 2))]
+        raise AssertionError(mode)
     h, w = 3 + i % 5, 3 + (i // 5) % 5
     png = encode_png(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
     if mode == "png_ok":

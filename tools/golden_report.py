@@ -75,6 +75,27 @@ TARGETS: dict[str, tuple[float, float, float, float]] = {
     "XGBoost": (0.902, 0.864, 0.863, 0.05),
 }
 
+# The NOTES.md golden policy, made mechanical: GOLDEN_rN stands until a
+# round's diff touches one of these files. Their content hashes are
+# stamped into every report header, and tests/test_golden_policy.py
+# fails whenever the working tree's hashes differ from the newest
+# committed GOLDEN artifact's header — i.e. the gate must be re-run,
+# it can no longer be silently "stood on" after a harness change.
+GATED_SOURCES = ("plans/models.py", "plans/features.py", "plans/harness.py")
+
+
+def gated_source_hashes() -> dict[str, str]:
+    """sha256[:12] of each golden-gated source file's bytes."""
+    import hashlib
+
+    pkg = os.path.join(_REPO_ROOT, "diagnosisextraction_ml_spark")
+    return {
+        rel: hashlib.sha256(
+            open(os.path.join(pkg, rel), "rb").read()
+        ).hexdigest()[:12]
+        for rel in GATED_SOURCES
+    }
+
 
 def main() -> int:
     from diagnosisextraction_ml_spark import get_spark
@@ -113,6 +134,8 @@ def main() -> int:
     print(f"# corpus: autocorrect_dummydata.csv -> {n} patients ({n_pos} positive)")
     print(f"# config: rounds=5 folds=2 seed=CVConfig.SEED; wall {wall:.0f}s")
     print(f"# date: {time.strftime('%Y-%m-%d')}")
+    hashes = " ".join(f"{k}={v}" for k, v in gated_source_hashes().items())
+    print(f"# gated-source-hashes: {hashes}")
     print()
     hdr = (
         "| model | ROC ours / golden / Δ | PR-AUC(anch) ours / golden / Δ "
