@@ -243,11 +243,16 @@ def main() -> int:
         common = [n for n in anchor["queries"] if n in timings]
         spark_common = round(sum(timings[n] for n in common), 3)
         # Per-query ratios: the aggregate can hide one query running
-        # many× its own twin. Flag any headline query >2× its twin so
-        # the weak-list reads straight off the artifact (expected
-        # empty). Sub-50ms twins are ratio-noise (fixed per-query
-        # overhead dominates), so the flag requires the Spark side to
-        # also be ≥0.25s — a real cost, not a constant.
+        # many× its own twin; the raw map is emitted so any row can be
+        # audited. The FLAG list is restricted to rows where the ratio
+        # measures a PLAN rather than a constant: DuckDB finishes most
+        # sf0.1 TPC-H shapes in 10-100 ms while Spark pays a ~0.3-1 s
+        # fixed per-query floor (job launch, 32-task scheduling, noop
+        # commit) that amortizes to nothing at cluster scale — a
+        # "47×" on a 9 ms twin is that floor, not a weak plan. Floors:
+        # the twin must do real work (≥0.25 s) and the Spark side must
+        # cost real time (≥1 s). Rows that clear both floors at >2×
+        # are genuine weak-list candidates for the round's plan audit.
         ratio_per_query = {
             n: (round(timings[n] / anchor["queries"][n], 2)
                 if anchor["queries"][n] > 0 else None)
@@ -256,7 +261,7 @@ def main() -> int:
         flagged = sorted(
             n for n, r in ratio_per_query.items()
             if r is not None and r > 2.0
-            and timings[n] >= 0.25 and anchor["queries"][n] >= 0.05
+            and timings[n] >= 1.0 and anchor["queries"][n] >= 0.25
         )
         out["anchor"] = {
             "duckdb_total_sec": anchor["total"],
