@@ -1456,6 +1456,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     method: str = "numpy",
+    assign_probe: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-cluster semantic dedup.
 
@@ -1475,7 +1476,14 @@ def semantic_dedup(
     recompute it). At 100 TB, ``k`` scales with the corpus (n/1000-ish)
     to keep clusters bounded, exactly as the paper prescribes; the
     id-ordered predicate halves the pair fan-out, and only (id, vec,
-    cluster) triples ever shuffle.
+    cluster) triples ever shuffle. Under that k ∝ n rule the n·k
+    assignment matrix becomes the dominant cost (measured at sf100,
+    PERF.md round 14); ``assign_probe`` routes every assignment pass
+    (training iterations AND the final assign) through the IVF-pruned
+    approximate argmin
+    (:func:`~.similarity.assign_nearest_centroid_pruned`) — the
+    production setting at the third decade; None (default, and all
+    registry/oracle paths) keeps assignment exact.
 
     Two pair-scan engines (the repo's parity-path/scale-path pattern,
     cf. operators/evaluate.py):
@@ -1515,6 +1523,7 @@ def semantic_dedup(
         # The parity-witness path stays expression-based end-to-end;
         # the production path trains with the BLAS argmin too.
         assign=method if method in ("numpy", "expr") else "expr",
+        probe=assign_probe if method == "numpy" else None,
     )
     # Narrow-scan fan-out (same guard as embedding_near_dup_pairs): the
     # k-cosine argmin and the in-cluster pair scan both run at the
@@ -1527,14 +1536,21 @@ def semantic_dedup(
     if method == "numpy":
         from diagnosisextraction_ml_spark.operators.similarity import (
             assign_nearest_centroid_numpy,
+            assign_nearest_centroid_pruned,
         )
 
         # No checkpoint: the per-cluster pair scan is the assignment's
         # only consumer (it emits every row, dup or not), and the BLAS
         # argmin is cheap to evaluate inline.
-        assigned = assign_nearest_centroid_numpy(
-            emb.select(id_col, vec_col), cents, vec_col=vec_col
-        )
+        if assign_probe is not None:
+            assigned = assign_nearest_centroid_pruned(
+                emb.select(id_col, vec_col), cents,
+                probe=assign_probe, vec_col=vec_col,
+            )
+        else:
+            assigned = assign_nearest_centroid_numpy(
+                emb.select(id_col, vec_col), cents, vec_col=vec_col
+            )
         return _semantic_dedup_pairs_numpy(assigned, tau, vec_col, id_col)
     # localCheckpoint (eager): the k-cosine argmin is the expensive
     # expression — materialize it exactly once and cut the lineage, so

@@ -148,6 +148,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     assign: str = "numpy",
+    probe: int | None = None,
 ) -> list[list[float]]:
     """Deterministic Lloyd iterations → k centroids (IVF training).
 
@@ -176,6 +177,10 @@ def kmeans_centroids(
     batch); "expr" keeps the pure-expression argmin — the cross-engine
     parity witness the SQL oracles replay. Equality of the two is
     hash-pinned on the real testdata (tests/test_similarity.py).
+    ``probe`` (numpy path only): route iteration assignments through
+    :func:`assign_nearest_centroid_pruned` — the IVF-pruned
+    approximate argmin for the k ∝ n regime where the full n·k matrix
+    is the wall (PERF.md round 14); None keeps the exact path.
     """
     frontier = df.select(id_col, vec_col).persist()
     try:
@@ -199,9 +204,15 @@ def kmeans_centroids(
                 # explode fan-out can't re-run it (unlike the
                 # expression form, where CollapseProject would hoist
                 # it above the Generate).
-                labeled = assign_nearest_centroid_numpy(
-                    frontier.select(vec_col), centroids, vec_col=vec_col
-                )
+                if probe is not None:
+                    labeled = assign_nearest_centroid_pruned(
+                        frontier.select(vec_col), centroids,
+                        probe=probe, vec_col=vec_col,
+                    )
+                else:
+                    labeled = assign_nearest_centroid_numpy(
+                        frontier.select(vec_col), centroids, vec_col=vec_col
+                    )
             else:
                 labeled = frontier.select(
                     nearest_centroid_expr(F.col(vec_col), centroids).alias("cluster"),
@@ -309,6 +320,136 @@ def assign_nearest_centroid_numpy(
             dist = 1.0 - (X @ C.T) / np.outer(xn, cn)
             pdf = pdf.copy()
             pdf["cluster"] = dist.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(scan, schema)
+
+
+def _meta_cluster_centroids(C_hat, m: int, iters: int = 10):
+    """Driver-side deterministic Lloyd over the (already normalized)
+    k×d centroid matrix → (m×d normalized meta-centroids, per-centroid
+    meta-cell labels). Init = evenly strided centroid indices (stable:
+    no RNG, same input → same cells). Pure numpy on a k-row matrix —
+    microseconds next to one Arrow batch."""
+    import numpy as np
+
+    k = C_hat.shape[0]
+    M = C_hat[(np.arange(m) * (k // m)) % k].copy()
+    for _ in range(iters):
+        labels = (C_hat @ M.T).argmax(axis=1)
+        for g in range(m):
+            members = C_hat[labels == g]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.sqrt((v * v).sum())
+                if nv > 0:
+                    M[g] = v / nv
+    labels = (C_hat @ M.T).argmax(axis=1)
+    return M, labels
+
+
+def assign_nearest_centroid_pruned(
+    df: DataFrame,
+    centroids: list[list[float]],
+    probe: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-pruned assignment — the measured fix for the n·k wall.
+
+    :func:`assign_nearest_centroid_numpy` materializes the full n×k
+    cosine matrix; at the third decade that matrix IS the cost of
+    SemDeDup under the k ∝ n rule (sf100 breakdown, PERF.md round 14:
+    three 5M×2500 assignment passes ≈ 85% of the cluster+dedup wall —
+    the n·k = O(n²/c) term). The classic IVF move applied to the
+    CENTROID set deletes it: pre-cluster the k centroids into
+    m = ⌈√k⌉ meta-cells (driver-side numpy, deterministic); per Arrow
+    batch, rows first pick their best meta-cell (n·m matmul), then
+    compare exactly against only the centroids living in the
+    ``probe`` meta-cells nearest their own (n·probe·k/m) — per-pass
+    work drops from n·k to ~n·(√k + probe·√k), a measured win at
+    sf100 with agreement pinned by tests.
+
+    APPROXIMATE by construction: a row whose true nearest centroid
+    lives outside its probed meta-cells gets its best probed candidate
+    instead (tests pin probe=m ⇒ identical to the exact path on
+    tie-free data, and high agreement + bounded cosine regret at small
+    probe on the SRP document corpus — the actual SemDeDup input; note
+    structureless uniform-random vectors defeat ANY inverted-file
+    pruning, which is a property of the data, not the index). Probing
+    is ROW-level (each row ranks all m meta-cells and searches its own
+    top ``probe`` cells), the standard IVF nprobe — cell-level
+    adjacency was measured noticeably worse on boundary rows. For
+    SemDeDup the miss cost is which near-identical cluster a boundary
+    row lands in — the paper's own k-means is approximate; the
+    REGISTRY entries keep the exact path so oracle replay is
+    untouched. Zero-norm vectors/centroids raise, as the exact path
+    does.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    if (cn == 0.0).any():
+        raise ArithmeticError(
+            "assign_nearest_centroid_pruned: zero-norm centroid "
+            "(the expression path raises ANSI DIVIDE_BY_ZERO here)"
+        )
+    C_hat = C / cn[:, None]
+    k = C_hat.shape[0]
+    m = max(1, int(np.ceil(np.sqrt(k))))
+    probe = max(1, min(probe, m))
+    M, labels = _meta_cluster_centroids(C_hat, m)
+    members = [np.where(labels == g)[0] for g in range(m)]
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField("cluster", IntegerType(), False)]
+    )
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf = pdf.copy()
+                pdf["cluster"] = pd.Series([], dtype="int32")
+                yield pdf
+                continue
+            X = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            xn = np.sqrt((X * X).sum(axis=1))
+            if (xn == 0.0).any():
+                raise ArithmeticError(
+                    "assign_nearest_centroid_pruned: zero-norm vector "
+                    "(the expression path raises ANSI DIVIDE_BY_ZERO here)"
+                )
+            X_hat = X / xn[:, None]
+            # row-level nprobe: each row's own top `probe` meta-cells
+            cell_sims = X_hat @ M.T
+            if probe < m:
+                top = np.argpartition(-cell_sims, probe - 1, axis=1)[:, :probe]
+            else:
+                top = np.broadcast_to(np.arange(m), (len(X), m))
+            best_sim = np.full(len(X), -np.inf)
+            best_idx = np.zeros(len(X), dtype="int32")
+            for g in range(m):
+                cand = members[g]
+                if not len(cand):
+                    continue
+                rows = np.where((top == g).any(axis=1))[0]
+                if not len(rows):
+                    continue
+                sims = X_hat[rows] @ C_hat[cand].T
+                loc = sims.argmax(axis=1)
+                val = sims[np.arange(len(rows)), loc]
+                upd = val > best_sim[rows]
+                ridx = rows[upd]
+                best_sim[ridx] = val[upd]
+                best_idx[ridx] = cand[loc[upd]]
+            pdf = pdf.copy()
+            pdf["cluster"] = best_idx
             yield pdf
 
     return df.mapInPandas(scan, schema)

@@ -11,7 +11,10 @@ rule); this tool measures the pipeline with ``k = max(32, n /
 docs_per_cluster)`` so the per-cluster work stays bounded while the
 clustering cost (n·k cosine argmins) grows gently.
 
-Usage: python tools/semdedup_scale.py <sf_dir> [docs_per_cluster=2000] [repeats=1] [k]
+Usage: python tools/semdedup_scale.py <sf_dir> [docs_per_cluster=2000] [repeats=1] [k] [probe]
+``probe`` (optional) routes every assignment pass through the
+IVF-pruned approximate argmin (assign_nearest_centroid_pruned) — the
+measured fix for the n·k assignment wall this tool exposed at sf100.
 Prints per-stage JSON lines and a summary line for PERF.md.
 """
 
@@ -32,6 +35,7 @@ def main() -> int:
     per_cluster = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     k_override = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    probe = int(sys.argv[5]) if len(sys.argv) > 5 else None
 
     from diagnosisextraction_ml_spark import get_spark
     from diagnosisextraction_ml_spark.operators.dedup import semantic_dedup
@@ -46,7 +50,7 @@ def main() -> int:
     docs = load_table(spark, sf_dir, "documents")
     n = docs.count()
     k = k_override if k_override is not None else max(32, n // per_cluster)
-    print(json.dumps({"sf_dir": sf_dir, "n_docs": n, "k": k}), flush=True)
+    print(json.dumps({"sf_dir": sf_dir, "n_docs": n, "k": k, "probe": probe}), flush=True)
 
     best = None
     for r in range(repeats):
@@ -55,7 +59,7 @@ def main() -> int:
         emb = emb.localCheckpoint()
         t_feat = time.time() - t0
         t1 = time.time()
-        out = semantic_dedup(emb, k=k, iters=2, tau=0.99)
+        out = semantic_dedup(emb, k=k, iters=2, tau=0.99, assign_probe=probe)
         out.write.format("noop").mode("overwrite").save()
         t_dedup = time.time() - t1
         wall = time.time() - t0
@@ -71,7 +75,7 @@ def main() -> int:
     print(
         json.dumps(
             {"metric": "semdedup_scale", "sf_dir": sf_dir, "n_docs": n,
-             "k": k, "docs_per_cluster_target": per_cluster,
+             "k": k, "probe": probe, "docs_per_cluster_target": per_cluster,
              "best_wall_sec": round(best, 2)}
         )
     )
