@@ -1,9 +1,13 @@
 """Scale-up generator: replicate a testdata sf directory N× with key remaps.
 
-Usage: python tools/gen_sf.py [src_dir] [dst_dir] [factor] [tables]
+Usage: python tools/gen_sf.py [src_dir] [dst_dir] [factor] [tables] [vary]
 Defaults: /root/testdata/sf0.1 /tmp/sf1 10 (all tables)
 ``tables`` is an optional comma-separated subset (e.g. ``documents``)
-for scale points that only exercise part of the schema.
+for scale points that only exercise part of the schema. ``vary`` (any
+non-empty 5th arg) appends a per-copy marker to documents.text so
+copies are NEAR-duplicates instead of exact ones — the HARD input for
+the dedup paths: exact pre-collapse can absorb nothing and LSH sees
+factor-sized near-dup groups (the sketching caps do the bounding).
 
 Each copy i shifts every entity key by i·STRIDE (consistently across
 fact/dim tables, so joins stay referentially intact: copy i's lineitem
@@ -40,6 +44,7 @@ def main() -> int:
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    vary = bool(sys.argv[5]) if len(sys.argv) > 5 else False
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import functions as F
@@ -96,6 +101,8 @@ def main() -> int:
             c = base
             for k in keys:
                 c = c.withColumn(k, (F.col(k) + F.lit(i * STRIDE)).cast(base.schema[k].dataType))
+            if vary and t == "documents" and i > 0:
+                c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" variantcopy{i}")))
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:
