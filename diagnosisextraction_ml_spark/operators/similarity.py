@@ -448,6 +448,14 @@ def assign_nearest_centroid_pruned(
                 ridx = rows[upd]
                 best_sim[ridx] = val[upd]
                 best_idx[ridx] = cand[loc[upd]]
+            # A row whose probed meta-cells are ALL empty (Lloyd can
+            # leave cells memberless) would otherwise silently land on
+            # centroid 0 — fall back to the exact argmin for exactly
+            # those rows (rare by construction, never wrong).
+            miss = np.where(np.isinf(best_sim))[0]
+            if len(miss):
+                sims = X_hat[miss] @ C_hat.T
+                best_idx[miss] = sims.argmax(axis=1).astype("int32")
             pdf = pdf.copy()
             pdf["cluster"] = best_idx
             yield pdf

@@ -182,7 +182,25 @@ def compact_partitioned(
             f"snapshot had {rows}; live tree at {path} is untouched"
         )
     newdir = os.path.join(vroot, f"v{nxt:06d}")
-    os.rename(stage, newdir)
+    try:
+        os.rename(stage, newdir)
+    except OSError:
+        # Concurrent-compactor race: another process published this
+        # version slot between our listing and our rename. Same
+        # doctrine as the layout builds — the loser discards its work
+        # and reads the winner (the tree is compacted either way).
+        shutil.rmtree(stage, ignore_errors=True)
+        if not os.path.isdir(newdir):
+            raise  # a real failure, not a race
+        recover_layout(path)
+        after = partition_file_stats(path, part_col)
+        return {
+            "files_before": files_before,
+            "files_after": sum(n for n, _ in after.values()),
+            "rows": rows,
+            "version": nxt,
+            "lost_race_to_peer": True,
+        }
 
     if migrating:
         # one-time migration: archive the live plain directory as the

@@ -207,3 +207,38 @@ def test_two_process_reader_through_concurrent_compaction(
     assert peer.returncode == 0, out
     assert "READER_OK" in out
     assert spark.read.parquet(path).count() == expect
+
+
+def test_concurrent_compactor_loser_discards_and_reads_winner(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Two compactions racing on the same version slot: the loser's
+    stage→version rename fails because the winner already published —
+    it must discard its stage, adopt the winner's tree, and report
+    lost_race_to_peer instead of crashing."""
+    import diagnosisextraction_ml_spark.sources.maintenance as m
+
+    path = _fragmented_events(spark, sf_dir, tmp_path)
+    want = spark.read.parquet(path).count()
+
+    # Build the real race: compact once (publishes a version), then
+    # force a second compaction to collide on the SAME slot by feeding
+    # it a stale version listing — exactly what a peer process sees
+    # when the winner publishes between its listing and its rename.
+    res1 = compact_partitioned(spark, path, "event_day")
+    real_list = m._list_versions
+
+    def stale_listing(vroot):
+        versions = real_list(vroot)
+        return versions[:-1]  # pretend the newest doesn't exist yet
+
+    monkeypatch.setattr(m, "_list_versions", stale_listing)
+    res2 = compact_partitioned(spark, path, "event_day")
+    assert res2.get("lost_race_to_peer") is True
+    assert res2["rows"] == want
+    monkeypatch.undo()
+    # live tree intact, no stage debris
+    assert spark.read.parquet(path).count() == want
+    vroot = path + ".versions"
+    assert not [d for d in os.listdir(vroot) if d.startswith(".stage.")]
+    assert res1["version"] >= 2

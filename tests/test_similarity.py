@@ -655,3 +655,30 @@ def test_semantic_dedup_probe_knob_end_to_end(spark, sf_dir):
     assert {r["vec_id"] for r in dup.select(
         F.col("doc_id").alias("vec_id")).collect()} <= flagged
     assert out.count() == emb.count()
+
+
+def test_assign_pruned_empty_probed_cells_fall_back_to_exact(spark, monkeypatch):
+    """Lloyd can leave a meta-cell memberless; a row whose probed cells
+    are ALL empty must fall back to the exact argmin instead of
+    silently landing on centroid 0."""
+    import numpy as np
+
+    import diagnosisextraction_ml_spark.operators.similarity as sim
+
+    # meta layout forced: cell 0 is EMPTY (every centroid lives in
+    # cell 1); a row pointing at (1, 0) top-1-probes cell 0
+    def forced_meta(C_hat, m, iters=10):
+        M = np.asarray([[1.0, 0.0], [0.0, 1.0]])
+        return M, np.asarray([1, 1, 1])
+
+    monkeypatch.setattr(sim, "_meta_cluster_centroids", forced_meta)
+    cents = [[0.0, 1.0], [0.1, 0.9], [0.9, 0.1]]
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in sim.assign_nearest_centroid_pruned(df, cents, probe=1).collect()
+    }
+    assert got[1] == 2  # fallback found the true nearest, not index 0
+    assert got[2] == 0
