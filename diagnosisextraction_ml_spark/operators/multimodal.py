@@ -3,17 +3,19 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata alongside. The Spark-side plumbing here — schemas, Arrow
 batch shape, ``mapInPandas`` signatures, partition sizing — is real
-and tested; codec work goes through ``decoder=`` hooks. Five decoders
+and tested; codec work goes through ``decoder=`` hooks. Six decoders
 ship: the stdlib from-spec PNG path
 (``functions.png.png_feature_decoder`` — a REAL image decode, tested
 end-to-end through mapInPandas), the stdlib from-spec WAV/PCM path
 (``functions.wav.wav_feature_decoder`` — a REAL audio decode, same
 test treatment), the stdlib from-spec BMP path
 (``functions.bmp.bmp_feature_decoder`` — uncompressed BI_RGB), the
-deterministic md5 fake (``fake_decoder``, used by the hash-pinned
-oracle query), and the raising ``default_decoder`` placeholder for
-formats that need external libraries (JPEG/video — not in this
-container; pass a PIL/ffmpeg-backed callable in production).
+from-spec baseline-JPEG path (``functions.jpeg.jpeg_feature_decoder``
+— T.81 Huffman + IDCT + 4:2:0 upsampling, validated against real
+libjpeg output), the deterministic md5 fake (``fake_decoder``, used
+by the hash-pinned oracle query), and the raising ``default_decoder``
+placeholder for formats that need external libraries (video — not in
+this container; pass an ffmpeg-backed callable in production).
 
 Scale notes:
 - Binary payloads never pass through Python row-at-a-time: mapInPandas
@@ -145,16 +147,19 @@ IMAGE_FEATURES_ROBUST_SCHEMA = StructType(
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _RIFF_MAGIC = b"RIFF"
 _BMP_MAGIC = b"BM"
+_JPEG_MAGIC = b"\xff\xd8"
 
 
 def sniffing_decoder(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes to the real from-spec codecs: PNG →
-    functions.png, RIFF/WAVE → functions.wav, BMP → functions.bmp.
-    Anything else (JPEG, video containers, …) raises
-    NotImplementedError — those formats need external libraries not
-    present in this container; in production wrap a PIL/ffmpeg
-    callable the same way."""
+    functions.png, RIFF/WAVE → functions.wav, BMP → functions.bmp,
+    JPEG (baseline/extended-sequential Huffman) → functions.jpeg.
+    Anything else (video containers, progressive JPEG, …) raises
+    NotImplementedError or ValueError — the remaining external-library
+    boundary is VIDEO; in production wrap an ffmpeg callable the same
+    way."""
     from diagnosisextraction_ml_spark.functions.bmp import bmp_feature_decoder
+    from diagnosisextraction_ml_spark.functions.jpeg import jpeg_feature_decoder
     from diagnosisextraction_ml_spark.functions.png import png_feature_decoder
     from diagnosisextraction_ml_spark.functions.wav import wav_feature_decoder
 
@@ -164,10 +169,13 @@ def sniffing_decoder(payload: bytes) -> np.ndarray:
         return wav_feature_decoder(payload)
     if payload[:2] == _BMP_MAGIC:
         return bmp_feature_decoder(payload)
+    if payload[:2] == _JPEG_MAGIC:
+        return jpeg_feature_decoder(payload)
     raise NotImplementedError(
         f"no built-in codec for payload starting {payload[:4]!r} — "
-        "PNG, WAV/PCM, and BMP decode from spec here; other formats "
-        "need an external library (pass a PIL/ffmpeg-backed decoder)"
+        "PNG, WAV/PCM, BMP, and baseline JPEG decode from spec here; "
+        "video containers need an external library (pass an "
+        "ffmpeg-backed decoder)"
     )
 
 

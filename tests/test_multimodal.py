@@ -178,7 +178,8 @@ def test_real_wav_decode_through_mapinpandas(spark):
 
 
 def test_extract_features_robust_mixed_format_batch(spark):
-    """A mixed batch — valid PNG, valid WAV, a JPEG-looking payload, a
+    """A mixed batch — valid PNG, valid WAV, a video-container payload
+    (the remaining no-codec boundary), a
     truncated PNG, and a NULL payload — must produce one row each:
     real features + NULL decode_error for the decodable rows, typed
     NULL features + a decode_error string for the rest. One stray
@@ -202,12 +203,12 @@ def test_extract_features_robust_mixed_format_batch(spark):
     img = rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
     png = encode_png(img)
     wav = encode_wav(rng.randint(-3000, 3000, size=64).astype(np.int16), 8000)
-    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32   # JPEG SOI marker
+    video_ish = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 24  # MP4 ftyp box
     truncated = png[:12]                              # magic ok, body gone
     rows = [
         (1, "image", "image/png", bytearray(png), 4, 4, None),
         (2, "audio", "audio/wav", bytearray(wav), None, None, 8.0),
-        (3, "image", "image/jpeg", bytearray(jpeg_ish), None, None, None),
+        (3, "video", "video/mp4", bytearray(video_ish), None, None, None),
         (4, "image", "image/png", bytearray(truncated), None, None, None),
         (5, "image", None, None, None, None, None),
     ]
@@ -221,7 +222,7 @@ def test_extract_features_robust_mixed_format_batch(spark):
     assert out[3]["feature"] is None and "NotImplementedError" in out[3]["decode_error"]
     assert out[4]["feature"] is None and out[4]["decode_error"]
     assert out[5]["feature"] is None and out[5]["decode_error"] == "null payload"
-    assert out[3]["n_bytes"] == len(jpeg_ish) and out[5]["n_bytes"] == 0
+    assert out[3]["n_bytes"] == len(video_ish) and out[5]["n_bytes"] == 0
 
 
 def test_extract_features_robust_catches_struct_and_zlib_faults(spark):

@@ -34,6 +34,7 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 from diagnosisextraction_ml_spark.functions.bmp import encode_bmp  # noqa: E402
+from diagnosisextraction_ml_spark.functions.jpeg import encode_jpeg  # noqa: E402
 from diagnosisextraction_ml_spark.functions.png import encode_png  # noqa: E402
 from diagnosisextraction_ml_spark.functions.wav import encode_wav  # noqa: E402
 from diagnosisextraction_ml_spark.operators.multimodal import (  # noqa: E402
@@ -49,10 +50,13 @@ MODES = (
     "png_ok",
     "wav_ok",
     "bmp_ok",
+    "jpeg_ok",
     "png_trunc_header",
     "png_idat_bitflip",
     "bmp_trunc_header",
     "bmp_trunc_pixels",
+    "jpeg_trunc_entropy",
+    "jpeg_progressive",
     "unknown_magic",
     "null_payload",
 )
@@ -64,8 +68,23 @@ def make_payload(mode: str, i: int) -> bytes | None:
     if mode == "null_payload":
         return None
     if mode == "unknown_magic":
-        # JPEG SOI marker + noise: a format with no built-in codec
-        return b"\xff\xd8\xff\xe0" + rng.bytes(16 + i % 32)
+        # MP4 ftyp box + noise: video containers are the remaining
+        # external-library boundary now that baseline JPEG decodes
+        return b"\x00\x00\x00\x18ftypmp42" + rng.bytes(16 + i % 32)
+    if mode.startswith("jpeg"):
+        h, w = 8 + i % 9, 8 + (i // 3) % 9
+        jpg = encode_jpeg(
+            rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8), quality=85
+        )
+        if mode == "jpeg_ok":
+            return jpg
+        if mode == "jpeg_trunc_entropy":
+            # cut inside the entropy-coded segment (ValueError)
+            return jpg[: len(jpg) - 10 - (i % 20)]
+        if mode == "jpeg_progressive":
+            # flip SOF0 -> SOF2: the documented progressive boundary
+            return jpg.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        raise AssertionError(mode)
     if mode == "wav_ok":
         n = 32 + (i % 64)
         sig = rng.randint(-3000, 3000, size=n).astype(np.int16)
