@@ -241,6 +241,69 @@ def extract_features_robust(
     return src.mapInPandas(run, IMAGE_FEATURES_ROBUST_SCHEMA)
 
 
+VIDEO_PROBE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("brand", StringType(), True),
+        StructField("duration_ms", DoubleType(), True),
+        StructField("n_tracks", IntegerType(), True),
+        StructField("handler0", StringType(), True),
+        StructField("codec0", StringType(), True),
+        StructField("probe_error", StringType(), True),
+    ]
+)
+
+
+def probe_video_metadata(media: DataFrame) -> DataFrame:
+    """Container-level video metadata, distributed — the routing pass
+    a training pipeline runs BEFORE any expensive frame decode: brand,
+    duration, track count, first track's handler + codec fourcc, all
+    parsed from the ISO-BMFF box structure (functions/mp4.py, from
+    spec — no codec library). Frame DECODE remains the documented
+    external-library boundary; this makes everything up to that
+    boundary a measured, per-row-quarantined quantity, exactly like
+    ``extract_features_robust`` does for images/audio.
+
+    Same Arrow/mapInPandas shape: the payload is pruned from the
+    output; a malformed container costs one row (``probe_error``
+    set), never the stage."""
+    import struct as _struct
+
+    from diagnosisextraction_ml_spark.functions.mp4 import probe_mp4
+
+    _ROW_FAULTS = (NotImplementedError, ValueError, OSError, _struct.error)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                if p is None:
+                    rows.append((aid, None, None, None, None, None, "null payload"))
+                    continue
+                try:
+                    meta = probe_mp4(bytes(p))
+                    t0 = meta["tracks"][0] if meta["tracks"] else {}
+                    rows.append(
+                        (aid, meta["brand"], meta["duration_ms"],
+                         meta["n_tracks"], t0.get("handler"), t0.get("codec"),
+                         None)
+                    )
+                except _ROW_FAULTS as e:
+                    rows.append(
+                        (aid, None, None, None, None, None,
+                         f"{type(e).__name__}: {e}"[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "brand", "duration_ms", "n_tracks",
+                         "handler0", "codec0", "probe_error"],
+            )
+
+    return media.select("asset_id", "payload").mapInPandas(
+        run, VIDEO_PROBE_SCHEMA
+    )
+
+
 def frame_sample_plan(
     media: DataFrame, every_ms: float = 1000.0, max_frames: int = 16
 ) -> DataFrame:

@@ -47,12 +47,16 @@ def register(name: str, sql: str | None):
 # full registry is still verified every round by
 # tools/compare_oracle.py (ORACLE_FULL_r*.txt).
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round 14, slots 1-6: changed this round — mm_decode_health's
-    # frozen fixture grew three BMP corruption modes (the from-spec BMP
-    # codec is new; ground truth regenerated), and the partitioned
-    # layout reads now PIN the fallback schema (event_day stays a
-    # string, partition column kept in derivation position) — the scan
-    # schema changed, so every pruned-layout query re-hashes first.
+    # Round 14, slots 1-7: new or changed this round — mm_video_probe
+    # is NEW (from-spec ISO-BMFF container probe over the frozen video
+    # fixture: first driver row on first appearance);
+    # mm_decode_health's frozen fixture grew BMP + baseline-JPEG
+    # corruption modes (both codecs new from spec; ground truth
+    # regenerated); and the partitioned layout reads now PIN the
+    # fallback schema (event_day stays a string, partition column kept
+    # in derivation position) — the scan schema changed, so every
+    # pruned-layout query re-hashes first.
+    "mm_video_probe",
     "mm_decode_health",
     "rel_q6_revenue_pruned", "events_week_stats_pruned",
     "rel_revenue_dpp_months", "docs_lang_pruned_stats",

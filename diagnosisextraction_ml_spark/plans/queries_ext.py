@@ -1653,6 +1653,70 @@ register(
 )(_mm_decode_health)
 
 
+def _mm_video_fixture_path() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "mm_video_fixture.parquet",
+    )
+
+
+def _mm_video_probe(spark, sf_dir):
+    """Container-probe health over the frozen video fixture: run the
+    from-spec ISO-BMFF metadata parse (functions/mp4.py) distributed
+    through mapInPandas and score brand / duration / track count /
+    codec fourcc / fault class against the ground truth recorded at
+    fixture generation time (tools/gen_mm_video_fixture.py). Video
+    FRAME decode stays the documented external-library boundary; this
+    makes everything up to it — the routing metadata a 100 TB
+    pipeline filters on before shipping bytes to GPU decoders — a
+    measured, hash-pinned quantity. sf-independent (frozen fixture),
+    like mm_decode_health."""
+    from diagnosisextraction_ml_spark.operators import multimodal as mm
+
+    fx = spark.read.parquet(_mm_video_fixture_path())
+    probed = mm.probe_video_metadata(fx.select("asset_id", "payload"))
+    classed = probed.select(
+        "asset_id",
+        "brand",
+        "duration_ms",
+        "n_tracks",
+        "codec0",
+        F.when(F.col("probe_error").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.split(F.col("probe_error"), ": ", 2)[0])
+        .alias("err_class"),
+    )
+    return (
+        fx.select("asset_id", "mode")
+        .join(classed, "asset_id")
+        .groupBy("mode", "err_class", "n_tracks", "codec0")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("duration_ms").cast("decimal(18,3)"))
+            .cast("double")
+            .alias("total_duration_ms"),
+        )
+    )
+
+
+register(
+    "mm_video_probe",
+    f"""
+    SELECT mode,
+           expected_error_class AS err_class,
+           expected_n_tracks AS n_tracks,
+           expected_codec0 AS codec0,
+           count(*) AS n,
+           CAST(sum(CAST(expected_duration_ms AS DECIMAL(18,3))) AS DOUBLE)
+             AS total_duration_ms
+    FROM read_parquet('{_mm_video_fixture_path()}')
+    GROUP BY 1, 2, 3, 4
+    """,
+)(_mm_video_probe)
+
+
 def _pipeline_llm_prep(spark, sf_dir):
     """Composed LLM-training-data prep: quality gate → exact dedup →
     chunking → per-chunk stats. One lazy plan end-to-end: the quality
