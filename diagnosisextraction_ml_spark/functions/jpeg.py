@@ -310,6 +310,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i: 3 + 2 * i]
                 scan.append((cid, tt >> 4, tt & 0xF))
+            if len(scan) != len(frame[2]):
+                # a non-interleaved multi-scan file: decoding only the
+                # first scan would silently return zeroed planes for
+                # the remaining components — refuse loudly instead
+                raise ValueError(
+                    "non-interleaved multi-scan JPEG not supported "
+                    f"(scan has {len(scan)} of {len(frame[2])} components)"
+                )
             return _decode_scan(
                 b, pos + seglen, frame, scan, qtables, htables, restart_interval
             )
@@ -323,6 +331,15 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
     h, w, comps = frame
     if h == 0 or w == 0:
         raise ValueError(f"invalid dimensions {w}x{h}")
+    if h * w > 16_000_000:
+        # A corrupt SOF claiming 65535×65535 would allocate ~10 GB of
+        # planes INSIDE the per-row-quarantined mapInPandas path —
+        # turning a row fault into an executor OOM. This from-spec
+        # path serves fixture/thumbnail payloads; a real >16 MP photo
+        # belongs to a production codec library behind the same hook.
+        raise ValueError(
+            f"{w}x{h} exceeds the from-spec decoder's 16 MP bound"
+        )
     by_id = {c[0]: c for c in comps}
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)

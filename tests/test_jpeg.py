@@ -142,3 +142,25 @@ def test_real_jpeg_decode_through_mapinpandas(spark):
         assert out[i]["decode_error"] is None
         assert tuple(out[i]["feature"]) == tuple(jpeg_feature_decoder(j))
     assert out[9]["feature"] is None and "progressive" in out[9]["decode_error"]
+
+
+def test_multi_scan_and_implausible_dims_refused():
+    """Non-interleaved multi-scan files would silently decode to
+    zeroed chroma; corrupt SOF dimensions would allocate gigabytes
+    inside the quarantined row path — both must be loud ValueErrors."""
+    img = np.full((8, 8, 3), 90, dtype=np.uint8)
+    jpg = bytearray(encode_jpeg(img))
+    # shrink SOS to one component (ns=1): find the SOS marker
+    sos = bytes(jpg).index(b"\xff\xda")
+    one_comp = (
+        bytes(jpg[:sos])
+        + b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00])
+        + b"\x00\x3f\x00" + bytes(jpg[sos + 2 + 12:])
+    )
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(one_comp)
+    # blow up the SOF dimensions (height/width at offsets +3/+5 of SOF0)
+    sof = bytes(jpg).index(b"\xff\xc0")
+    huge = bytes(jpg[:sof + 5]) + struct.pack(">HH", 65000, 65000) + bytes(jpg[sof + 9:])
+    with pytest.raises(ValueError, match="16 MP"):
+        decode_jpeg(huge)
