@@ -22,7 +22,15 @@ from pyspark.sql import DataFrame
 
 def fan_out(df: DataFrame) -> DataFrame:
     """Round-robin ``df`` up to the session's default parallelism when
-    (and only when) it is narrower — see module docstring."""
+    (and only when) it is narrower — see module docstring.
+
+    The width probe (``df.rdd.getNumPartitions()``) compiles the
+    physical plan once, even on the no-op path — bounded because every
+    caller is a once-per-query builder, never a per-row or
+    per-iteration loop (this function is the ONLY width probe in the
+    repo; call it instead of inlining the pattern). If a future hot
+    path needs the decision without plan compilation, derive it from
+    the scan's file listing instead."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)

@@ -682,9 +682,9 @@ def embedding_near_dup_pairs(
     # 1-2 partitions — pinning the CPU-dominant verify to 1-2 cores
     # (the same narrow-scan disease as dedup.shingles; measured 193s at
     # sf1 on ~2 cores). Fan out once; no-op for wide scans.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    from diagnosisextraction_ml_spark.functions.partitioning import fan_out
+
+    df = fan_out(df)
 
     # Norms are per-VECTOR facts: computing them in the side projections
     # (once per row) instead of inside the per-pair cosine cuts the
@@ -1306,9 +1306,9 @@ def _dup_gram_positions(
     # parallelism — a no-op at scale, where a 100 TB scan already has
     # thousands of splits (this is the one place the family shuffles
     # text, and only in the small-input regime).
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    from diagnosisextraction_ml_spark.functions.partitioning import fan_out
+
+    df = fan_out(df)
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
     )
@@ -1530,9 +1530,9 @@ def semantic_dedup(
     # input's parallelism, and a small single-file scan pins them to
     # 1-2 cores. The checkpointed assignment inherits the fanned-out
     # partitioning, so the pair join parallelizes too.
-    parallelism = emb.sparkSession.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < parallelism:
-        emb = emb.repartition(parallelism)
+    from diagnosisextraction_ml_spark.functions.partitioning import fan_out
+
+    emb = fan_out(emb)
     if method == "numpy":
         from diagnosisextraction_ml_spark.operators.similarity import (
             assign_nearest_centroid_numpy,

@@ -70,10 +70,9 @@ def _fan_out(df: DataFrame) -> DataFrame:
     (single-file) scan out to the session default so the CPU isn't
     pinned to 1-2 cores (same guard as dedup.shingle_arrays; no-op for
     wide scans and shuffle-produced inputs)."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
-    return df
+    from diagnosisextraction_ml_spark.functions.partitioning import fan_out
+
+    return fan_out(df)
 
 
 def _bucket_counts(

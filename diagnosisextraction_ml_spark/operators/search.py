@@ -120,9 +120,9 @@ def _scan_term_tf(
             f"(<= {MAX_SCAN_TERMS}). Build a standing index with "
             f"build_bm25_index and score against postings instead."
         )
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
-        docs = docs.repartition(parallelism)
+    from diagnosisextraction_ml_spark.functions.partitioning import fan_out
+
+    docs = fan_out(docs)
     toks = ws_tokens(F.col(text_col))
 
     def _eq(term: str):

@@ -838,9 +838,9 @@ def gram_matrix_quantized(
     # The dim·(dim+1)/2 fan-out runs at the input's parallelism — fan a
     # narrow (single-file) scan out to the session default first (same
     # guard as langid._fan_out; no-op for wide scans).
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    from diagnosisextraction_ml_spark.functions.partitioning import fan_out
+
+    df = fan_out(df)
     ei = df.select(q.alias("q")).select(
         "q", F.posexplode("q").alias("i", "qi")
     )
