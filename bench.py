@@ -4,9 +4,13 @@ Runs each headline query from the registry and forces full execution
 with the ``noop`` sink (computes everything, writes nothing, no
 driver-side collect bottleneck — the honest way to time a plan).
 
-Prints exactly ONE JSON line:
-  {"metric": "total_wall_sec", "value": N, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": 0.1}
+Prints exactly ONE COMPACT JSON line (total, sf, anchor summary, flag
+list — kept well under the driver's ~2000-char output-tail capture;
+r14's full ratio_per_query map outgrew it and the driver recorded
+``parsed: null``). The full per-query timing/ratio detail goes to a
+committed side file ``BENCH_DETAIL_r{N}.json`` so round-over-round
+per-query regression checks survive even when the stdout line is
+truncated.
 """
 
 from __future__ import annotations
@@ -109,6 +113,33 @@ def _check_headline(available):
     missing = [n for n in HEADLINE if n not in available]
     if missing:
         raise SystemExit(f"bench: unknown headline queries {missing}")
+
+
+# Queries certified >2× their DuckDB twin at sf0.1: each carries a
+# citation to the decade table / stage-time audit showing the gap is
+# Spark's fixed multi-stage boundary cost (job launch, shuffle-stage
+# floors) rather than a reducible plan defect, with the ratio falling
+# at scale. A certified row still appears in the detail file's ratio
+# map but is excluded from ``flagged_over_2x`` — the flag list then
+# means "uncertified regression", which is actionable round to round.
+CERTIFIED_FLOORS: dict[str, str] = {}
+
+
+def _detail_path() -> str:
+    """BENCH_DETAIL_r{N}.json for the ROUND BEING RECORDED.
+
+    The driver writes BENCH_r{N}.json *after* running bench.py, so at
+    run time the largest existing BENCH_r*.json is round N-1 — the
+    detail file for this run is N. Falls back to r0 on a fresh tree.
+    """
+    import re
+
+    best = 0
+    for fname in os.listdir(_REPO_ROOT):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
+        if m:
+            best = max(best, int(m.group(1)))
+    return os.path.join(_REPO_ROOT, f"BENCH_DETAIL_r{best + 1}.json")
 
 
 def main() -> int:
@@ -215,7 +246,17 @@ def main() -> int:
                 timings[name] = wall
 
     total = round(sum(timings.values()), 3)
+    # Two artifacts: `out` is the ONE compact stdout line the driver
+    # captures (≤ ~1500 chars); `detail` is the full per-query record
+    # written to BENCH_DETAIL_r{N}.json and committed.
     out = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf,
+    }
+    detail: dict = {
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
@@ -223,14 +264,17 @@ def main() -> int:
         "sf": sf,
     }
     if layout_warmup_sec is not None:
-        out["layout_warmup_sec"] = layout_warmup_sec
+        detail["layout_warmup_sec"] = layout_warmup_sec
     if layout_warmup_failed:
+        detail["layout_warmup_failed"] = layout_warmup_failed
         out["layout_warmup_failed"] = layout_warmup_failed
     if errors:
         # A partial total is NOT comparable to a full round's total —
         # flag it so a silently failing query can't read as a speedup.
-        out["errors"] = errors
+        detail["errors"] = errors
+        out["errors"] = {k: v[:80] for k, v in errors.items()}
         out["partial"] = True
+        detail["partial"] = True
 
     # Self-anchoring: run the same queries' oracle SQL on DuckDB in
     # THIS session and embed total + ratio. Cross-round Spark totals on
@@ -258,28 +302,65 @@ def main() -> int:
                 if anchor["queries"][n] > 0 else None)
             for n in common
         }
-        flagged = sorted(
+        over_2x = sorted(
             n for n, r in ratio_per_query.items()
             if r is not None and r > 2.0
             and timings[n] >= 1.0 and anchor["queries"][n] >= 0.25
         )
-        out["anchor"] = {
+        # certified rows carry a decade-table citation in the detail
+        # file; the stdout flag list holds only UNCERTIFIED rows so a
+        # non-empty list always means "new regression, go look".
+        flagged = [n for n in over_2x if n not in CERTIFIED_FLOORS]
+        certified = {
+            n: CERTIFIED_FLOORS[n] for n in over_2x if n in CERTIFIED_FLOORS
+        }
+        anchor_summary = {
             "duckdb_total_sec": anchor["total"],
             "spark_common_total_sec": spark_common,
             "ratio_spark_over_duckdb": (
                 round(spark_common / anchor["total"], 3) if anchor["total"] else None
             ),
             "n_common": len(common),
-            "skipped_no_oracle": anchor["skipped"],
-            "ratio_per_query": ratio_per_query,
             "flagged_over_2x": flagged,
+            "certified_over_2x": sorted(certified),
         }
+        out["anchor"] = dict(anchor_summary)
+        if anchor["skipped"]:
+            out["anchor"]["skipped_no_oracle"] = anchor["skipped"]
+        detail["anchor"] = dict(anchor_summary)
+        detail["anchor"]["skipped_no_oracle"] = anchor["skipped"]
+        detail["anchor"]["duckdb_per_query"] = anchor["queries"]
+        detail["anchor"]["ratio_per_query"] = ratio_per_query
+        detail["anchor"]["certified_floor"] = certified
         if anchor["errors"]:
-            out["anchor"]["errors"] = anchor["errors"]
+            out["anchor"]["errors"] = {
+                k: v[:80] for k, v in anchor["errors"].items()
+            }
+            detail["anchor"]["errors"] = anchor["errors"]
     except Exception as exc:  # noqa: BLE001 — the anchor must never sink the bench
         out["anchor_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        detail["anchor_error"] = out["anchor_error"]
 
-    print(json.dumps(out))
+    detail_path = _detail_path()
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+        out["detail_file"] = os.path.basename(detail_path)
+    except OSError as exc:  # read-only tree must not sink the bench
+        out["detail_write_error"] = f"{type(exc).__name__}: {exc}"[:120]
+
+    line = json.dumps(out)
+    # Hard guarantee against a repeat of r14's truncation: if the line
+    # somehow outgrows the driver's capture window, shed the optional
+    # keys rather than lose parseability.
+    if len(line) > 1800:
+        for k in ("errors", "layout_warmup_failed"):
+            out.pop(k, None)
+        if "anchor" in out:
+            out["anchor"].pop("errors", None)
+            out["anchor"].pop("skipped_no_oracle", None)
+        line = json.dumps(out)
+    print(line)
     return 0
 
 

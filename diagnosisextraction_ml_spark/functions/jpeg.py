@@ -248,6 +248,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}, got {b[pos]:#x}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — skip them so the marker code is never read as 0xFF.
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1] if pos + 1 < len(b) else None
         if marker is None:
             raise ValueError("truncated at marker prefix")
@@ -343,6 +347,17 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
     by_id = {c[0]: c for c in comps}
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    # Replication upsampling (below) needs integer factors; spec-legal
+    # ratios like 3:2 would floor to 1 and produce a short plane that
+    # crashes np.stack — surface the codec's documented clean fault
+    # instead (same ValueError contract as every other unsupported
+    # frame feature).
+    for cid, ch, cv, _tq in comps:
+        if hmax % ch or vmax % cv:
+            raise ValueError(
+                f"unsupported sampling factors for component {cid}: "
+                f"{ch}x{cv} does not divide frame max {hmax}x{vmax}"
+            )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = {}

@@ -1416,10 +1416,18 @@ def duplicated_span_intervals(
     array needs a global sort of every suffix, where this needs one
     gram-hash frequency agg and a PER-DOCUMENT window).
 
-    Islands are found with gaps-and-islands: within a document the
-    covered positions are ranked (window partitioned BY DOCUMENT —
-    the sort is bounded by document length, never corpus-global) and
-    ``p − rank`` is constant exactly within a run.
+    Islands are found AGGREGATE-FIRST (round 15; the earlier plan
+    exploded each gram into its ``n`` covered positions, ran a
+    corpus-wide ``distinct`` over the 13×-inflated (id, position)
+    rows, then a per-document window — three wide stages): each
+    duplicated gram start is an interval [pos, pos+n−1]; one
+    ``groupBy(id).collect_list(pos)`` shuffles exactly the |dup_pos|
+    rows ONCE, and the interval merge runs as a pure array fold inside
+    the doc row (sorted starts; a new start merges into the running
+    island when it begins at or before island_end + 1 — exactly the
+    gaps-and-islands union of covered positions, at 1/13th the shuffle
+    volume and minus the window sort). Per-doc arrays are bounded by
+    document length, never corpus size.
 
     Output: (id, span_start, span_len) — one row per maximal duplicated
     span, token offsets, ``span_len`` ≥ ``n``. Ref: Lee et al. 2022
@@ -1427,24 +1435,39 @@ def duplicated_span_intervals(
     remove_duplicated_spans, so ``Σ span_len`` per doc equals its
     ``n_removed``.
     """
-    from pyspark.sql import Window
-
     _, dup_pos = _dup_gram_positions(df, text_col, id_col, n, min_count)
-    covered = dup_pos.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("p"),
-    ).distinct()
-    w = Window.partitionBy(id_col).orderBy(F.col("p").asc())
-    islands = covered.select(
-        F.col(id_col), "p", (F.col("p") - F.row_number().over(w)).alias("__g")
+    # one row per doc: sorted duplicated-gram start positions
+    # ((id, pos) is unique by construction: one pos_grams row per
+    # position, freq is unique per gram_hash)
+    starts = dup_pos.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("__ps")
+    )
+    span = n - 1  # each start p covers [p, p + span]
+
+    def _iv(s, e):
+        return F.struct(s.cast("long").alias("s"), e.cast("long").alias("e"))
+
+    head = F.col("__ps")[0]
+    merged = F.aggregate(
+        F.slice(F.col("__ps"), 2, F.size("__ps") - 1),
+        F.array(_iv(head, head + span)),
+        lambda acc, p: F.when(
+            p <= F.element_at(acc, -1).getField("e") + 1,
+            # extend the running island (starts ascend, so the new end
+            # p+span can only grow it)
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(_iv(F.element_at(acc, -1).getField("s"), p + span)),
+            ),
+        ).otherwise(F.concat(acc, F.array(_iv(p, p + span)))),
     )
     return (
-        islands.groupBy(id_col, "__g")
-        .agg(
-            F.min("p").cast("long").alias("span_start"),
-            F.count(F.lit(1)).alias("span_len"),
+        starts.select(F.col(id_col), F.explode(merged).alias("__iv"))
+        .select(
+            F.col(id_col),
+            F.col("__iv.s").alias("span_start"),
+            (F.col("__iv.e") - F.col("__iv.s") + 1).alias("span_len"),
         )
-        .select(F.col(id_col), "span_start", "span_len")
     )
 
 
@@ -1513,6 +1536,16 @@ def semantic_dedup(
         kmeans_centroids,
         nearest_centroid_expr,
     )
+
+    if assign_probe is not None and method != "numpy":
+        # The expr path has no pruned branch — silently falling back to
+        # exact assignment would hand a caller tuning for the third
+        # decade an unexpected n·k matrix.
+        raise ValueError(
+            "assign_probe requires method='numpy' (the expr parity path "
+            "has no IVF-pruned assignment); got "
+            f"method={method!r}, assign_probe={assign_probe}"
+        )
 
     cents = kmeans_centroids(
         emb,

@@ -39,22 +39,30 @@ partitioned layout builds in plans/queries.py):
   the pointer from the newest complete version on the next call.
 
 WRITER CONTRACT: writers must be quiesced during compaction. The
-rewrite is a point-in-time snapshot of the current version; files
-appended to the live tree after the snapshot read are not part of the
-new version (they survive in the retained previous version until it
-is pruned, so a violation is detectable and recoverable — not silent —
-but the only supported mode is stop-writers, compact, resume).
+rewrite is a point-in-time snapshot of the current version. The
+contract is ENFORCED, not just documented: the source tree's file
+census (relative path + size) is recorded at snapshot time and
+re-listed immediately before the pointer flip; any new or resized
+file aborts the compaction (staged tree discarded, live tree
+untouched), so a violating writer loses nothing and the violation is
+an error, never a silent row loss into the pruned-version window.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 _VERSIONS_SUFFIX = ".versions"
+
+#: A concurrent compactor's staging dir is only swept when its owner
+#: pid is gone OR it has sat untouched this long (belt for recycled
+#: pids / remote-pid stores where os.kill can't see the owner).
+_STAGE_STALE_SEC = 6 * 3600
 
 
 def _versions_root(path: str) -> str:
@@ -122,6 +130,64 @@ def partition_file_stats(path: str, part_col: str) -> dict[str, tuple[int, int]]
     return out
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def _sweep_stale_stages(vroot: str) -> None:
+    """Remove staging debris from CRASHED or FINISHED compactors only.
+
+    A live concurrent compactor's ``.stage.<pid>`` directory must be
+    left alone — this module advertises concurrent-compactor tolerance
+    (lost_race_to_peer), and rmtree'ing a peer's in-flight staging tree
+    would fail its Spark write or recount with a raw error instead of
+    a graceful lost race. A dir is debris when its embedded pid is no
+    longer alive, or (recycled-pid belt) it has not been modified for
+    ``_STAGE_STALE_SEC``. Our own pid's leftovers are always swept.
+    """
+    now = time.time()
+    for d in os.listdir(vroot):
+        if not d.startswith(".stage."):
+            continue
+        full = os.path.join(vroot, d)
+        pid_s = d[len(".stage."):]
+        if pid_s.isdigit():
+            pid = int(pid_s)
+            if pid == os.getpid():
+                shutil.rmtree(full, ignore_errors=True)
+                continue
+            if _pid_alive(pid):
+                try:
+                    fresh = now - os.path.getmtime(full) < _STAGE_STALE_SEC
+                except OSError:
+                    fresh = True
+                if fresh:
+                    continue  # live peer mid-compaction — hands off
+        shutil.rmtree(full, ignore_errors=True)
+
+
+def _file_census(path: str) -> dict[str, int]:
+    """{relative data-file path: size} under ``path`` (symlink target
+    walked). The writer-guard's snapshot unit: any file that appears
+    or changes size between snapshot and publish means a writer broke
+    the quiesce contract."""
+    out: dict[str, int] = {}
+    root = os.path.realpath(path)
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for f in filenames:
+            if f.startswith(("_", ".")):
+                continue  # _SUCCESS, hidden markers — not data
+            full = os.path.join(dirpath, f)
+            out[os.path.relpath(full, root)] = os.path.getsize(full)
+    return out
+
+
 def _count_rows(spark: SparkSession, path: str) -> int:
     """Row count of a parquet tree (isolated so the verification step
     is independently testable/monkeypatchable)."""
@@ -147,14 +213,18 @@ def compact_partitioned(
     src = current_version_dir(path)
     before = partition_file_stats(src, part_col)
     files_before = sum(n for n, _ in before.values())
+    # WRITER-GUARD census: snapshot the source tree's file set now;
+    # re-listed just before publish. A writer violating the quiesce
+    # contract is then an ABORT, not a silent row loss into the
+    # retained-version window.
+    census0 = _file_census(src)
     rows = _count_rows(spark, src)
 
     vroot = _versions_root(path)
     os.makedirs(vroot, exist_ok=True)
-    # sweep stale staging debris from crashed/finished peers
-    for d in os.listdir(vroot):
-        if d.startswith(".stage."):
-            shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
+    # sweep staging debris from crashed/finished peers only — a LIVE
+    # peer's stage dir is protected (pid liveness + mtime staleness)
+    _sweep_stale_stages(vroot)
 
     existing = _list_versions(vroot)
     nxt = (int(existing[-1][1:]) if existing else 0) + 1
@@ -180,6 +250,21 @@ def compact_partitioned(
         raise RuntimeError(
             f"compaction aborted: staged tree has {staged_rows} rows, "
             f"snapshot had {rows}; live tree at {path} is untouched"
+        )
+    # WRITER-GUARD check: re-list the source tree just before the flip.
+    # Any file added or resized since the snapshot means a writer broke
+    # the quiesce contract — abort so its rows can't silently land only
+    # in the soon-to-be-pruned previous version.
+    census1 = _file_census(src)
+    if census1 != census0:
+        changed = sorted(
+            set(census1.items()) ^ set(census0.items())
+        )[:5]
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            "compaction aborted: source tree changed after the snapshot "
+            f"(writer contract violated; first diffs: {changed}); live "
+            f"tree at {path} is untouched"
         )
     newdir = os.path.join(vroot, f"v{nxt:06d}")
     try:

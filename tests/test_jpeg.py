@@ -164,3 +164,30 @@ def test_multi_scan_and_implausible_dims_refused():
     huge = bytes(jpg[:sof + 5]) + struct.pack(">HH", 65000, 65000) + bytes(jpg[sof + 9:])
     with pytest.raises(ValueError, match="16 MP"):
         decode_jpeg(huge)
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker code — a spec-legal padded file must decode identically to
+    the unpadded one (ADVICE r14)."""
+    img = np.full((16, 16, 3), 120, dtype=np.uint8)
+    img[4:12, 4:12] = 60
+    jpg = encode_jpeg(img, quality=90)
+    dqt = jpg.index(b"\xff\xdb")
+    padded = jpg[:dqt] + b"\xff\xff\xff" + jpg[dqt:]  # 3 fill bytes
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(jpg))
+
+
+def test_non_divisible_sampling_factors_refused_cleanly():
+    """Spec-legal sampling ratios the replication upsampler can't
+    express (3:2) must surface the codec's documented ValueError, not
+    an np.stack shape crash (ADVICE r14)."""
+    img = np.full((16, 16, 3), 90, dtype=np.uint8)
+    jpg = bytearray(encode_jpeg(img))
+    sof = bytes(jpg).index(b"\xff\xc0")
+    # SOF0: marker(2) len(2) prec(1) h(2) w(2) ncomp(1), then per
+    # component cid(1) HV(1) tq(1); 4:4:4 encoder writes HV=0x11
+    jpg[sof + 10 + 1] = 0x33  # comp 1 -> 3x3
+    jpg[sof + 13 + 1] = 0x22  # comp 2 -> 2x2; 3 % 2 != 0
+    with pytest.raises(ValueError, match="unsupported sampling"):
+        decode_jpeg(bytes(jpg))

@@ -242,3 +242,92 @@ def test_concurrent_compactor_loser_discards_and_reads_winner(
     vroot = path + ".versions"
     assert not [d for d in os.listdir(vroot) if d.startswith(".stage.")]
     assert res1["version"] >= 2
+
+
+def test_stage_sweep_spares_live_peer_and_removes_dead(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r14 (medium): the pre-compaction staging sweep must not
+    rmtree a LIVE concurrent compactor's stage dir — only dirs whose
+    owner pid is dead, stale beyond the threshold, or our own."""
+    import subprocess
+    import sys
+    import time as _time
+
+    import diagnosisextraction_ml_spark.sources.maintenance as m
+
+    path = _fragmented_events(spark, sf_dir, tmp_path)
+    vroot = path + ".versions"
+    os.makedirs(vroot, exist_ok=True)
+
+    # live peer: the pytest parent process is alive and is not us
+    live = os.path.join(vroot, f".stage.{os.getppid()}")
+    os.makedirs(live)
+    (open(os.path.join(live, "inflight.parquet"), "w")).close()
+
+    # dead peer: a subprocess that has already exited
+    proc = subprocess.Popen([sys.executable, "-c", "pass"])
+    proc.wait()
+    dead = os.path.join(vroot, f".stage.{proc.pid}")
+    os.makedirs(dead)
+
+    # stale-but-unkillable peer (pid 1 exists but isn't ours): swept
+    # via the mtime belt once past the staleness threshold
+    stale = os.path.join(vroot, ".stage.1")
+    os.makedirs(stale)
+    old = _time.time() - m._STAGE_STALE_SEC - 60
+    os.utime(stale, (old, old))
+
+    res = compact_partitioned(spark, path, "event_day")
+    assert res["files_after"] < res["files_before"]
+    assert os.path.isdir(live), "live peer's staging dir was swept"
+    assert not os.path.isdir(dead)
+    assert not os.path.isdir(stale)
+
+
+def test_writer_violation_between_snapshot_and_flip_aborts(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r14 #8 done-criterion: a concurrent append landing
+    between the snapshot and the pointer flip ABORTS the compaction
+    (live tree untouched, appended file preserved) instead of silently
+    stranding the new rows in the soon-to-be-pruned version."""
+    import shutil as _shutil
+
+    import diagnosisextraction_ml_spark.sources.maintenance as m
+
+    path = _fragmented_events(spark, sf_dir, tmp_path)
+
+    real_count = m._count_rows
+    state = {"n": 0, "violator": None}
+
+    def appending_count(spark_, p):
+        state["n"] += 1
+        if state["n"] == 2:
+            # the staged recount runs after the snapshot and before the
+            # publish census — append a file to the LIVE tree here,
+            # exactly the writer-contract violation window
+            part = next(
+                d for d in os.listdir(path) if d.startswith("event_day=")
+            )
+            src_file = next(
+                f
+                for f in os.listdir(os.path.join(path, part))
+                if f.endswith(".parquet")
+            )
+            state["violator"] = os.path.join(
+                path, part, "part-violator.parquet"
+            )
+            _shutil.copyfile(
+                os.path.join(path, part, src_file), state["violator"]
+            )
+        return real_count(spark_, p)
+
+    monkeypatch.setattr(m, "_count_rows", appending_count)
+    with pytest.raises(RuntimeError, match="writer contract violated"):
+        compact_partitioned(spark, path, "event_day")
+    assert not os.path.islink(path)  # live tree never replaced
+    assert os.path.exists(state["violator"])  # violator lost nothing
+    vroot = path + ".versions"
+    assert not [d for d in os.listdir(vroot) if d.startswith(".stage.")]
+    assert not [d for d in os.listdir(vroot) if d.startswith("v")]

@@ -682,3 +682,17 @@ def test_assign_pruned_empty_probed_cells_fall_back_to_exact(spark, monkeypatch)
     }
     assert got[1] == 2  # fallback found the true nearest, not index 0
     assert got[2] == 0
+
+
+def test_semantic_dedup_rejects_probe_on_expr_path(spark):
+    """ADVICE r14: assign_probe with method='expr' used to be silently
+    ignored (exact assignment, no warning) — now a loud ValueError."""
+    import pytest as _pytest
+
+    from diagnosisextraction_ml_spark.operators.dedup import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="assign_probe requires"):
+        semantic_dedup(emb, k=2, iters=1, method="expr", assign_probe=2)

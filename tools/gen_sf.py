@@ -44,7 +44,18 @@ def main() -> int:
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
-    vary = bool(sys.argv[5]) if len(sys.argv) > 5 else False
+    # explicit parse: bool('0') is True, so the old bool(argv[5]) made
+    # '0'/'false'/'no' silently ENABLE variation
+    if len(sys.argv) > 5:
+        arg = sys.argv[5].lower()
+        if arg in ("1", "true", "vary", "yes"):
+            vary = True
+        elif arg in ("0", "false", "no", ""):
+            vary = False
+        else:
+            raise SystemExit(f"gen_sf: unrecognized vary flag {sys.argv[5]!r}")
+    else:
+        vary = False
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import functions as F
