@@ -51,6 +51,31 @@ BROADCAST_MAX_BYTES = 10 * MB
 # bucket files want the same ~128 MB-1 GB band as any parquet split
 TARGET_BUCKET_BYTES = 512 * MB
 
+# --- SemDeDup sizing (PERF.md round 14) ------------------------------------
+# The registry constant k=32 was measured DEAD at the third decade
+# (pipeline_text_semdedup killed at 1500 s on the 5M-doc corpus: the
+# in-cluster pair scan is ~n²/k cosines). The measured fix is k ∝ n at
+# ~2000 docs/cluster (sf10 k=250 → 29.3 s; sf100 k=2500 → 320.9 s) —
+# which tracks the paper's c ≈ √n cluster-size rule within ~3× at the
+# measured decades. Above ~1M rows the n·k assignment matrix becomes
+# the next wall; the IVF-pruned assignment (probe=8) cut sf100 from
+# 320.9 s to 175.6 s with ≥95% agreement / ≤0.10 cosine regret pinned.
+SEMDEDUP_DOCS_PER_CLUSTER = 2000
+SEMDEDUP_MIN_K = 32
+SEMDEDUP_PRUNE_MIN_K = 64  # below this, m=⌈√k⌉ < 8 cells: nothing to prune
+SEMDEDUP_PRUNE_MIN_ROWS = 1_000_000  # the decade where n·k is the wall
+SEMDEDUP_DEFAULT_PROBE = 8
+
+# --- Compaction cadence (PERF.md round 14) ----------------------------------
+# Compacting the fragmented streaming-sink tree (1,920 → 30 files) made
+# the full scan 4.7× faster; the rewrite cost ≈ 5 full scans of the
+# compacted tree on warm local disk. On a cold object store the
+# per-file overhead (HTTP round-trip per open) is the term that
+# explodes, so payback needs strictly fewer scans — conservatively 2.
+COMPACTION_PAYBACK_SCANS_LOCAL = 5
+COMPACTION_PAYBACK_SCANS_OBJECT_STORE = 2
+COMPACTION_MIN_FILES_PER_PARTITION = 2  # ≤1 file/dir: nothing to merge
+
 
 @dataclass(frozen=True)
 class LayoutAdvice:
@@ -81,6 +106,115 @@ def suggest_n_buckets(total_bytes: int) -> int:
     while n < want and n < 4096:
         n *= 2
     return n
+
+
+@dataclass(frozen=True)
+class SemDeDupAdvice:
+    """Measured SemDeDup sizing for a corpus of ``n_rows`` embeddings."""
+
+    k: int  # cluster count (k ∝ n, ~2000 docs/cluster)
+    assign_probe: int | None  # IVF nprobe; None = exact assignment
+    regime: str  # 'win' | 'exact_is_fine'
+    reason: str
+
+
+def advise_semdedup(n_rows: int, exact_replay: bool = False) -> SemDeDupAdvice:
+    """SemDeDup sizing — the round-14 measurements as a decision rule.
+
+    ``k = max(32, n // 2000)`` (k ∝ n): the fixed registry constant
+    k=32 was measured DEAD at the third decade (pipeline_text_semdedup
+    killed at 1500 s on 5M docs — the in-cluster pair scan is ~n²/k);
+    k ∝ n restored sublinearity (sf10 29.3 s, sf100 320.9 s). This
+    tracks the paper's c ≈ √n cluster-size rule within ~3× at the
+    measured decades.
+
+    ``assign_probe``: above ~1M rows the n·k assignment matrix is the
+    next wall (~85% of cluster+dedup cost at sf100); the IVF-pruned
+    assignment with probe=8 cut sf100 320.9 → 175.6 s with ≥95%
+    agreement / ≤0.10 cosine regret test-pinned. Below that decade —
+    or whenever k < ``SEMDEDUP_PRUNE_MIN_K`` (m = ⌈√k⌉ < 8 meta-cells:
+    nothing to prune) — the exact path is already fine and approximate
+    assignment buys nothing.
+
+    ``exact_replay=True`` (oracle/registry twins, bit-exact
+    replayability required): always exact assignment — the probed path
+    is approximate by construction except at probe=m.
+    """
+    k = max(SEMDEDUP_MIN_K, n_rows // SEMDEDUP_DOCS_PER_CLUSTER)
+    if exact_replay:
+        return SemDeDupAdvice(
+            k, None, "exact_is_fine",
+            f"exact replay requested: k={k} (k ∝ n), exact assignment "
+            "so the DuckDB twin replays bit-for-bit",
+        )
+    if n_rows >= SEMDEDUP_PRUNE_MIN_ROWS and k >= SEMDEDUP_PRUNE_MIN_K:
+        return SemDeDupAdvice(
+            k, SEMDEDUP_DEFAULT_PROBE, "win",
+            f"n={n_rows}: the n·k assignment matrix is the measured "
+            f"wall (85% of cluster+dedup at sf100); probe="
+            f"{SEMDEDUP_DEFAULT_PROBE} cut 320.9→175.6 s with pinned "
+            "≥95% agreement",
+        )
+    return SemDeDupAdvice(
+        k, None, "exact_is_fine",
+        f"n={n_rows} below the measured n·k wall (1M rows) or k={k} "
+        f"too small to prune (m=⌈√k⌉ < 8 cells): exact assignment",
+    )
+
+
+@dataclass(frozen=True)
+class CompactionAdvice:
+    """Whether compacting a fragmented partitioned tree pays now."""
+
+    compact: bool
+    regime: str  # 'win' | 'skip'
+    reason: str
+
+
+def advise_compaction(
+    n_files: int,
+    n_partitions: int,
+    expected_full_scans: int,
+    object_store: bool = False,
+) -> CompactionAdvice:
+    """Compaction cadence — the round-14 measurement as a decision rule.
+
+    Compacting the fragmented streaming-sink tree (1,920 files over 30
+    day-directories → 30) made the full scan 4.7× faster; the rewrite
+    cost ≈ ``COMPACTION_PAYBACK_SCANS_LOCAL`` (5) full scans of the
+    compacted tree on warm local disk. Per-file open overhead is the
+    term that explodes on a cold object store (an HTTP round-trip per
+    footer), so payback there needs strictly fewer scans
+    (``COMPACTION_PAYBACK_SCANS_OBJECT_STORE`` = 2, conservative).
+    Compact when the tree is actually fragmented (≥2 files/partition
+    on average) AND you expect at least the payback number of full
+    scans before the next fragmentation cycle.
+    """
+    payback = (
+        COMPACTION_PAYBACK_SCANS_OBJECT_STORE
+        if object_store
+        else COMPACTION_PAYBACK_SCANS_LOCAL
+    )
+    files_per_part = n_files / max(1, n_partitions)
+    if files_per_part < COMPACTION_MIN_FILES_PER_PARTITION:
+        return CompactionAdvice(
+            False, "skip",
+            f"~{files_per_part:.1f} files/partition: already compact, "
+            "a rewrite buys nothing",
+        )
+    if expected_full_scans >= payback:
+        return CompactionAdvice(
+            True, "win",
+            f"{n_files} files over {n_partitions} partitions and "
+            f"≥{payback} expected scans: rewrite cost ≈ {payback} "
+            "scans (measured 4.7× scan speedup at 1,920→30 files; "
+            f"object_store={object_store})",
+        )
+    return CompactionAdvice(
+        False, "skip",
+        f"only {expected_full_scans} expected scans < payback "
+        f"{payback}: the rewrite costs more than it saves this cycle",
+    )
 
 
 def advise_layout(

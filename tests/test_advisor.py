@@ -116,3 +116,49 @@ def test_suggest_n_buckets_power_of_two_band():
     assert nb == 4096  # capped: 100 TB / 4096 = ~25 GB buckets — the
     # cap keeps bucket COUNT sane; combined layouts split further by
     # partition directories
+
+
+# --- round 15: semdedup sizing + compaction cadence (VERDICT r14 #5) -------
+
+
+def test_semdedup_k_proportional_to_n():
+    from diagnosisextraction_ml_spark.sources.advisor import advise_semdedup
+
+    # the sf100 corpus that killed k=32: 5M docs -> k=2500 (measured
+    # 320.9s vs KILLED at 1500s)
+    assert advise_semdedup(5_000_000).k == 2500
+    # sf10: 500k docs -> k=250 (measured 29.3s)
+    assert advise_semdedup(500_000).k == 250
+    # the floor: small corpora keep the registry constant
+    assert advise_semdedup(10_000).k == 32
+
+
+def test_semdedup_probe_thresholds():
+    from diagnosisextraction_ml_spark.sources.advisor import (
+        SEMDEDUP_DEFAULT_PROBE,
+        SEMDEDUP_PRUNE_MIN_ROWS,
+        advise_semdedup,
+    )
+
+    # at the measured n·k wall: pruned assignment with probe=8
+    a = advise_semdedup(5_000_000)
+    assert a.assign_probe == SEMDEDUP_DEFAULT_PROBE and a.regime == "win"
+    # one row under the wall: exact
+    b = advise_semdedup(SEMDEDUP_PRUNE_MIN_ROWS - 1)
+    assert b.assign_probe is None and b.regime == "exact_is_fine"
+    # oracle replay always exact, any size
+    c = advise_semdedup(5_000_000, exact_replay=True)
+    assert c.assign_probe is None and c.k == 2500
+
+
+def test_compaction_payback_thresholds():
+    from diagnosisextraction_ml_spark.sources.advisor import advise_compaction
+
+    # the measured case: 1,920 files / 30 partitions, payback = 5 scans
+    assert advise_compaction(1920, 30, expected_full_scans=5).compact
+    assert not advise_compaction(1920, 30, expected_full_scans=4).compact
+    # object store: payback strictly fewer (2)
+    assert advise_compaction(1920, 30, 2, object_store=True).compact
+    assert not advise_compaction(1920, 30, 1, object_store=True).compact
+    # an already-compact tree never rewrites, whatever the scan count
+    assert not advise_compaction(30, 30, 100).compact
