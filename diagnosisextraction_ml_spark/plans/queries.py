@@ -47,51 +47,23 @@ def register(name: str, sql: str | None):
 # full registry is still verified every round by
 # tools/compare_oracle.py (ORACLE_FULL_r*.txt).
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round 14, slots 1-7: new or changed this round — mm_video_probe
-    # is NEW (from-spec ISO-BMFF container probe over the frozen video
-    # fixture: first driver row on first appearance);
-    # mm_decode_health's frozen fixture grew BMP + baseline-JPEG
-    # corruption modes (both codecs new from spec; ground truth
-    # regenerated); and the partitioned layout reads now PIN the
-    # fallback schema (event_day stays a string, partition column kept
-    # in derivation position) — the scan schema changed, so every
-    # pruned-layout query re-hashes first.
-    "mm_video_probe",
-    "mm_decode_health",
-    "rel_q6_revenue_pruned", "events_week_stats_pruned",
-    "rel_revenue_dpp_months", "docs_lang_pruned_stats",
-    "rel_q12_priority_lines_bucketed_pruned",
-    # Slots 7-32: the round-9-stale tier — the 26 rows whose newest
-    # driver green dates to CORRECTNESS_r09 (r13 verdict item 2; all
-    # re-verified in the full local gate, this is driver-hash
-    # freshness).
-    "pipeline_corpus_gate", "pipeline_search_rerank",
-    "pipeline_text_semdedup", "prep_mixture_resample",
-    "prep_stratified_sample", "prep_weighted_sample_es",
-    "qc_expectations_orders", "qc_key_skew_events",
-    "qc_profile_documents", "qc_table_checksum", "rel_grouping_sets",
-    "rel_pivot_event_counts", "rel_unpivot_part_attrs",
-    "rollup_incremental_hourly", "scd2_order_priority",
-    "stream_cusum_state", "stream_hourly_distinct",
-    "text_kl_divergence", "text_mojibake_fixed", "text_nfc_normalized",
-    "text_zipf_slope", "ts_anomaly_hourly", "ts_trend_ols",
-    "upsert_latest_state", "upsert_snapshot_diff",
-    "zorder_morton_codes",
-    # Slots 33-50: first 18 of the 45-row round-10-stale tier (name
-    # order); the remaining 27 lead the round-15 rotation.
-    "ab_proportion_test", "decontam_winnow_overlap",
-    "dedup_containment_pairs", "dedup_dup_gram_stats",
-    "dsir_gumbel_topk", "dsir_logratio_weights", "emb_gram_upper",
-    "events_attribution", "events_markov_transitions",
-    "events_peak_concurrency", "feat_target_encode_loo",
-    "filter_ccnet_buckets", "graph_triangle_doulion",
-    "langid_char_ngram", "lm_bigram_logprob", "lm_trigram_interp",
-    "mix_doremi_weights", "mm_extract_features",
-    # Slots 51+ (overflow into round 15's gate): rest of the
-    # round-10 tier.
-    "pipeline_llm_prep", "pipeline_search_rrf", "qc_benford_digits",
-    "qc_corr_matrix", "qc_gini_revenue", "qc_quantile_norm",
-    "qc_source_scorecard", "quality_token_logodds",
+    # Round 15, slots 1-3: new or plan-changed this round —
+    # dedup_semantic_pruned (NEW: the scale-safe semdedup
+    # configuration, k ∝ n + IVF-pruned assignment at probe=m, first
+    # driver row on first appearance; VERDICT r14 #3);
+    # pipeline_llm_prep_mm_gated (NEW: the multimodal probes composed
+    # into the llm-prep gate; VERDICT r14 #7); dedup_span_intervals
+    # (plan REWRITTEN aggregate-first — re-hash first).
+    "dedup_semantic_pruned",
+    "pipeline_llm_prep_mm_gated",
+    "dedup_span_intervals",
+    # Slots 4-31: the round-10-stale tier — the 28 rows whose newest
+    # driver green dates to CORRECTNESS_r10 (r14 verdict item 6; all
+    # re-verified in the full local gate every round, this is
+    # driver-hash freshness).
+    "mm_extract_features", "pipeline_llm_prep", "pipeline_search_rrf",
+    "qc_benford_digits", "qc_corr_matrix", "qc_gini_revenue",
+    "qc_quantile_norm", "qc_source_scorecard", "quality_token_logodds",
     "rel_q10_returned_topk", "rel_q12_priority_lines",
     "rel_q14_promo_share", "rel_q18_big_orders",
     "rel_q19_or_predicates", "rel_q4_priority_exists",
@@ -100,6 +72,16 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "stream_sliding_counts", "text_fertility_stats", "text_pmi_pairs",
     "text_script_profile", "text_typo_corrected",
     "text_winnow_fingerprints", "ts_cusum_drift", "ts_robust_stats",
+    # Slots 32-50: first 19 of the 45-row round-11-stale tier (name
+    # order); the remaining 26 lead the round-16 rotation.
+    "asof_events_value", "dedup_embedding_near", "dedup_exact_groups",
+    "dedup_first_seen_1h", "dedup_incremental_near",
+    "dedup_jaccard_pairs", "dedup_lsh_band_pairs",
+    "dedup_minhash_sigs", "dedup_simhash_sigs", "doc_repetition_stats",
+    "emb_pca_project", "eval_auc_rank", "eval_confusion_scores",
+    "eval_curve_by_threshold", "eval_threshold_search",
+    "eval_youden_cutoff", "events_attribution_linear",
+    "events_sessionize", "interval_events_30min",
 )
 
 

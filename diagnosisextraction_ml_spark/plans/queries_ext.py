@@ -1771,6 +1771,124 @@ def _pipeline_llm_prep_sql() -> str:
 register("pipeline_llm_prep", _pipeline_llm_prep_sql())(_pipeline_llm_prep)
 
 
+_MM_GATE_DUR_CAP_MS = 1500.0  # drop over-long assets (50 of the 80
+# decodable fixture videos clear it — the cap must actually bite)
+
+
+def _pipeline_llm_prep_mm_gated(spark, sf_dir):
+    """VERDICT r14 #7: the multimodal probes as a PIPELINE STAGE, not
+    just monitoring — a composed multimodal LLM-prep in which the
+    decode/probe outcomes FILTER the corpus before the text stages.
+
+    Every document carries two attachments (deterministic fixture
+    routing: image = doc_id % 600, video = doc_id % 240 — the frozen
+    corpora from mm_decode_health / mm_video_probe). The gate keeps a
+    document only if its image DECODES under the real from-spec codecs
+    (sniffing_decoder via extract_features_robust) and its video
+    PROBES clean (ISO-BMFF parse) with duration ≤ 1.5 s (the over-long
+    drop). Survivors then run the standard llm-prep tail: quality gate
+    → exact dedup → chunking. Both probe passes are Arrow-batched
+    mapInPandas over a broadcast-size fixture; at 100 TB the same plan
+    shape holds — the decode gate is a per-row map + a semi-join of
+    asset verdicts, pruning BEFORE the chunk fan-out multiplies rows.
+
+    The oracle replays the gates from the fixtures' generation-time
+    ground truth (expected_error_class / expected_duration_ms), so any
+    drift between the distributed decode path and the recorded
+    outcomes breaks the hash — same doctrine as mm_decode_health."""
+    from diagnosisextraction_ml_spark.operators import multimodal as mm
+    from diagnosisextraction_ml_spark.operators.textstats import (
+        chunk_documents,
+        quality_score,
+        token_count_ws,
+    )
+
+    fx = spark.read.parquet(_mm_fixture_path())
+    img_ok = (
+        mm.extract_features_robust(
+            fx.select("asset_id", "payload"), decoder=mm.sniffing_decoder
+        )
+        .filter(F.col("decode_error").isNull())
+        .select(F.col("asset_id").alias("__img_asset"))
+    )
+    vfx = spark.read.parquet(_mm_video_fixture_path())
+    vid_ok = (
+        mm.probe_video_metadata(vfx.select("asset_id", "payload"))
+        .filter(
+            F.col("probe_error").isNull()
+            & (F.col("duration_ms") <= F.lit(_MM_GATE_DUR_CAP_MS))
+        )
+        .select(F.col("asset_id").alias("__vid_asset"))
+    )
+
+    docs = _dup_union(spark, sf_dir)
+    attached = docs.select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % 600).alias("__img_asset"),
+        (F.col("doc_id") % 240).alias("__vid_asset"),
+    )
+    # asset verdicts are fixture-bounded (≤600 rows) — broadcast semi
+    gated_mm = attached.join(
+        F.broadcast(img_ok), "__img_asset", "left_semi"
+    ).join(F.broadcast(vid_ok), "__vid_asset", "left_semi")
+
+    gated = gated_mm.filter(quality_score(F.col("text")) >= 0.3)
+    deduped = dedup.dedup_exact(
+        gated.select("doc_id", "text"), "text", "doc_id"
+    )
+    chunks = chunk_documents(deduped, chunk_tokens=_CHUNK, overlap=_OVERLAP)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        token_count_ws(F.col("chunk")).alias("n_tokens_check"),
+    )
+
+
+def _pipeline_llm_prep_mm_gated_sql() -> str:
+    toks = _toks_sql("text")
+    fp = "md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH img_ok AS (
+      SELECT asset_id FROM read_parquet('{_mm_fixture_path()}')
+      WHERE expected_error_class IS NULL
+    ), vid_ok AS (
+      SELECT asset_id FROM read_parquet('{_mm_video_fixture_path()}')
+      WHERE expected_error_class IS NULL
+        AND expected_duration_ms <= {_MM_GATE_DUR_CAP_MS!r}
+    ),
+    corpus AS ({_DUP_UNION_SQL}),
+    mm_gated AS (
+      SELECT doc_id, text FROM corpus
+      WHERE (doc_id % 600) IN (SELECT asset_id FROM img_ok)
+        AND (doc_id % 240) IN (SELECT asset_id FROM vid_ok)
+    ),
+    gated AS (SELECT doc_id, text FROM mm_gated WHERE {_quality_sql('text')} >= 0.3),
+    sole AS (SELECT doc_id, text FROM gated
+             QUALIFY row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) = 1),
+    t AS (SELECT doc_id, {toks} AS toks FROM sole),
+    p AS (SELECT doc_id, toks, len(toks) AS sz,
+                 CAST(greatest(ceil((len(toks) - {_OVERLAP}) / {_STEP}.0), 1) AS INT) AS n_chunks
+          FROM t),
+    c AS (SELECT doc_id,
+                 unnest([{{'chunk_idx': i,
+                           'chunk': array_to_string(toks[i*{_STEP}+1 : i*{_STEP}+{_CHUNK}], ' '),
+                           'n_tokens': least(sz - i*{_STEP}, {_CHUNK})}}
+                         for i in range(0, n_chunks)]) AS ch
+          FROM p)
+    SELECT doc_id, CAST(ch.chunk_idx AS INT) AS chunk_idx,
+           CAST(ch.n_tokens AS INT) AS n_tokens,
+           CAST(len({_toks_sql('ch.chunk')}) AS INT) AS n_tokens_check
+    FROM c WHERE ch.chunk != ''
+    """
+
+
+register("pipeline_llm_prep_mm_gated", _pipeline_llm_prep_mm_gated_sql())(
+    _pipeline_llm_prep_mm_gated
+)
+
+
 _TYPO_VOCAB = [
     "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
     "hash", "batch", "window", "spark", "order", "data", "column", "join",
@@ -3374,6 +3492,63 @@ def _semdedup_entry(tau: float = 0.4) -> None:
 
 
 _semdedup_entry()
+
+
+def _semdedup_pruned_entry(k: int = 32, tau: float = 0.4) -> None:
+    """THE SCALE-SAFE SEMDEDUP CONFIGURATION, driver-hash-verified
+    (VERDICT r14 #3: the only previously driver-verified semdedup path
+    was the fixed-k exact-assignment one that was measured DEAD at
+    sf100 — killed at 1500 s — while the configuration that survives
+    lived only in tools/semdedup_scale.py).
+
+    This entry runs the production path end to end: k ∝ n (the
+    advisor's ``k = max(32, n // 2000)`` rule evaluates to 32 at the
+    oracle corpus, and to 2500 on the 5M-doc sf100 corpus where the
+    SAME code path — k ∝ n + ``assign_probe`` — measured **175.6 s**
+    vs 320.9 s exact and vs the killed fixed-k run; PERF.md round 14)
+    with every assignment pass routed through the IVF-pruned argmin
+    (``assign_probe = m = ⌈√k⌉ = 6``: probing ALL meta-cells replays
+    the exact assignment bit-for-bit — test-pinned,
+    tests/test_similarity.py — which is what licenses the exact-replay
+    DuckDB twin below while the driver hash still exercises
+    similarity.py's pruned kernel: meta-cell build, row-level nprobe
+    ranking, per-cell candidate matmuls, empty-cell fallback).
+    """
+    from diagnosisextraction_ml_spark.operators import dedup as _dd
+
+    cos_ab = (
+        "list_dot_product(a.ev, b.ev)"
+        " / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev)))"
+    )
+    sql = (
+        _kmeans_assign_cte(k=k, iters=2)
+        + f""",
+    dup AS (
+      SELECT DISTINCT a.vec_id
+      FROM fin a JOIN fin b
+        ON a.cidx = b.cidx AND a.vec_id > b.vec_id
+      WHERE round({cos_ab}, 6) >= CAST({tau!r} AS DOUBLE)
+    )
+    SELECT f.vec_id, f.cidx AS cluster,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM fin f LEFT JOIN dup d ON d.vec_id = f.vec_id
+    """
+    )
+
+    import math
+
+    probe = max(1, math.ceil(math.sqrt(k)))  # = m: bit-exact pruning
+
+    def _fn(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        return _dd.semantic_dedup(
+            emb, k=k, iters=2, tau=tau, assign_probe=probe
+        )
+
+    register("dedup_semantic_pruned", sql)(_fn)
+
+
+_semdedup_pruned_entry()
 
 
 # ===========================================================================
