@@ -7316,13 +7316,18 @@ def _pareto_entry() -> None:
         from diagnosisextraction_ml_spark.operators.evaluate import _bucketed_cumsum
 
         orders = _t(spark, sf_dir, "orders")
+        # localCheckpoint: rev feeds BOTH the cutoff derivation (perv →
+        # bucketed cumsum → cut) and the final share aggregate; left
+        # lazy the orders scan+groupBy runs twice (measured ~1.5 s at
+        # sf0.1, r15). The narrow (custkey, cents) relation is the
+        # right thing to materialize at any scale.
         rev = orders.groupBy("o_custkey").agg(
             F.round(
                 F.lit(100) * F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 0
             )
             .cast("long")
             .alias("cents")
-        )
+        ).localCheckpoint()
         perv = rev.groupBy(F.col("cents").alias("v")).agg(
             F.count(F.lit(1)).alias("c")
         )
