@@ -12,7 +12,12 @@ sink. Per-batch numbers come from the query's own progress events
 (triggerExecution wall, stateOperators numRowsTotal /
 memoryUsedBytes) — the same numbers a production monitor scrapes.
 
-Usage: python tools/streaming_scale.py <events_dir_or_sf_dir> [n_batches=24]
+Usage: python tools/streaming_scale.py <events_dir_or_sf_dir> [n_batches=24] [provider]
+``provider``: "rocksdb" routes state through RocksDBStateStoreProvider
+— the first rung of the sessionization-state mitigation ladder (state
+spills to executor-local disk instead of living on the JVM heap;
+``memoryUsedBytes`` then reports the block-cache/memtable footprint,
+not rows × bytes). Default is the in-memory HDFSBackedStateStore.
 Prints one JSON line per batch and a summary line per query.
 """
 
@@ -95,6 +100,7 @@ def _run(spark, name: str, out_df, output_mode: str, ckpt: str) -> dict:
 def main() -> int:
     src = sys.argv[1]
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    provider = sys.argv[3].lower() if len(sys.argv) > 3 else "hdfs"
     if os.path.isdir(os.path.join(src, "events.parquet")) or os.path.exists(
         os.path.join(src, "events.parquet")
     ):
@@ -108,10 +114,17 @@ def main() -> int:
         windowed_event_counts,
     )
 
+    conf = {"spark.ui.showConsoleProgress": "false"}
+    if provider == "rocksdb":
+        conf["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
     spark = get_spark(
         "streaming-scale",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf=conf,
     )
+    print(json.dumps({"state_store_provider": provider}), flush=True)
     spark.sparkContext.setLogLevel("ERROR")
 
     work = tempfile.mkdtemp(prefix="stream_scale_")
