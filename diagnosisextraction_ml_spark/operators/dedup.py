@@ -1473,7 +1473,7 @@ def duplicated_span_intervals(
 
 def semantic_dedup(
     emb: DataFrame,
-    k: int = 8,
+    k: int | str = 8,
     iters: int = 2,
     tau: float = 0.4,
     vec_col: str = "embedding",
@@ -1501,7 +1501,10 @@ def semantic_dedup(
     id-ordered predicate halves the pair fan-out, and only (id, vec,
     cluster) triples ever shuffle. Under that k ∝ n rule the n·k
     assignment matrix becomes the dominant cost (measured at sf100,
-    PERF.md round 14); ``assign_probe`` routes every assignment pass
+    PERF.md round 14); ``k="auto"`` applies the measured rule directly
+    (``sources.advisor.advise_semdedup``: k = max(32, n/2000), pruned
+    assignment above the 1M-row wall — one count() job up front);
+    ``assign_probe`` routes every assignment pass
     (training iterations AND the final assign) through the IVF-pruned
     approximate argmin
     (:func:`~.similarity.assign_nearest_centroid_pruned`) — the
@@ -1546,6 +1549,24 @@ def semantic_dedup(
             "has no IVF-pruned assignment); got "
             f"method={method!r}, assign_probe={assign_probe}"
         )
+
+    if k == "auto":
+        # The advisor's measured sizing (sources/advisor.py): k ∝ n and
+        # the IVF-pruned assignment above the measured n·k wall. Costs
+        # one count() job up front — trivial next to the clusterings it
+        # sizes, and the reason the fixed-k registry default can't be
+        # the production default (k=32 measured dead at sf100,
+        # PERF.md round 14). An explicit assign_probe still wins.
+        from diagnosisextraction_ml_spark.sources.advisor import (
+            advise_semdedup,
+        )
+
+        advice = advise_semdedup(emb.count(), exact_replay=(method != "numpy"))
+        k = advice.k
+        if assign_probe is None and method == "numpy":
+            assign_probe = advice.assign_probe
+    elif not isinstance(k, int):
+        raise ValueError(f"k must be an int or 'auto', got {k!r}")
 
     cents = kmeans_centroids(
         emb,

@@ -696,3 +696,37 @@ def test_semantic_dedup_rejects_probe_on_expr_path(spark):
     )
     with _pytest.raises(ValueError, match="assign_probe requires"):
         semantic_dedup(emb, k=2, iters=1, method="expr", assign_probe=2)
+
+
+def test_semantic_dedup_auto_k_applies_advisor_rule(spark):
+    """k='auto' sizes the clustering by the advisor's measured rule
+    (k = max(32, n/2000); exact assignment below the n·k wall) and is
+    bit-identical to spelling that configuration out by hand."""
+    from diagnosisextraction_ml_spark.operators.dedup import semantic_dedup
+    from diagnosisextraction_ml_spark.sources.advisor import advise_semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    advice = advise_semdedup(n)
+    assert advice.k == 32 and advice.assign_probe is None  # below the wall
+
+    auto = sorted(
+        map(tuple, semantic_dedup(emb, k="auto", iters=1, tau=0.99).collect())
+    )
+    manual = sorted(
+        map(tuple, semantic_dedup(emb, k=advice.k, iters=1, tau=0.99).collect())
+    )
+    assert auto == manual and len(auto) == n
+
+
+def test_semantic_dedup_rejects_non_int_k(spark):
+    import pytest as _pytest
+
+    from diagnosisextraction_ml_spark.operators.dedup import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="int or 'auto'"):
+        semantic_dedup(emb, k="all")
