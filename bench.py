@@ -105,6 +105,10 @@ HEADLINE = [
     "events_week_stats_pruned",
     "rel_revenue_dpp_months",
     "rel_q12_priority_lines_bucketed_pruned",
+    # added round 15 — concat-and-split sample packing (sharded window
+    # cumsum + segment Generate); totals before r15 cover 47 queries
+    # (compare like-for-like).
+    "pipeline_pack_token_stream",
 ]
 
 # Every headline name must exist in the registry — a typo here would

@@ -335,6 +335,87 @@ def chunk_documents(
     )
 
 
+def pack_token_stream(
+    df: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_docs: int = 65536,
+) -> DataFrame:
+    """GPT-style concat-and-split sample packing — the layout step
+    between a cleaned corpus and a pretraining data loader.
+
+    The complement of :func:`pack_sequences` (greedy next-fit bins,
+    whole documents, padding waste where docs underfill a bin): here
+    the token STREAM is split, documents straddle sequence boundaries,
+    and there is zero padding except at most one ragged final pack per
+    shard — the two standard packing modes a training pipeline picks
+    between (split-docs for pretraining throughput, whole-docs when
+    attention must not cross document boundaries).
+
+    Documents are conceptually concatenated in ``id`` order and the
+    token stream split every ``seq_len`` tokens; the output is the
+    SEGMENT MAP: one row per (document, pack) overlap telling the
+    loader which token span of which document fills which slice of
+    which fixed-length sequence. (Emitting the map instead of
+    re-joined text keeps the operator metadata-only — the loader
+    slices original docs, nothing re-materializes the corpus.)
+
+    Scale design — no corpus-global order anywhere: packing runs
+    WITHIN SHARDS of ``shard_docs`` consecutive ids
+    (``shard = id div shard_docs``). The running-token offset is a
+    window cumsum partitioned by shard (bounded by shard size, never
+    corpus size), and each document expands to the packs it overlaps
+    with one ``sequence`` Generate — pure expressions end to end.
+    Shards match how real pipelines pack (per output file / per
+    worker); the cost is at most one ragged final pack per shard,
+    exactly the waste a per-file packer accepts. Empty docs carry no
+    tokens and are dropped (they cannot occupy pack space).
+
+    Output: (shard, pack_id, doc_id, doc_tok_start, pack_tok_start,
+    n_toks) — all BIGINT; ``pack_id`` is shard-local, exact-integer,
+    and engine-reproducible (the DuckDB twin replays it hash-exact).
+    """
+    if seq_len <= 0 or shard_docs <= 0:
+        raise ValueError("seq_len and shard_docs must be positive")
+    from pyspark.sql import Window
+
+    L = F.lit(int(seq_len)).cast("long")
+    t = token_count_ws(F.col(text_col)).cast("long")
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"CAST({id_col} AS BIGINT) div {int(shard_docs)}").alias("shard"),
+        t.alias("__t"),
+    ).filter(F.col("__t") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = base.withColumn(
+        "__off", F.coalesce(F.sum("__t").over(w), F.lit(0).cast("long"))
+    )
+    first = F.expr("__off div " + str(int(seq_len)))
+    last = F.expr(f"(__off + __t - 1) div {int(seq_len)}")
+    seg = offs.select(
+        "shard",
+        F.col(id_col),
+        "__t",
+        "__off",
+        F.explode(F.sequence(first, last)).alias("pack_id"),
+    )
+    start = F.greatest(F.col("__off"), F.col("pack_id") * L)
+    end = F.least(F.col("__off") + F.col("__t"), (F.col("pack_id") + 1) * L)
+    return seg.select(
+        "shard",
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.col(id_col),
+        (start - F.col("__off")).cast("long").alias("doc_tok_start"),
+        (start - F.col("pack_id") * L).cast("long").alias("pack_tok_start"),
+        (end - start).cast("long").alias("n_toks"),
+    )
+
+
 def redact_expr(col: Column | str) -> Column:
     """Scalar redaction expression — the :data:`REDACT_RULES` chain."""
     out = _txt(col)

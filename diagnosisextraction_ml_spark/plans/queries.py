@@ -47,7 +47,7 @@ def register(name: str, sql: str | None):
 # full registry is still verified every round by
 # tools/compare_oracle.py (ORACLE_FULL_r*.txt).
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round 15, slots 1-3: new or plan-changed this round —
+    # Round 15, slots 1-4: new or plan-changed this round —
     # dedup_semantic_pruned (NEW: the scale-safe semdedup
     # configuration, k ∝ n + IVF-pruned assignment at probe=m, first
     # driver row on first appearance; VERDICT r14 #3);
@@ -56,6 +56,7 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # (plan REWRITTEN aggregate-first — re-hash first).
     "dedup_semantic_pruned",
     "pipeline_llm_prep_mm_gated",
+    "pipeline_pack_token_stream",
     "dedup_span_intervals",
     # Slots 4-31: the round-10-stale tier — the 28 rows whose newest
     # driver green dates to CORRECTNESS_r10 (r14 verdict item 6; all
@@ -72,8 +73,9 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "stream_sliding_counts", "text_fertility_stats", "text_pmi_pairs",
     "text_script_profile", "text_typo_corrected",
     "text_winnow_fingerprints", "ts_cusum_drift", "ts_robust_stats",
-    # Slots 32-50: first 19 of the 45-row round-11-stale tier (name
-    # order); the remaining 26 lead the round-16 rotation.
+    # Slots 33-51: first 19 of the 45-row round-11-stale tier (name
+    # order); the remaining 26 (+ any of these past the driver's
+    # ~50-row prefix) lead the round-16 rotation.
     "asof_events_value", "dedup_embedding_near", "dedup_exact_groups",
     "dedup_first_seen_1h", "dedup_incremental_near",
     "dedup_jaccard_pairs", "dedup_lsh_band_pairs",

@@ -1771,6 +1771,53 @@ def _pipeline_llm_prep_sql() -> str:
 register("pipeline_llm_prep", _pipeline_llm_prep_sql())(_pipeline_llm_prep)
 
 
+def _pack_token_stream_entry(seq_len: int = 256, shard_docs: int = 4096) -> None:
+    """Concat-and-split sample packing as a registry row: the segment
+    map (which doc token-span fills which slice of which fixed-length
+    training sequence) replayed hash-exact by a window-cumsum twin.
+    Packing is SHARDED (id div shard_docs) so nothing orders the
+    corpus globally — the operator docstring
+    (operators/textstats.py:pack_token_stream) records the at-most-
+    one-ragged-pack-per-shard waste this buys scale with. Complements
+    the existing whole-doc next-fit row (pipeline_pack_batches-style
+    pack_sequences at queries_ext.py's textstats entry)."""
+    from diagnosisextraction_ml_spark.operators.textstats import pack_token_stream
+
+    toks = _toks_sql("text")
+    sql = f"""
+    WITH t AS (
+      SELECT doc_id, CAST(doc_id AS BIGINT) // {shard_docs} AS shard,
+             CAST(len({toks}) AS BIGINT) AS tk
+      FROM documents
+    ), s AS (SELECT * FROM t WHERE tk > 0),
+    o AS (SELECT shard, doc_id, tk,
+                 CAST(coalesce(sum(tk) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS off
+          FROM s),
+    seg AS (SELECT shard, doc_id, tk, off,
+                   unnest(range(off // {seq_len}, (off + tk - 1) // {seq_len} + 1)) AS k
+            FROM o)
+    SELECT shard, CAST(k AS BIGINT) AS pack_id, doc_id,
+           CAST(greatest(off, k * {seq_len}) - off AS BIGINT) AS doc_tok_start,
+           CAST(greatest(off, k * {seq_len}) - k * {seq_len} AS BIGINT) AS pack_tok_start,
+           CAST(least(off + tk, (k + 1) * {seq_len})
+                - greatest(off, k * {seq_len}) AS BIGINT) AS n_toks
+    FROM seg
+    """
+
+    def _fn(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return pack_token_stream(
+            docs, seq_len=seq_len, shard_docs=shard_docs
+        )
+
+    register("pipeline_pack_token_stream", sql)(_fn)
+
+
+_pack_token_stream_entry()
+
+
 _MM_GATE_DUR_CAP_MS = 1500.0  # drop over-long assets (50 of the 80
 # decodable fixture videos clear it — the cap must actually bite)
 

@@ -67,4 +67,16 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # Experiment hook: SPARK_GRAFT_EXTRA_CONF carries a JSON object of
+    # additional spark confs (e.g. '{"spark.sql.adaptive.
+    # coalescePartitions.parallelismFirst": "false"}') so A/B runs of
+    # bench.py / the scale tools don't need code edits. Explicit
+    # extra_conf from the caller wins over the env.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            if not (extra_conf and k in extra_conf):
+                builder = builder.config(k, str(v))
     return builder.getOrCreate()

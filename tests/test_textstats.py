@@ -413,3 +413,74 @@ def test_script_census_classes_agree_with_duckdb(spark):
             [t] * len(duck_classes),
         ).fetchone()
         assert tuple(row) == tuple(want), (t, tuple(row), want)
+
+
+def test_pack_token_stream_tiles_exactly(spark):
+    """Concat-and-split invariants: every doc's segments cover exactly
+    its tokens; every pack except each shard's last is exactly full;
+    segments tile each pack contiguously; partitioning-independent."""
+    from collections import defaultdict
+
+    from diagnosisextraction_ml_spark.operators.textstats import (
+        pack_token_stream,
+        token_count_ws,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    L = 64
+    out = pack_token_stream(docs, seq_len=L, shard_docs=128).collect()
+
+    # 1. per-document coverage
+    want = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", token_count_ws("text").cast("long").alias("t")
+        ).collect()
+        if r["t"] > 0
+    }
+    got = defaultdict(int)
+    for r in out:
+        got[r["doc_id"]] += r["n_toks"]
+        assert 0 < r["n_toks"] <= L
+        assert 0 <= r["pack_tok_start"] < L
+    assert dict(got) == want
+
+    # 2. packs tile: per (shard, pack) the segments are contiguous from 0
+    packs = defaultdict(list)
+    for r in out:
+        packs[(r["shard"], r["pack_id"])].append(
+            (r["pack_tok_start"], r["n_toks"])
+        )
+    fill = {}
+    for key, segs in packs.items():
+        segs.sort()
+        pos = 0
+        for s, n in segs:
+            assert s == pos, (key, segs)
+            pos += n
+        fill[key] = pos
+    # 3. every pack but each shard's last is exactly full
+    last = {}
+    for sh, pk in packs:
+        last[sh] = max(last.get(sh, -1), pk)
+    for (sh, pk), f in fill.items():
+        if pk != last[sh]:
+            assert f == L, (sh, pk, f)
+
+    # 4. deterministic under repartitioning
+    again = sorted(
+        map(tuple, pack_token_stream(
+            docs.repartition(7), seq_len=L, shard_docs=128
+        ).collect())
+    )
+    assert again == sorted(map(tuple, out))
+
+
+def test_pack_token_stream_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from diagnosisextraction_ml_spark.operators.textstats import pack_token_stream
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="positive"):
+        pack_token_stream(docs, seq_len=0)
