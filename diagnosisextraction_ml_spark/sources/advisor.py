@@ -163,6 +163,58 @@ def advise_semdedup(n_rows: int, exact_replay: bool = False) -> SemDeDupAdvice:
 
 
 @dataclass(frozen=True)
+class StateStoreAdvice:
+    """Which Structured Streaming state-store provider to run."""
+
+    provider: str  # 'hdfs' (in-memory) | 'rocksdb'
+    regime: str  # 'win' | 'required'
+    reason: str
+
+
+#: Fraction of executor heap that open-session state may occupy before
+#: the in-memory HDFSBackedStateStore becomes an OOM bet. Streaming
+#: decade measurement (PERF.md r15): sessionization state is LINEAR in
+#: open keys (333 MB at 32k users / 10M rows), while RocksDB costs a
+#: measured 1.6-2.6× per-batch wall at scales where state still fits —
+#: so the switch should happen at the projection, not before.
+STATE_HEAP_FRACTION = 0.5
+
+
+def advise_state_store(
+    projected_state_bytes: int, executor_heap_bytes: int
+) -> StateStoreAdvice:
+    """The round-15 streaming measurement as a decision rule.
+
+    Stay on the in-memory provider while projected state fits well
+    inside the heap — RocksDB's changelog/snapshot work costs
+    1.6-2.6× per-batch wall (measured sf10, tools/streaming_scale.py)
+    and buys nothing until memory is the binding constraint. Past
+    ``STATE_HEAP_FRACTION`` of the executor heap, RocksDB is not an
+    optimization but a requirement: its footprint is bounded by
+    configuration (block cache + memtables) where the in-memory
+    store grows linearly with open sessions (~33 GB projected at the
+    3.2M-user decade — past any single heap).
+    """
+    line = int(executor_heap_bytes * STATE_HEAP_FRACTION)
+    if projected_state_bytes <= line:
+        return StateStoreAdvice(
+            "hdfs", "win",
+            f"projected state {projected_state_bytes / MB:.0f} MB ≤ "
+            f"{line / MB:.0f} MB ({STATE_HEAP_FRACTION:.0%} of heap): "
+            "in-memory store; RocksDB would cost a measured 1.6-2.6× "
+            "per-batch wall for nothing",
+        )
+    return StateStoreAdvice(
+        "rocksdb", "required",
+        f"projected state {projected_state_bytes / MB:.0f} MB > "
+        f"{line / MB:.0f} MB: the in-memory store grows linearly with "
+        "open sessions and will OOM; RocksDB's config-bounded "
+        "footprint is the only rung that keeps running (take the "
+        "measured wall cost as the price)",
+    )
+
+
+@dataclass(frozen=True)
 class CompactionAdvice:
     """Whether compacting a fragmented partitioned tree pays now."""
 

@@ -162,3 +162,16 @@ def test_compaction_payback_thresholds():
     assert not advise_compaction(1920, 30, 1, object_store=True).compact
     # an already-compact tree never rewrites, whatever the scan count
     assert not advise_compaction(30, 30, 100).compact
+
+
+def test_state_store_crossover():
+    from diagnosisextraction_ml_spark.sources.advisor import advise_state_store
+
+    GB = 1024**3
+    # the measured sf10 case: 333 MB state in an 8 GB heap — in-memory
+    a = advise_state_store(333 * 1024**2, 8 * GB)
+    assert a.provider == "hdfs" and a.regime == "win"
+    # exactly the half-heap line stays in-memory; one byte past flips
+    assert advise_state_store(4 * GB, 8 * GB).provider == "hdfs"
+    b = advise_state_store(4 * GB + 1, 8 * GB)
+    assert b.provider == "rocksdb" and b.regime == "required"
