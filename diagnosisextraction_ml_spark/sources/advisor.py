@@ -274,6 +274,7 @@ def advise_layout(
     query_kinds: list[tuple[str, str]],
     session_parallelism: int | None = None,
     scan_partitions: int | None = None,
+    cpu_heavy_projection: bool = True,
 ) -> list[LayoutAdvice]:
     """The measured decision procedure. ``query_kinds`` is the workload
     summary for this table: (kind, column) pairs where kind is one of
@@ -383,16 +384,32 @@ def advise_layout(
                     )
                 )
 
-    # 5. fan_out: a session-level fix, only for under-parallel scans.
+    # 5. fan_out: a session-level fix, only for under-parallel scans
+    #    FEEDING CPU-HEAVY projections. The r15 A/B sharpened the rule:
+    #    on 3-split inputs feeding cheap partial aggregates the added
+    #    exchange LOSES (pagerank adjacency 0.78→1.32 s, assoc baskets
+    #    0.82→1.24 s) — tokenize/shingle/hash work is what the extra
+    #    cores must have to pay for the shuffle.
     if session_parallelism and scan_partitions:
-        if scan_partitions < session_parallelism:
+        if scan_partitions < session_parallelism and not cpu_heavy_projection:
+            out.append(
+                LayoutAdvice(
+                    "fan_out", None, None, "loss",
+                    f"scan is narrow ({scan_partitions} < "
+                    f"{session_parallelism}) but the projection is "
+                    "cheap (plain partial aggregate): measured losses "
+                    "0.78→1.32 s / 0.82→1.24 s (r15) — the exchange "
+                    "costs more than the parallelism buys",
+                )
+            )
+        elif scan_partitions < session_parallelism:
             out.append(
                 LayoutAdvice(
                     "fan_out", None, None, "win",
                     f"scan yields {scan_partitions} partitions < "
-                    f"{session_parallelism} cores: round-robin fan-out "
-                    "packs the CPU (doc_stats 1.27→0.71 s); no-ops on "
-                    "wide scans",
+                    f"{session_parallelism} cores feeding CPU-heavy "
+                    "projection: round-robin fan-out packs the CPU "
+                    "(doc_stats 1.27→0.71 s); no-ops on wide scans",
                 )
             )
         else:

@@ -175,3 +175,24 @@ def test_state_store_crossover():
     assert advise_state_store(4 * GB, 8 * GB).provider == "hdfs"
     b = advise_state_store(4 * GB + 1, 8 * GB)
     assert b.provider == "rocksdb" and b.regime == "required"
+
+
+def test_fan_out_requires_cpu_heavy_projection():
+    """r15 lesson encoded: a narrow scan feeding a cheap partial
+    aggregate must NOT fan out (measured losses), only CPU-heavy
+    projections justify the exchange."""
+    from diagnosisextraction_ml_spark.sources.advisor import (
+        TableStats,
+        advise_layout,
+    )
+
+    t = TableStats(total_bytes=50 * 1024 * 1024, rows=1_000_000)
+    cheap = [a for a in advise_layout(
+        t, [], session_parallelism=32, scan_partitions=3,
+        cpu_heavy_projection=False,
+    ) if a.kind == "fan_out"]
+    assert cheap and cheap[0].regime == "loss"
+    heavy = [a for a in advise_layout(
+        t, [], session_parallelism=32, scan_partitions=3,
+    ) if a.kind == "fan_out"]
+    assert heavy and heavy[0].regime == "win"
