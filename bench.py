@@ -192,6 +192,29 @@ def _detail_path() -> str:
     return os.path.join(_REPO_ROOT, f"BENCH_DETAIL_r{best + 1}.json")
 
 
+def _compact_line(out: dict, timings: dict[str, float]) -> str:
+    """Serialize the stdout contract line, shrinking as needed.
+
+    Hard guarantee against a repeat of r14's truncation (the driver
+    captures only the ~2000-char tail of stdout; a longer line loses
+    its FRONT and parses as null): shed the optional keys — never the
+    contract keys (metric/value/unit/queries/sf) — and as a last
+    resort coarsen the per-query precision.
+    """
+    line = json.dumps(out)
+    if len(line) > 1900:
+        for k in ("errors", "layout_warmup_failed"):
+            out.pop(k, None)
+        if "anchor" in out:
+            out["anchor"].pop("errors", None)
+            out["anchor"].pop("skipped_no_oracle", None)
+        line = json.dumps(out)
+    if len(line) > 1900:
+        out["queries"] = {n: round(t, 1) for n, t in timings.items()}
+        line = json.dumps(out)
+    return line
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -296,14 +319,18 @@ def main() -> int:
                 timings[name] = wall
 
     total = round(sum(timings.values()), 3)
-    # Two artifacts: `out` is the ONE compact stdout line the driver
-    # captures (≤ ~1500 chars); `detail` is the full per-query record
-    # written to BENCH_DETAIL_r{N}.json and committed.
+    # Two artifacts: `out` is the ONE stdout line the driver captures
+    # (the contract line — it must carry the per-query ``queries`` map;
+    # values are rounded to 2 decimals and the anchor summary is kept
+    # minimal so the whole line stays under the driver's ~2000-char
+    # tail capture; r14's full-precision map + full anchor outgrew it);
+    # `detail` is the full-precision per-query record written to
+    # BENCH_DETAIL_r{N}.json and committed.
     out = {
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
-        "n_queries": len(timings),
+        "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": sf,
     }
     detail: dict = {
@@ -374,7 +401,11 @@ def main() -> int:
             "flagged_over_2x": flagged,
             "certified_over_2x": sorted(certified),
         }
+        # stdout carries the numbers + the actionable flag list; the
+        # certified-row names/citations live in the detail file — on
+        # stdout their count is enough and the chars go to `queries`.
         out["anchor"] = dict(anchor_summary)
+        out["anchor"]["certified_over_2x"] = len(certified)
         if anchor["skipped"]:
             out["anchor"]["skipped_no_oracle"] = anchor["skipped"]
         detail["anchor"] = dict(anchor_summary)
@@ -399,18 +430,7 @@ def main() -> int:
     except OSError as exc:  # read-only tree must not sink the bench
         out["detail_write_error"] = f"{type(exc).__name__}: {exc}"[:120]
 
-    line = json.dumps(out)
-    # Hard guarantee against a repeat of r14's truncation: if the line
-    # somehow outgrows the driver's capture window, shed the optional
-    # keys rather than lose parseability.
-    if len(line) > 1800:
-        for k in ("errors", "layout_warmup_failed"):
-            out.pop(k, None)
-        if "anchor" in out:
-            out["anchor"].pop("errors", None)
-            out["anchor"].pop("skipped_no_oracle", None)
-        line = json.dumps(out)
-    print(line)
+    print(_compact_line(out, timings))
     return 0
 
 

@@ -33,19 +33,30 @@ def test_certified_floors_are_headline_names():
 
 
 def test_compact_line_budget():
-    # the stdout line must stay well under the driver's ~2000-char
-    # capture window even with every certified row flagged; build the
-    # worst-case summary the way main() does
+    # the stdout line must stay under the driver's ~2000-char capture
+    # window even with every certified row flagged AND the full
+    # per-query ``queries`` map (the driver-contract key restored in
+    # r15 — values rounded to 2 decimals); build the worst-case
+    # summary the way main() does and run it through the same
+    # shrinking helper main() uses
+    timings = {n: 99.985 for n in bench.HEADLINE}
     out = {
         "metric": "total_wall_sec", "value": 99.999, "unit": "sec",
-        "n_queries": len(bench.HEADLINE), "sf": 0.1,
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "sf": 0.1,
         "anchor": {
             "duckdb_total_sec": 99.999, "spark_common_total_sec": 99.999,
             "ratio_spark_over_duckdb": 9.999,
             "n_common": len(bench.HEADLINE),
             "flagged_over_2x": sorted(bench.CERTIFIED_FLOORS),
-            "certified_over_2x": sorted(bench.CERTIFIED_FLOORS),
+            "certified_over_2x": len(bench.CERTIFIED_FLOORS),
         },
         "detail_file": "BENCH_DETAIL_r99.json",
     }
-    assert len(json.dumps(out)) < 1500
+    line = bench._compact_line(out, timings)
+    assert len(line) < 1950
+    parsed = json.loads(line)
+    # contract keys survive any shrinking
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
