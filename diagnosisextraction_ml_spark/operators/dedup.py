@@ -24,7 +24,7 @@ Scale design notes (the whole point of these):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from diagnosisextraction_ml_spark.functions.hashing import M31, md5_hash64
@@ -299,9 +299,17 @@ def minhash_lsh_pairs(
                 F.min(text_col).alias(text_col),
             )
         )
+        # localCheckpoint: reps feeds BOTH the shingle→minhash pipeline
+        # and the bucket-stage member-list join. Left lazy, each
+        # consumer re-executes the full corpus scan + md5 collapse
+        # shuffle (r15 plan audit: the collapse subtree appeared twice,
+        # zero ReusedExchange) — the same fix
+        # prefix_filter_jaccard_pairs already carries. The materialized
+        # relation is one row per DISTINCT text, the relation both
+        # consumers need anyway.
         reps = groups.select(
             F.col("__members")[0].alias(id_col), F.col(text_col), F.col("__members")
-        )
+        ).localCheckpoint()
     else:
         reps = df.select(F.col(id_col), F.col(text_col))
     wide = _minhash_wide(shingles(reps, text_col, id_col, shingle_n), id_col, k)
@@ -1327,10 +1335,24 @@ def _dup_gram_positions(
         F.col(id_col), F.posexplode(grams).alias("pos", "gram")
     ).select(F.col(id_col), "pos", md5_hash64(F.col("gram")).alias("gram_hash"))
 
-    freq = pos_grams.groupBy("gram_hash").agg(F.count(F.lit(1)).alias("c"))
-    dup_pos = pos_grams.join(
-        freq.filter(F.col("c") >= min_count), "gram_hash"
-    ).select(F.col(id_col), "pos")
+    # Corpus frequency via a count window over the gram_hash
+    # partitioning (r15; same one-exchange trick as
+    # prefix_filter_jaccard_pairs' document-frequency): the former
+    # groupBy→filter→join-back planned the tokenize→arrays_zip→md5
+    # projection TWICE — once under the frequency aggregate and once
+    # as the join's probe side (r15 plan audit; the projection is the
+    # CPU-dominant term of this family). The window form runs the
+    # projection once and shuffles the same (id, pos, gram_hash) rows
+    # the join's probe side already shuffled. Skew profile unchanged:
+    # a corpus-hot gram concentrated one partition in BOTH shapes.
+    # Measured sf0.1 (idle, min-of-2 noop): dedup_span_intervals
+    # 1.81s → 1.27s.
+    wfreq = Window.partitionBy("gram_hash")
+    dup_pos = (
+        pos_grams.withColumn("c", F.count(F.lit(1)).over(wfreq))
+        .filter(F.col("c") >= min_count)
+        .select(F.col(id_col), "pos")
+    )
     return base, dup_pos
 
 
@@ -1750,6 +1772,12 @@ def prefix_filter_jaccard_pairs(
     # shuffle; only (id, sz, hash) ever crosses the wire.
     wdf = Window.partitionBy("__h")
     wdoc = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__h"))
+    # localCheckpoint: `prefix` is BOTH sides of the candidate
+    # self-join — left lazy, the two window passes (df count over the
+    # hash partitioning + per-doc rarity rank, each an exchange + sort)
+    # execute once per side (r15 plan audit: zero ReusedExchange). The
+    # materialized relation is the prefix postings — the (1−t)-fraction
+    # working set the join shuffles anyway.
     prefix = (
         hs.withColumn("__df", F.count(F.lit(1)).over(wdf))
         .withColumn("__rn", F.row_number().over(wdoc))
@@ -1758,7 +1786,7 @@ def prefix_filter_jaccard_pairs(
             <= F.col("sz") - F.expr(f"({num} * sz + {den - 1}) DIV {den}") + F.lit(1)
         )
         .select(F.col(id_col), "__h", "sz", "__rn")
-    )
+    ).localCheckpoint()
 
     # Candidate equi-join on the hash (8-byte shuffle keys); a collision
     # can only ADD a candidate pair, which the exact verify join removes.

@@ -87,9 +87,17 @@ def _bucketed_cumsum(
     bucketed = per_key.withColumn(
         "__b", _range_bucket(key, n_buckets, *score_range, descending=descending)
     )
+    # localCheckpoint: the ≤n_buckets-row totals table feeds THREE
+    # consumers (offsets' probe side, its broadcast `earlier` side, and
+    # the grand-total broadcast). Left lazy, each consumer re-executed
+    # the whole per_key aggregation — the upstream relation was scanned
+    # 4× per cumsum (r15 plan audit on rel_pareto_share). Materializing
+    # a few-hundred-row table is free at any scale and cuts the
+    # upstream to the two passes the algorithm needs (totals + the
+    # windowed output itself).
     totals = bucketed.groupBy("__b").agg(
         *[F.sum(src).alias(f"__t_{src}") for src in sum_cols]
-    )
+    ).localCheckpoint()
     earlier = totals.select(
         F.col("__b").alias("__eb"),
         *[F.col(f"__t_{src}").alias(f"__e_{src}") for src in sum_cols],

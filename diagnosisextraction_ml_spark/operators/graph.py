@@ -92,6 +92,12 @@ def _pagerank_symmetric(
     reroutes to the general shuffle-join plan (bit-identical ranks),
     instead of broadcasting an unbroadcastable state every iteration.
     """
+    # Both orientations as unionByName(self-reversed) — two scans of
+    # the 2-column edge projection. A single-scan 2-struct explode was
+    # A/B'd in r15 (with and without fan_out, at 32 and 8 cores) and
+    # REJECTED: +0.5-1.2 s on every pair — the Generate breaks the
+    # scan→partial-agg codegen pipeline, which costs more than the
+    # second columnar scan at every measured width.
     und = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     both = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -5901,11 +5901,15 @@ def _markov_entry() -> None:
         ev = _t(spark, sf_dir, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+        # localCheckpoint: the |event_types|²-row transition counts feed
+        # BOTH the out-degree broadcast and the final probe — left lazy
+        # the lag-window + aggregation (a full events pass + sort) ran
+        # once per consumer (r15 plan audit: events scanned 2×).
         pairs = (
             seq.filter(F.col("prev_type").isNotNull())
             .groupBy("prev_type", F.col("event_type").alias("next_type"))
             .agg(F.count(F.lit(1)).alias("n"))
-        )
+        ).localCheckpoint()
         outdeg = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
         return pairs.join(F.broadcast(outdeg), "prev_type").select(
             "prev_type",
@@ -5960,7 +5964,13 @@ def _benford_entry() -> None:
                 " AS STRING), 1, 1) AS BIGINT)"
             ).alias("digit")
         )
-        counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+        # localCheckpoint: the ≤9-row digit counts feed both the total
+        # broadcast and the final probe — left lazy the orders scan +
+        # aggregation ran twice (same twice-consumed-aggregate pattern
+        # as events_markov_transitions; r15).
+        counts = digits.groupBy("digit").agg(
+            F.count(F.lit(1)).alias("n_obs")
+        ).localCheckpoint()
         total = counts.agg(F.sum("n_obs").alias("n_total"))
         bm = F.when(F.col("digit") == 1, F.lit(exp_micro[1]))
         for d in range(2, 10):
@@ -6012,9 +6022,16 @@ def _robust_entry() -> None:
 
     def _fn(spark, sf_dir):
         ev = _t(spark, sf_dir, "events")
+        # localCheckpoint the two per-event-type percentile tables
+        # (each a handful of rows): med is consumed by BOTH dev passes
+        # and mad by the final pass — left lazy, every broadcast
+        # materialized its own scan→percentile subtree and the events
+        # table was scanned 4× (r15 plan audit). With the tiny tables
+        # pinned, the corpus is scanned twice — the MAD data flow's
+        # floor (median must exist before deviations can aggregate).
         med = ev.groupBy("event_type").agg(
             F.expr("percentile(value, 0.5)").alias("median_val")
-        )
+        ).localCheckpoint()
         dev = ev.join(F.broadcast(med), "event_type").select(
             "event_type",
             "value",
@@ -6023,7 +6040,7 @@ def _robust_entry() -> None:
         )
         mad = dev.groupBy("event_type").agg(
             F.expr("percentile(adev, 0.5)").alias("mad_val")
-        )
+        ).localCheckpoint()
         return (
             dev.join(F.broadcast(mad), "event_type")
             .groupBy("event_type")
