@@ -84,23 +84,31 @@ def fit_token_logodds(
     broadcast back onto the bucket rows. ``weight_micro`` is the
     α-smoothed log-odds in integer micro-nats.
 
-    Fit is EAGER: the ≤n_buckets-row weight table is materialized
-    JVM-side via ``localCheckpoint(eager=True)`` (all arithmetic runs in
-    Spark expressions, so values stay engine-exact vs the SQL oracle; no
-    driver/Arrow round-trip), and the cached counts are unpersisted
-    before returning — repeated fits (CV folds, long-lived sessions)
-    leave nothing in the storage layer. The tiny checkpointed table is
-    still broadcast-joined in downstream scoring.
+    The corpus pass is EAGER: the ≤n_buckets-row class-count table is
+    materialized JVM-side via ``localCheckpoint`` (all arithmetic runs
+    in Spark expressions, so values stay engine-exact vs the SQL
+    oracle; no driver/Arrow round-trip) and nothing is left in the
+    storage layer — repeated fits (CV folds, long-lived sessions) are
+    clean. The weight projection over it stays lazy (metadata-cheap);
+    the table is broadcast-joined in downstream scoring.
     """
     tok = _token_buckets(df, text_col, id_col, n_buckets, extra=[label_col])
     b = tok.select(F.col("bucket"), F.col(label_col).cast("long").alias("pos"))
+    # ONE eager materialization (r15; formerly persist(counts) →
+    # totals job → weights localCheckpoint → unpersist — two
+    # materializations plus cache bookkeeping for the same
+    # ≤n_buckets-row table): the corpus pass lands in the checkpointed
+    # counts; totals and the weight arithmetic are metadata-cheap jobs
+    # over it. All arithmetic stays in Spark expressions (engine-exact
+    # vs the SQL oracle; no driver/Arrow round-trip), and the weight
+    # table stays lazy — its one consumer is the scoring broadcast.
     counts = (
         b.groupBy("bucket")
         .agg(
             F.sum("pos").alias("pos_n"),
             F.sum(F.lit(1) - F.col("pos")).alias("neg_n"),
         )
-        .persist()
+        .localCheckpoint()
     )
     totals = counts.agg(
         F.sum("pos_n").alias("pos_tot"), F.sum("neg_n").alias("neg_tot")
@@ -112,18 +120,10 @@ def fit_token_logodds(
         - F.log(F.col("neg_n") + F.lit(alpha))
         + F.log(F.col("neg_tot") + F.lit(ab))
     )
-    weights = counts.crossJoin(F.broadcast(totals)).select(
+    return counts.crossJoin(F.broadcast(totals)).select(
         "bucket",
         F.round(F.lit(1_000_000) * w, 0).cast("long").alias("weight_micro"),
     )
-    try:
-        # Materialize JVM-side: one eager job, no Arrow round-trip to the
-        # driver. The checkpointed ≤n_buckets-row table severs lineage, so
-        # counts can be unpersisted immediately without a recompute risk.
-        fitted = weights.localCheckpoint(eager=True)
-    finally:
-        counts.unpersist()
-    return fitted
 
 
 def weights_as_map(weights: DataFrame) -> dict[int, int]:

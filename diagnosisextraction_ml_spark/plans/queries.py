@@ -1786,6 +1786,49 @@ def rel_q22_idle_customers(spark, sf_dir):
     )
 
 
+def _q21_sole_late_suppliers(li):
+    """Q21's EXISTS + NOT-EXISTS correlation as ONE aggregate pass.
+
+    For each order: the EXISTS (another supplier on the order) and the
+    NOT EXISTS (no OTHER supplier with an 'R' row) are properties of
+    the per-(order, supplier) rollup, not of the row-level self-joins
+    the textbook shape spells — a driving row survives both iff its
+    order has ≥2 distinct suppliers and EXACTLY ONE distinct supplier
+    with 'R' rows (itself; any other R supplier would trip the anti,
+    any missing second supplier the semi). numwait counts the
+    surviving driving ROWS, i.e. that sole supplier's R-row count.
+
+    Rewritten r15 (plan-equivalence proven against the unchanged
+    EXISTS/NOT-EXISTS oracle SQL at sf0.001 + sf0.01): the double
+    self-join read lineitem three times and paid an l_orderkey
+    exchange + sort per sort-merge leg; this is one scan and two
+    nested aggregations — (l_orderkey, l_suppkey) then l_orderkey, the
+    second satisfied by the first's partitioning (subset clustering),
+    so ONE exchange total on the plain layout and ZERO on the
+    orderkey-bucketed one.
+
+    Returns (l_orderkey, l_suppkey, __wait_rows) — the sole-late
+    supplier of each qualifying order with its driving-row count.
+    """
+    is_r = (F.col("l_returnflag") == "R").cast("long")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(is_r).alias("__r_rows")
+    )
+    per_ord = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum((F.col("__r_rows") > 0).cast("long")).alias("__n_r_supp"),
+        F.max(
+            F.when(F.col("__r_rows") > 0, F.col("l_suppkey"))
+        ).alias("l_suppkey"),
+        F.sum("__r_rows").alias("__wait_rows"),
+    )
+    # __n_r_supp == 1 makes max() the unique R supplier and __wait_rows
+    # exactly its R-row count (no other supplier contributes R rows).
+    return per_ord.filter(
+        (F.col("__n_r_supp") == 1) & (F.col("__n_supp") >= 2)
+    ).select("l_orderkey", "l_suppkey", "__wait_rows")
+
+
 @register(
     "rel_q21_waiting_suppliers",
     """
@@ -1820,6 +1863,14 @@ def rel_q21_waiting_suppliers(spark, sf_dir):
     residual as a join condition, never a cartesian); supplier and its
     nation filter broadcast last; the top-k is TakeOrderedAndProject
     with a total (numwait DESC, s_name) tie-break.
+
+    The one-pass aggregate rewrite (:func:`_q21_sole_late_suppliers`)
+    was A/B'd here in r15 and REJECTED for this plain-layout variant:
+    +0.2-0.4 s at both 32 and 8 cores, every pair — at bench scale the
+    semi/anti sides broadcast, so the three legs are concurrent
+    re-scans with no exchange, cheaper than the rewrite's (orderkey,
+    suppkey) aggregation shuffle. The bucketed variant (where the
+    aggregation is exchange-free) keeps the rewrite.
     """
     li = _t(spark, sf_dir, "lineitem")
     l1 = li.filter(F.col("l_returnflag") == "R").select(
@@ -1884,29 +1935,24 @@ def rel_q21_waiting_suppliers(spark, sf_dir):
 def rel_q21_waiting_suppliers_bucketed(spark, sf_dir):
     """Q21 on the bucketed layout — the shape that wants it most.
 
-    The plain plan (:func:`rel_q21_waiting_suppliers`) is correct but
-    pays THREE lineitem-sized l_orderkey exchanges (each side of the
-    driving⋈EXISTS and ⋈NOT-EXISTS sort-merge joins shuffles) plus an
-    orders-sized one for the status semi. Here all three lineitem legs
-    read ONE orderkey-bucketed copy (:func:`_bucketed_lineitem` —
-    shared with Q18/Q8, so the layout write is amortized across four
-    queries) and orders reads an o_orderkey-bucketed copy at the same
-    bucket count, so every l_orderkey join in the plan is bucket-local:
-    zero fact-side Exchange (plan-asserted in tests/test_bucketed.py).
+    Same one-pass aggregate rewrite as the plain variant
+    (:func:`_q21_sole_late_suppliers`), reading the orderkey-bucketed
+    lineitem copy (:func:`_bucketed_lineitem` — shared with Q18/Q8, so
+    the layout write is amortized across four queries): the bucket
+    partitioning satisfies BOTH nested aggregations (subset
+    clustering for (l_orderkey, l_suppkey), exact for l_orderkey) and
+    the orders(F) semi against the o_orderkey-bucketed copy at the
+    same bucket count — zero fact-side Exchange on either fact
+    (plan-asserted in tests/test_bucketed.py), and — since the r15
+    rewrite — ONE lineitem scan where the double self-join read three.
     The only shuffles left are the tiny s_name aggregate and the
-    broadcast of the nation-filtered supplier dim. Join logic,
-    residuals, and tie-breaks are identical to the plain variant
-    (equality test) — only the physical layout differs.
+    broadcast of the nation-filtered supplier dim. Join logic and
+    tie-breaks are identical to the plain variant (equality test) —
+    only the physical layout differs.
     """
     li = _bucketed_lineitem(spark, sf_dir)
-    l1 = li.filter(F.col("l_returnflag") == "R").select(
-        "l_orderkey", "l_suppkey"
-    )
-    l2 = li.select(
-        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
-    )
-    l3 = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("__ok3"), F.col("l_suppkey").alias("__sk3")
+    cand = _q21_sole_late_suppliers(
+        li.select("l_orderkey", "l_suppkey", "l_returnflag")
     )
     o = (
         _bucketed_fact(spark, sf_dir, "orders", "o_orderkey")
@@ -1918,22 +1964,10 @@ def rel_q21_waiting_suppliers_bucketed(spark, sf_dir):
         F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"]
     )
     return (
-        l1.join(
-            l2,
-            (l1["l_orderkey"] == F.col("__ok2"))
-            & (l1["l_suppkey"] != F.col("__sk2")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (l1["l_orderkey"] == F.col("__ok3"))
-            & (l1["l_suppkey"] != F.col("__sk3")),
-            "left_anti",
-        )
-        .join(o, l1["l_orderkey"] == o["o_orderkey"], "left_semi")
-        .join(F.broadcast(s), l1["l_suppkey"] == s["s_suppkey"])
+        cand.join(o, cand["l_orderkey"] == o["o_orderkey"], "left_semi")
+        .join(F.broadcast(s), cand["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("__wait_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(100)
     )
