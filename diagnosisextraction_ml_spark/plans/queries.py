@@ -517,6 +517,31 @@ def _publish_bucketed_layout(
             raise
 
 
+# Session-scoped memo of PUBLISHED layout tables: (applicationId,
+# table) → the analyzed catalog DataFrame. The already-published hot
+# path paid a catalog tableExists RPC + a full table resolution on
+# EVERY call (~50-100 ms/query of driver work at sf0.1 — the same
+# per-call analysis cost the reader memo in sources/readers.py
+# removes for plain scans). The on-disk directory is re-stat'ed before
+# every memo hit, so the data-removal → rebuild path (tested in
+# tests/test_bucketed.py) still triggers; no data is cached, the memo
+# holds a lazy plan over the published files.
+_LAYOUT_MEMO: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _layout_memo_get(spark, table: str, loc: str):
+    import os as _os
+
+    if not _os.path.isdir(loc):
+        return None
+    return _LAYOUT_MEMO.get((spark.sparkContext.applicationId, table))
+
+
+def _layout_memo_put(spark, table: str, df):
+    _LAYOUT_MEMO[(spark.sparkContext.applicationId, table)] = df
+    return df
+
+
 def _bucketed_fact(
     spark, sf_dir: str, source: str, key: str, n_buckets: int = 32
 ):
@@ -559,8 +584,11 @@ def _bucketed_fact(
     table = f"{source}_b_{tag}"
     try:
         loc = _os.path.join(_bucketed_base_dir(), table)
+        memo = _layout_memo_get(spark, table, loc)
+        if memo is not None:
+            return memo
         if spark.catalog.tableExists(table) and _os.path.isdir(loc):
-            return spark.table(table)
+            return _layout_memo_put(spark, table, spark.table(table))
         if not _os.path.isdir(loc):
             _publish_bucketed_layout(spark, sf_dir, source, key, n_buckets, loc)
         # Register (or refresh) the external bucketed table over the
@@ -578,7 +606,7 @@ def _bucketed_fact(
             f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
             f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
         )
-        return spark.table(table)
+        return _layout_memo_put(spark, table, spark.table(table))
     except Exception:  # noqa: BLE001 — layout is optional, results aren't
         return _t(spark, sf_dir, source)
 
