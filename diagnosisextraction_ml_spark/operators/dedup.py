@@ -184,18 +184,88 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     )
 
 
-def _minhash_wide(shingle_df: DataFrame, id_col: str, k: int) -> DataFrame:
+# Crossover between the two _minhash_wide formulations, measured at
+# sf0.1 (r15, alternating paired runs, min-of-2 per side). Array wins
+# on UNIGRAM shingles: n=1 k=8 0.73→0.45 s, n=1 k=16 full corpus
+# 0.73→0.49 s (the token array already exists; each h_i is pure
+# arithmetic over it). Rows wins on word n-grams at pipeline scale:
+# n=3 k=16 full corpus 0.79 vs 1.04 s, and inside minhash_lsh_pairs
+# (registry k=16 n=3) rows beat array by +0.46/+0.62/+0.72 s across
+# 3 alternating pairs (k=64: rows 2.9-3.7 s vs array 3.3-5.2 s) —
+# k array passes over the zip/concat-built gram arrays cost more CPU
+# than the one shuffle they remove. Both formulations bit-identical
+# (tests/test_dedup.py::test_minhash_array_native_matches_row_reference
+# + exceptAll A/B at sf0.001/sf0.01).
+_ARRAY_NATIVE_MAX_K = 16
+
+
+def _minhash_wide(
+    df: DataFrame, text_col: str, id_col: str, n: int, k: int
+) -> DataFrame:
     """One row per doc with columns h0..h{k-1} — the wide signature.
 
     h_i(x) = ((a_i · (x mod p) + b_i) mod p) over md5 shingle hashes,
     p = 2^31-1; a_i/b_i derived from i by Knuth multiplicative mixing.
     All intermediates < 2^63 (see functions/hashing.py overflow note).
-    All k minima are computed in ONE aggregation over the
-    (id, shingle-hash) rows — k ``min`` expressions per group, map-side
-    combined, so the shingle rows shuffle once (never k times).
+    Dispatches on (n, k) per the measured crossover above: narrow
+    unigram signatures are computed row-locally with zero exchanges,
+    everything else through the single-shuffle k-min aggregation.
+    """
+    if n == 1 and k <= _ARRAY_NATIVE_MAX_K:
+        return _minhash_wide_arrays(df, text_col, id_col, n, k)
+    return _minhash_wide_rows(df, text_col, id_col, n, k)
+
+
+def _minhash_wide_arrays(
+    df: DataFrame, text_col: str, id_col: str, n: int, k: int
+) -> DataFrame:
+    """Array-native wide signature: no (id, shingle) row ever exists.
+
+    The md5 hashes are one ``transform`` over the gram array and each
+    h_i is an ``array_min`` over it — zero exchanges and no explode.
+    Docs whose gram set is empty (empty/whitespace/null text) produce
+    no group in the row-based shape and are filtered here — same
+    semantics.
+    """
+    grams = F.filter(
+        F.array_distinct(_gram_col(text_col, n)),
+        lambda g: g.isNotNull() & (g != ""),
+    )
+    base = (
+        _fan_out(df)
+        .select(F.col(id_col), grams.alias("__g"))
+        .filter(F.size("__g") > 0)
+    )
+    xs = F.transform(F.col("__g"), lambda g: md5_hash64(g) % F.lit(M31))
+    base = base.select(F.col(id_col), xs.alias("__x"))
+    mins = []
+    for i in range(k):
+        a = (i * KNUTH + 1) % M31
+        b = (i * 40503 + 7) % M31
+        mins.append(
+            F.array_min(
+                F.transform(
+                    F.col("__x"), lambda x: (F.lit(a) * x % M31 + F.lit(b)) % M31
+                )
+            ).alias(f"h{i}")
+        )
+    return base.select(id_col, *mins)
+
+
+def _minhash_wide_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int, k: int
+) -> DataFrame:
+    """Row-based wide signature: explode shingles, shuffle once into a
+    k-``min`` groupBy. All k minima are computed in ONE aggregation
+    over the (id, shingle-hash) rows — k ``min`` expressions per
+    group, map-side combined, so the shingle rows shuffle once (never
+    k times). The winning shape for wide signatures (k > 16), where
+    k array passes per row cost more than the single shuffle.
     """
     x = md5_hash64("shingle") % F.lit(M31)
-    hashed = shingle_df.select(F.col(id_col), x.alias("x"))
+    hashed = shingles(df, text_col, id_col, n).select(
+        F.col(id_col), x.alias("x")
+    )
     aggs = []
     for i in range(k):
         a = (i * KNUTH + 1) % M31
@@ -206,16 +276,19 @@ def _minhash_wide(shingle_df: DataFrame, id_col: str, k: int) -> DataFrame:
 
 
 def minhash_signatures(
-    shingle_df: DataFrame, id_col: str, k: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 64,
 ) -> DataFrame:
     """MinHash signature per document → (id, i, minhash), i in [0, k).
 
-    The long unpivot of :func:`_minhash_wide` (the earlier
-    explode-by-k variant shuffled k·|doc,shingle| rows; the wide agg
-    shuffles the shingle rows once and the k-fold work happens inside
-    the map-side combine).
+    Takes the raw documents (the wide build shingles row-locally —
+    see :func:`_minhash_wide`); the long (id, i, minhash) unpivot is
+    one k-struct explode of the wide row.
     """
-    wide = _minhash_wide(shingle_df, id_col, k)
+    wide = _minhash_wide(df, text_col, id_col, n, k)
     stacked = F.explode(
         F.array(
             *[
@@ -312,7 +385,7 @@ def minhash_lsh_pairs(
         ).localCheckpoint()
     else:
         reps = df.select(F.col(id_col), F.col(text_col))
-    wide = _minhash_wide(shingles(reps, text_col, id_col, shingle_n), id_col, k)
+    wide = _minhash_wide(reps, text_col, id_col, shingle_n, k)
     rows_per_band = k // bands
     # Band keys straight off the wide signature row: each band's key is
     # concat of its rows' minhash columns (i-order), built as ONE
@@ -1120,7 +1193,7 @@ def band_buckets(
         raise ValueError(
             f"band_buckets needs k divisible by bands, got k={k}, bands={bands}"
         )
-    wide = _minhash_wide(shingles(df, text_col, id_col, shingle_n), id_col, k)
+    wide = _minhash_wide(df, text_col, id_col, shingle_n, k)
     rows_per_band = k // bands
     band_structs = [
         F.struct(

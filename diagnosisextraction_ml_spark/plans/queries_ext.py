@@ -525,13 +525,10 @@ register(
     """,
 )(
     lambda spark, sf_dir: dedup.minhash_signatures(
-        dedup.shingles(
-            _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0),
-            "text",
-            "doc_id",
-            n=1,
-        ),
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0),
+        "text",
         "doc_id",
+        n=1,
         k=_MH_K,
     )
 )

@@ -47,13 +47,59 @@ def test_exact_duplicates(docs):
 
 
 def test_minhash_identical_docs_share_signature(docs):
-    sigs = minhash_signatures(shingles(docs, "text", "doc_id", n=3), "doc_id", k=16)
+    sigs = minhash_signatures(docs, "text", "doc_id", n=3, k=16)
     by_doc = {}
     for r in sigs.collect():
         by_doc.setdefault(r["doc_id"], {})[r["i"]] = r["minhash"]
     assert by_doc[1] == by_doc[2] == by_doc[3]
     assert by_doc[1] != by_doc[5]
     assert all(len(v) == 16 for v in by_doc.values())
+
+
+def test_minhash_array_native_matches_row_reference(spark):
+    """The array-native wide build (r15: array_min over a transform,
+    zero exchanges) must be bit-identical to the original row-based
+    formulation — explode shingles, md5 per row, k-min groupBy —
+    including the edge docs the filter semantics cover: empty text,
+    whitespace-only text, and null text all produce NO signature."""
+    from diagnosisextraction_ml_spark.functions.hashing import (
+        KNUTH,
+        M31,
+        md5_hash64,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "one two three four five six"),
+        (4, ""),
+        (5, "   "),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 16
+    # n=1, k=16 dispatches to the array-native build (the regime it
+    # wins in); the reference below is the row-based formulation, so
+    # this pins the two formulations against each other.
+    got = {
+        (r["doc_id"], r["i"]): r["minhash"]
+        for r in minhash_signatures(docs, "text", "doc_id", n=1, k=k).collect()
+    }
+    # row-based reference, built inline exactly as the pre-r15 shape
+    hashed = shingles(docs, "text", "doc_id", n=1).select(
+        F.col("doc_id"), (md5_hash64("shingle") % F.lit(M31)).alias("x")
+    )
+    aggs = []
+    for i in range(k):
+        a = (i * KNUTH + 1) % M31
+        b = (i * 40503 + 7) % M31
+        aggs.append(F.min((F.lit(a) * F.col("x") % M31 + F.lit(b)) % M31).alias(f"h{i}"))
+    ref = {}
+    for r in hashed.groupBy("doc_id").agg(*aggs).collect():
+        for i in range(k):
+            ref[(r["doc_id"], i)] = r[f"h{i}"]
+    assert got == ref
+    assert not any(d in (4, 5, 6) for d, _ in got)
 
 
 def test_minhash_lsh_pairs_finds_dups(docs):
