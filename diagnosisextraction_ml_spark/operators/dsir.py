@@ -265,7 +265,16 @@ def doremi_mixture_step(
     """
     from diagnosisextraction_ml_spark.operators.lm import score_trigram_interp
 
-    scored = score_trigram_interp(docs, trigrams, bigrams, unigrams, id_col=id_col)
+    # localCheckpoint: `scored` feeds BOTH the per-source rollup and
+    # the corpus-wide reference mean — left lazy the whole scoring
+    # pass (corpus scan + five broadcast model joins + the id-keyed
+    # aggregate) runs twice (r15 plan audit: mix_doremi_weights
+    # scanned documents 30× through the lazy scored/per/model chain).
+    # The materialized relation is the narrow (id, n_trigrams, lp_sum,
+    # score) per-doc rollup — the right thing to keep at any scale.
+    scored = score_trigram_interp(
+        docs, trigrams, bigrams, unigrams, id_col=id_col
+    ).localCheckpoint()
     src = docs.select(F.col(id_col), F.col(source_col).alias("source"))
     per = (
         scored.join(src, [id_col])
@@ -302,6 +311,10 @@ def doremi_mixture_step(
                 F.lit(1_000_000.0) * F.exp(F.lit(float(eta)) * F.col("excess")), 0
             ).cast("long"),
         )
+        # localCheckpoint: `per` (one row per SOURCE) feeds both the
+        # weight denominator and the final projection — left lazy each
+        # re-runs the source join + rollup over `scored`.
+        .localCheckpoint()
     )
     den = per.agg(
         F.sum(F.col("n_docs") * F.col("boost_micro")).alias("__den")

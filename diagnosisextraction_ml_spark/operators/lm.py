@@ -80,7 +80,10 @@ def fit_bigram_counts(
     if min_count > 1:
         bigrams = bigrams.filter(F.col("c_bigram") >= min_count)
     unigrams = bg.groupBy("b1").agg(F.count("*").alias("c_left"))
-    return bigrams, unigrams
+    # localCheckpoint: same reasoning as fit_trigram_counts — the
+    # scorer broadcasts both tables (unigrams also as a 1-row total),
+    # and left lazy each broadcast re-runs the corpus bigram explode.
+    return bigrams.localCheckpoint(), unigrams.localCheckpoint()
 
 
 def score_bigram_logprob(
@@ -193,7 +196,15 @@ def fit_trigram_counts(
     ).agg(F.count(F.lit(1)).alias("c_tri"))
     if min_count > 1:
         tri = tri.filter(F.col("c_tri") >= min_count)
-    return tri, big, uni
+    # localCheckpoint: every scorer BROADCASTS these tables, some in
+    # two roles (big as context + continuation, uni as denominator +
+    # floor + 1-row total) — left lazy, each broadcast re-runs the
+    # full corpus explode+count (r15 plan audit: lm_trigram_interp
+    # scanned documents 7×, mix_doremi_weights 30×). The materialized
+    # relations are the bucket-bounded model tables the scorer's
+    # broadcast already requires to be small; train-time eagerness is
+    # the natural semantics for a fit.
+    return tri.localCheckpoint(), big.localCheckpoint(), uni.localCheckpoint()
 
 
 def score_trigram_interp(

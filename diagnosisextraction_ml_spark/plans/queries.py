@@ -2403,25 +2403,35 @@ def rel_semi_join(spark, sf_dir):
     """,
 )
 def rel_min_cost_supplier(spark, sf_dir):
-    """TPC-H Q2 shape — cheapest supplier per part via a ranked window
-    over the join (the decorrelated form of Q2's correlated min
-    subquery: one shuffle on the part key instead of a per-part
-    re-scan; the dim filter broadcasts)."""
-    from pyspark.sql import Window
-
+    """TPC-H Q2 shape — cheapest supplier per part, computed as a
+    lexicographic struct-min AGGREGATION (the decorrelated form of
+    Q2's correlated min subquery). The oracle's row_number()=1 window
+    sorts every matched lineitem row inside each part partition and
+    shuffles them all; ``min(struct(price, suppkey, orderkey,
+    linenumber))`` computes the same argmin row — struct comparison
+    is field-order lexicographic, exactly the window's all-ASC total
+    order, and the (orderkey, linenumber) tail makes it tie-free —
+    with map-side combine, so one row per part per input partition
+    crosses the wire instead of the whole join (guide §2.3; r15 A/B
+    at sf0.1: 0.60-0.70 s → 0.46-0.48 s min-of-2 across 3 alternating
+    pairs, exceptAll-identical at sf0.001/sf0.01)."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("p_partkey").orderBy(
-        F.col("l_extendedprice").asc(),
-        F.col("l_suppkey").asc(),
-        F.col("l_orderkey").asc(),
-        F.col("l_linenumber").asc(),
-    )
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("p_partkey", "l_suppkey", "l_extendedprice")
+        .groupBy("p_partkey")
+        .agg(
+            F.min(
+                F.struct(
+                    "l_extendedprice", "l_suppkey", "l_orderkey", "l_linenumber"
+                )
+            ).alias("m")
+        )
+        .select(
+            "p_partkey",
+            F.col("m.l_suppkey").alias("l_suppkey"),
+            F.col("m.l_extendedprice").alias("l_extendedprice"),
+        )
     )
 
 
