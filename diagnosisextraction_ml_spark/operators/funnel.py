@@ -30,6 +30,71 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _user_step_times(
+    events: DataFrame,
+    steps: list[str],
+    horizon_hours: int | None,
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+) -> DataFrame:
+    """(user, __t0..__t{S-1}) — each user's earliest qualifying time
+    per funnel step (null once the chain breaks), in ONE pass.
+
+    The funnel recurrence t_i = min{ts of step_i events ≥ t_{i-1}
+    (and ≤ t_0 + horizon)} is a per-USER computation, so no join
+    chain is needed: one groupBy(user) collects a sorted timestamp
+    array per step type (S conditional collect_lists in a single
+    aggregation — the only corpus-wide exchange, carrying exactly the
+    step-typed events), and each t_i is the first element of the
+    previous step's threshold-filtered array — pure array expressions
+    inside the user row. The r15 plan audit measured the former
+    chained-join shape at S(S+1)/2 event scans (the lazy chain
+    re-evaluated per step-count consumer): 9 scans / 10 exchanges for
+    the 4-step registry funnel vs 1 scan / 2 exchanges here. Per-user
+    arrays are bounded by that user's own step-typed activity (same
+    class as sessionize's per-user sort).
+    """
+    typ = F.col(type_col)
+    per_user = (
+        events.filter(typ.isin(list(steps)))
+        .groupBy(user_col)
+        .agg(
+            *[
+                F.sort_array(
+                    F.collect_list(F.when(typ == s, F.col(ts_col)))
+                ).alias(f"__a{i}")
+                for i, s in enumerate(steps)
+            ]
+        )
+    )
+    # array_min == first element of the sorted array, and is null-safe
+    # on empty/never-reached arrays (element_at would raise under ANSI)
+    def _qualifies(lo, hi):
+        # single-parameter lambdas only: PySpark reads the Python
+        # signature to pick the higher-order-function arity, so the
+        # bounds must close over, not default-arg, their columns
+        if hi is None:
+            return lambda x: x >= lo
+        return lambda x: (x >= lo) & (x <= hi)
+
+    per_user = per_user.withColumn("__t0", F.array_min(F.col("__a0")))
+    for i in range(1, len(steps)):
+        prev = F.col(f"__t{i - 1}")
+        hi = (
+            F.col("__t0") + F.expr(f"INTERVAL {horizon_hours} HOURS")
+            if horizon_hours is not None
+            else None
+        )
+        per_user = per_user.withColumn(
+            f"__t{i}",
+            F.array_min(F.filter(F.col(f"__a{i}"), _qualifies(prev, hi))),
+        )
+    return per_user.select(
+        user_col, *[F.col(f"__t{i}") for i in range(len(steps))]
+    )
+
+
 def funnel_conversion(
     events: DataFrame,
     steps: list[str],
@@ -44,53 +109,38 @@ def funnel_conversion(
     or after their earliest qualifying time for step i−1 (and, with
     ``horizon_hours``, no later than that many hours after their step-0
     entry). ``conv_from_prev`` is users_i / users_{i-1} (1.0 for the
-    first step).
+    first step). Computed from :func:`_user_step_times` — one corpus
+    pass, one user-keyed exchange, one metadata-sized aggregate.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
-    cur = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias("t_prev"))
-        .withColumn("t0", F.col("t_prev"))
+    per_user = _user_step_times(
+        events, steps, horizon_hours, ts_col, user_col, type_col
     )
-    per_step = [cur.select(user_col, "t_prev", "t0")]
-    for step in steps[1:]:
-        nxt = events.filter(F.col(type_col) == step).select(
-            user_col, F.col(ts_col).alias("t_ev")
-        )
-        j = nxt.join(per_step[-1], [user_col]).filter(
-            F.col("t_ev") >= F.col("t_prev")
-        )
-        if horizon_hours is not None:
-            j = j.filter(
-                F.col("t_ev")
-                <= F.col("t0") + F.expr(f"INTERVAL {horizon_hours} HOURS")
+    # One tiny wide aggregate: users per step = non-null t_i counts.
+    # conv_from_prev is computed INSIDE the single row before the
+    # explode, so no counts-with-shifted-counts self-join is needed.
+    counts = per_user.agg(
+        *[F.count(F.col(f"__t{i}")).alias(f"__u{i}") for i in range(len(steps))]
+    )
+    rows = []
+    for i, step in enumerate(steps):
+        users = F.col(f"__u{i}")
+        if i == 0:
+            conv = F.lit(1.0)
+        else:
+            prev = F.col(f"__u{i - 1}")
+            conv = F.when(prev == 0, F.lit(0.0)).otherwise(users / prev)
+        rows.append(
+            F.struct(
+                F.lit(i).alias("step_idx"),
+                F.lit(step).alias("step"),
+                users.alias("users"),
+                conv.cast("double").alias("conv_from_prev"),
             )
-        cur = j.groupBy(user_col, "t0").agg(F.min("t_ev").alias("t_prev"))
-        per_step.append(cur.select(user_col, "t_prev", "t0"))
-
-    counts = None
-    for i, (step, df) in enumerate(zip(steps, per_step)):
-        row = df.agg(F.count(F.lit(1)).alias("users")).select(
-            F.lit(i).alias("step_idx"), F.lit(step).alias("step"), "users"
         )
-        counts = row if counts is None else counts.unionByName(row)
-    prev = counts.select(
-        (F.col("step_idx") + 1).alias("step_idx"),
-        F.col("users").alias("prev_users"),
-    )
-    return (
-        counts.join(prev, ["step_idx"], "left")
-        .select(
-            "step_idx",
-            "step",
-            "users",
-            F.when(F.col("prev_users").isNull(), F.lit(1.0))
-            .when(F.col("prev_users") == 0, F.lit(0.0))
-            .otherwise(F.col("users") / F.col("prev_users"))
-            .alias("conv_from_prev"),
-        )
+    return counts.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.step_idx", "r.step", "r.users", "r.conv_from_prev"
     )
 
 
@@ -129,6 +179,11 @@ def cohort_retention(
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("users"))
+        # localCheckpoint: grid feeds BOTH the cohort-size lookup and
+        # the final retention join — left lazy the two event scans +
+        # the user-keyed join ran twice (r15 plan audit: 4 event
+        # scans; 2 after). |cohorts|·|offsets| rows at any scale.
+        .localCheckpoint()
     )
     size = grid.filter(F.col("week_offset") == 0).select(
         "cohort_week", F.col("users").alias("cohort_size")
@@ -177,31 +232,30 @@ def funnel_latency_quantiles(
 
     if len(steps) < 2:
         raise ValueError("latency funnel needs at least two steps")
-    cur = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias("t_prev"))
+    # Same one-pass foundation as funnel_conversion (no horizon); the
+    # per-transition latencies unpivot from the per-user step-time row
+    # as one explode — the former per-step join chain re-evaluated the
+    # whole recurrence per unioned branch (r15 plan audit: 5 event
+    # scans for the 3-step registry funnel; 1 here).
+    per_user = _user_step_times(
+        events, steps, None, ts_col, user_col, type_col
     )
-    lats = None
-    for i, step in enumerate(steps[1:], start=1):
-        nxt = events.filter(F.col(type_col) == step).select(
-            user_col, F.col(ts_col).alias("t_ev")
-        )
-        reached = (
-            nxt.join(cur, [user_col])
-            .filter(F.col("t_ev") >= F.col("t_prev"))
-            .groupBy(user_col, "t_prev")
-            .agg(F.min("t_ev").alias("t_cur"))
-        )
-        lat = reached.select(
+    lat_structs = [
+        F.struct(
             F.lit(i).alias("step_idx"),
             F.lit(step).alias("step"),
             (
-                F.col("t_cur").cast("long") - F.col("t_prev").cast("long")
+                F.col(f"__t{i}").cast("long")
+                - F.col(f"__t{i - 1}").cast("long")
             ).alias("lat_sec"),
         )
-        lats = lat if lats is None else lats.unionByName(lat)
-        cur = reached.select(user_col, F.col("t_cur").alias("t_prev"))
+        for i, step in enumerate(steps[1:], start=1)
+    ]
+    lats = (
+        per_user.select(F.explode(F.array(*lat_structs)).alias("r"))
+        .filter(F.col("r.lat_sec").isNotNull())
+        .select("r.step_idx", "r.step", "r.lat_sec")
+    )
     return grouped_logbin_quantiles(
         lats, ["step_idx", "step"], "lat_sec", probes=probes
     )

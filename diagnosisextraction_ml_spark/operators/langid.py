@@ -105,8 +105,17 @@ def fit_langid(
     model: (lang, lid_bucket, adj_micro) where adj_micro =
     lp(lang,b) − lp0(lang) ≥ 0; base: (lang, lp0_micro).
     """
-    cb = _bucket_counts(df, text_col, [label_col], n_buckets).withColumnRenamed(
-        "nb", "c"
+    # localCheckpoint: cb feeds the per-lang totals AND the model join
+    # (twice within one model evaluation), and the scorer broadcasts
+    # model and base separately — left lazy, every one of those
+    # evaluations re-ran the full training-corpus char-gram explode
+    # (r15 plan audit: langid_char_ngram scanned documents 6×; 3 after
+    # — train once, test's two projections). The materialized relation
+    # is the (lang, bucket, c) count table, ≤ |langs|·n_buckets rows.
+    cb = (
+        _bucket_counts(df, text_col, [label_col], n_buckets)
+        .withColumnRenamed("nb", "c")
+        .localCheckpoint()
     )
     tot = cb.groupBy(label_col).agg(F.sum("c").alias("t"))
     den = F.col("t").cast("double") + F.lit(float(n_buckets))

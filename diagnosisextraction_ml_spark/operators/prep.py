@@ -517,7 +517,15 @@ def stratified_sample_exact(
     with_b = df.withColumn("__h", h).withColumn(
         "__sb", F.shiftrightunsigned(F.col("__h"), 60 - bits).cast("int")
     )
-    totals = with_b.groupBy(strata_col, "__sb").agg(F.count("*").alias("__c"))
+    # localCheckpoint: totals feeds three consumers (earlier, the
+    # offsets join's build side, n_per_stratum) — left lazy each
+    # broadcast re-ran the full input scan + count (r15 plan audit:
+    # 4 input scans; 2 after). |strata|·n_buckets rows at any scale.
+    totals = (
+        with_b.groupBy(strata_col, "__sb")
+        .agg(F.count("*").alias("__c"))
+        .localCheckpoint()
+    )
     earlier = totals.select(
         F.col(strata_col).alias("__es"),
         F.col("__sb").alias("__eb"),

@@ -7286,6 +7286,11 @@ def _rfm_entry() -> None:
                 "f",
                 "m",
             )
+            # localCheckpoint: per feeds BOTH the tercile-cut
+            # derivation and the labeling pass — left lazy the orders
+            # scan + per-customer rollup ran twice (r15 plan audit: 4
+            # orders scans; 2 after). One narrow row per customer.
+            .localCheckpoint()
         )
         stacked = per.select(
             "o_custkey",
