@@ -403,19 +403,21 @@ register(
 def _asof_events(spark, sf_dir):
     """As-of join: every non-purchase event gets the user's latest
     purchase value as of that event's timestamp (backward inclusive)."""
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events")
     left = ev.filter(F.col("event_type") != "purchase").select(
         "event_id", "user_id", "ts"
     )
-    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").asc())
+    # min-by-event_id per (user, ts) as a lexicographic struct-min
+    # aggregation (r15; same argmin treatment as
+    # rel_min_cost_supplier): event_id is unique so the struct min is
+    # exactly the oracle's row_number()=1 row, and the groupBy
+    # map-side combines where the ranked window sorted and shuffled
+    # every purchase row.
     right = (
         ev.filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "ts", "value")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "event_id")
+        .groupBy("user_id", "ts")
+        .agg(F.min(F.struct("event_id", "value")).alias("__m"))
+        .select("user_id", "ts", F.col("__m.value").alias("value"))
     )
     return joins.asof_join(
         left, right, on=["user_id"], value_cols=["value"]
