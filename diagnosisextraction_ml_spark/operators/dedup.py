@@ -58,7 +58,13 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one row (min id) per distinct normalized text (128-bit fp)."""
+    """Keep one row (min id) per distinct normalized text (128-bit fp).
+
+    Kept as a ranked window, NOT the r15 struct-min argmin: the op is
+    generic over the input schema and a min(struct(id, rest...)) would
+    require every carried column to be orderable (a map column would
+    break), where the window orders by id alone.
+    """
     normalized = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     fp = F.md5(normalized).alias("__fp")
     from pyspark.sql import Window
@@ -96,8 +102,6 @@ def dedup_first_seen_within_horizon(
 
     Output: (id, fingerprint, window_start).
     """
-    from pyspark.sql import Window
-
     normalized = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     win = F.window(F.col(ts_col), horizon)
     base = df.select(
@@ -106,13 +110,16 @@ def dedup_first_seen_within_horizon(
         F.col(ts_col).alias("__ts"),
         win["start"].alias("window_start"),
     )
-    w = Window.partitionBy("fingerprint", "window_start").orderBy(
-        F.col("__ts").asc(), F.col(id_col).asc()
-    )
+    # earliest (ts, id) per (fingerprint, window) as a struct-min
+    # aggregation (r15 argmin sweep): identical head row to the former
+    # ranked window, map-side combined instead of sorting every
+    # duplicate occurrence inside the shuffle.
     return (
-        base.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "fingerprint", "window_start")
+        base.groupBy("fingerprint", "window_start")
+        .agg(F.min(F.struct("__ts", id_col)).alias("__m"))
+        .select(
+            F.col(f"__m.{id_col}").alias(id_col), "fingerprint", "window_start"
+        )
     )
 
 

@@ -192,15 +192,23 @@ def score_langid(
             ).alias("score_micro"),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("score_micro"), F.asc(label_col)
-    )
+    # argmax as a lexicographic struct-min aggregation (r15; the
+    # rel_min_cost_supplier treatment): min(struct(-score, lang))
+    # realizes exactly the (score DESC, lang ASC) total order of the
+    # former ranked window, with map-side combine instead of sorting
+    # and shuffling every (doc, lang) score row.
     return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scores.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("score_micro")).alias("n"), F.col(label_col)
+                )
+            ).alias("__m")
+        )
         .select(
             id_col,
-            F.col(label_col).alias("pred_lang"),
-            "score_micro",
+            F.col(f"__m.{label_col}").alias("pred_lang"),
+            (-F.col("__m.n")).alias("score_micro"),
         )
     )

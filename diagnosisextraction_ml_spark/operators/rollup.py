@@ -506,13 +506,13 @@ def gapfill_locf_hourly(
     es = F.col(ts_col).cast("long")
     vm = F.round(F.col(value_col).cast("double") * 1_000_000, 0).cast("long")
     obs = df.select(*key_cols, F.floor(es / 3600).alias("hour"), es.alias("__ts"), vm.alias("__vm"))
-    w_last = Window.partitionBy(*key_cols, "hour").orderBy(
-        F.col("__ts").desc(), F.col("__vm").desc()
-    )
+    # last observation per (key, hour) as a struct-max aggregation
+    # (r15): max(struct(__ts, __vm)) is exactly the former ranked
+    # window's (__ts DESC, __vm DESC) head row, map-side combined.
     hourly = (
-        obs.withColumn("__rn", F.row_number().over(w_last))
-        .filter(F.col("__rn") == 1)
-        .select(*key_cols, "hour", F.col("__vm").alias("value_obs"))
+        obs.groupBy(*key_cols, "hour")
+        .agg(F.max(F.struct("__ts", "__vm")).alias("__m"))
+        .select(*key_cols, "hour", F.col("__m.__vm").alias("value_obs"))
     )
     span = hourly.groupBy(*key_cols).agg(
         F.min("hour").alias("__h0"), F.max("hour").alias("__h1")
