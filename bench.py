@@ -143,10 +143,14 @@ CERTIFIED_FLOORS: dict[str, str] = {
         "shuffle growth)"
     ),
     "assoc_rules_pairs": (
-        "stage-timed r15: basket build 0.82s = ONE collect_set "
-        "shuffle (fan_out A/B'd 0.82->1.24s, rejected); remainder = "
-        "pair Generate + 3 broadcast materializations ~= job floors. "
-        "Single-Generate pair expansion + max_basket cap audited r11-r14"
+        "r16: pairs + item_counts localCheckpoint-ed, n_tx literal-"
+        "folded — the pair Generate and item-count aggregation now "
+        "execute exactly ONCE (r15 log claimed this; landed r16, "
+        "after-plan checkpoint-rooted, zero Generates). A/B wash "
+        "locally (lazy duplicates ran concurrently on idle cores), "
+        "real pass reduction at scale. Remainder: basket build = ONE "
+        "collect_set shuffle (fan_out A/B'd 0.82->1.24s, rejected "
+        "r15) + 3 checkpoint/broadcast job floors"
     ),
     "dedup_lsh_band_pairs": (
         "stage-timed r15: minhash wide-agg 0.9s of 1.5s = the ONE "

@@ -93,12 +93,20 @@ def association_rules(
     )
     capped = baskets.filter(F.size("items").between(2, max_basket)).localCheckpoint()
 
-    n_tx = capped.select(F.count(F.lit(1)).alias("n_tx"))
+    # n_tx folded to a literal off the already-materialized `capped`
+    # (the pagerank |V|-probe discipline): as a crossJoin-broadcast it
+    # was a third independent job whose 1-row count lazily re-counted
+    # the basket relation per run.
+    n_tx = capped.count()
+    # localCheckpoint: `item_counts` is broadcast TWICE (antecedent +
+    # consequent sides) and left lazy each broadcast re-ran the full
+    # basket explode+count; the materialized relation is the item
+    # vocabulary — bounded, and already required to be broadcastable.
     item_counts = (
         capped.select(F.explode("items").alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("item_count"))
-    )
+    ).localCheckpoint()
     # In-basket pair expansion as ONE Generate: items is sorted, so the
     # (a, b) a<b pairs are a flatten of per-index suffix slices built
     # inside a single expression. The previous two-explode form first
@@ -115,13 +123,19 @@ def association_rules(
             ),
         )
     )
+    # localCheckpoint: `pairs` feeds BOTH sides of the directed-rules
+    # union — left lazy, the C(b,2) pair Generate + two-level
+    # aggregation executed twice (r15/r16 plan audit: the subtree
+    # appears under each union side, zero ReusedExchange). The
+    # materialized relation is the post-min-support frequent-pair
+    # table — the survivor set, small by construction.
     pairs = (
         capped.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= min_pair_support)
-    )
+    ).localCheckpoint()
     directed = pairs.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("consequent"),
@@ -142,7 +156,7 @@ def association_rules(
     out = (
         directed.join(F.broadcast(ante), "antecedent")
         .join(F.broadcast(cons), "consequent")
-        .crossJoin(F.broadcast(n_tx))
+        .withColumn("n_tx", F.lit(n_tx).cast("long"))
     )
     return out.select(
         "antecedent",

@@ -247,25 +247,30 @@ def ccnet_perplexity_buckets(
 
     Plan: the scoring pass's aggregate is the only shuffle keyed on
     the corpus; the bucket CASE and the final (lang, bucket) rollup
-    add one metadata-sized exchange. Determinism: `score` is an exact
-    integer sum divided by an exact integer count — bucket membership
-    replays hash-exactly in the SQL twin.
+    add one metadata-sized exchange. ``lang`` rides the scoring pass
+    as a carry column (r16: it is functionally dependent on the doc
+    id, so grouping on (id, lang) is row-identical to the former
+    join-back by id — minus a second corpus scan and its exchange).
+    Determinism: `score` is an exact integer sum divided by an exact
+    integer count — bucket membership replays hash-exactly in the SQL
+    twin.
 
     Output: (lang, bucket, n_docs, sum_trigrams) — the mixture table a
     curriculum/sampling stage consumes.
     """
     from diagnosisextraction_ml_spark.operators.lm import score_trigram_interp
 
-    scored = score_trigram_interp(docs, tri, big, uni, id_col=id_col)
+    scored = score_trigram_interp(
+        docs.select(F.col(id_col), F.col(lang_col).alias("lang"), F.col(text_col)),
+        tri, big, uni, text_col=text_col, id_col=id_col, carry_cols=("lang",),
+    )
     bucket = (
         F.when(F.col("score") >= F.lit(float(head_cut)), F.lit("head"))
         .when(F.col("score") >= F.lit(float(middle_cut)), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    langs = docs.select(F.col(id_col), F.col(lang_col).alias("lang"))
     return (
-        scored.join(langs, [id_col])
-        .select("lang", bucket.alias("bucket"), "n_trigrams")
+        scored.select("lang", bucket.alias("bucket"), "n_trigrams")
         .groupBy("lang", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -37,13 +37,24 @@ DEFAULT_BUCKETS = 4096
 
 
 def _bigram_buckets(
-    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, b1, b2) — one row per adjacent token pair (hashed)."""
+    """(id, *carry, b1, b2) — one row per adjacent token pair (hashed).
+
+    ``carry_cols`` are per-document attributes (functionally dependent
+    on ``id_col``) that ride the explode so a scorer can group on them
+    without a join-back scan; they add no shuffle volume (the scorer's
+    partial aggregation combines per document before the exchange).
+    """
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
     )
-    with_toks = df.select(F.col(id_col), toks.alias("toks")).filter(
+    carry = [F.col(c) for c in carry_cols]
+    with_toks = df.select(F.col(id_col), *carry, toks.alias("toks")).filter(
         F.size("toks") >= 2
     )
     n = F.size("toks")
@@ -51,9 +62,10 @@ def _bigram_buckets(
         F.slice(F.col("toks"), 1, n - 1).alias("w1"),
         F.slice(F.col("toks"), 2, n - 1).alias("w2"),
     )
-    exploded = with_toks.select(F.col(id_col), F.explode(pairs).alias("p"))
+    exploded = with_toks.select(F.col(id_col), *carry, F.explode(pairs).alias("p"))
     return exploded.select(
         F.col(id_col),
+        *carry,
         (md5_hash64(F.col("p.w1")) % F.lit(n_buckets)).alias("b1"),
         (md5_hash64(F.col("p.w2")) % F.lit(n_buckets)).alias("b2"),
     )
@@ -94,16 +106,21 @@ def score_bigram_logprob(
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_BUCKETS,
     alpha: int = 1,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Score: (id, n_bigrams, lp_sum, score) — exact mean log-prob.
+    """Score: (id, *carry, n_bigrams, lp_sum, score) — exact mean log-prob.
 
     Per bigram: ``round(1e6·(ln(C(w1,w2)+α) − ln(C(w1)+αB)))`` integer
     micro-nats, with C=0 via left-join coalesce for unseen pairs or
     contexts; ``score = lp_sum / (1e6 · n_bigrams)`` (≤ 0; higher =
     more reference-corpus-like; perplexity = exp(−score)).
+
+    ``carry_cols`` (per-document attributes, e.g. ``lang``) ride the
+    scoring pass and its groupBy — row-identical to joining them back
+    by id afterwards, minus the extra corpus scan + join exchange.
     """
     ab = alpha * n_buckets
-    bg = _bigram_buckets(df, text_col, id_col, n_buckets)
+    bg = _bigram_buckets(df, text_col, id_col, n_buckets, carry_cols)
     joined = bg.join(F.broadcast(bigrams), ["b1", "b2"], "left").join(
         F.broadcast(unigrams), ["b1"], "left"
     )
@@ -116,10 +133,11 @@ def score_bigram_logprob(
         0,
     ).cast("long")
     return (
-        joined.groupBy(F.col(id_col))
+        joined.groupBy(F.col(id_col), *[F.col(c) for c in carry_cols])
         .agg(F.count("*").alias("n_bigrams"), F.sum(lp_micro).alias("lp_sum"))
         .select(
             F.col(id_col),
+            *carry_cols,
             "n_bigrams",
             "lp_sum",
             (F.col("lp_sum") / (F.lit(1_000_000.0) * F.col("n_bigrams"))).alias(
@@ -139,13 +157,19 @@ JM_L1 = 0.2
 
 
 def _trigram_buckets(
-    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, b1, b2, b3) — one row per adjacent token triple (hashed)."""
+    """(id, *carry, b1, b2, b3) — one row per adjacent token triple
+    (hashed). ``carry_cols``: see :func:`_bigram_buckets`."""
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
     )
-    with_toks = df.select(F.col(id_col), toks.alias("toks")).filter(
+    carry = [F.col(c) for c in carry_cols]
+    with_toks = df.select(F.col(id_col), *carry, toks.alias("toks")).filter(
         F.size("toks") >= 3
     )
     n = F.size("toks")
@@ -154,9 +178,10 @@ def _trigram_buckets(
         F.slice(F.col("toks"), 2, n - 2).alias("w2"),
         F.slice(F.col("toks"), 3, n - 2).alias("w3"),
     )
-    exploded = with_toks.select(F.col(id_col), F.explode(triples).alias("p"))
+    exploded = with_toks.select(F.col(id_col), *carry, F.explode(triples).alias("p"))
     return exploded.select(
         F.col(id_col),
+        *carry,
         (md5_hash64(F.col("p.w1")) % F.lit(n_buckets)).alias("b1"),
         (md5_hash64(F.col("p.w2")) % F.lit(n_buckets)).alias("b2"),
         (md5_hash64(F.col("p.w3")) % F.lit(n_buckets)).alias("b3"),
@@ -216,8 +241,10 @@ def score_trigram_interp(
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_BUCKETS,
     alpha: int = 1,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Score: (id, n_trigrams, lp_sum, score) — interpolated mean log-prob.
+    """Score: (id, *carry, n_trigrams, lp_sum, score) — interpolated
+    mean log-prob. ``carry_cols``: see :func:`score_bigram_logprob`.
 
     Per position: ``P = λ3·C3/C2(w1,w2) + λ2·C2(w2,w3)/C1(w2) +
     λ1·(C1(w3)+α)/(N+αB)`` — Jelinek-Mercer interpolation; a zero
@@ -229,7 +256,7 @@ def score_trigram_interp(
     unigram roles) + the 1-row totals broadcast + one partial-agg
     shuffle keyed by id. Every model table is bucket-bounded.
     """
-    tg = _trigram_buckets(df, text_col, id_col, n_buckets)
+    tg = _trigram_buckets(df, text_col, id_col, n_buckets, carry_cols)
     total = unigrams.agg(F.sum("c_uni").alias("n_total")).select(
         F.lit(1).alias("j"), "n_total"
     )
@@ -273,10 +300,11 @@ def score_trigram_interp(
     p = F.lit(JM_L3) * t3 + F.lit(JM_L2) * t2 + F.lit(JM_L1) * t1
     lp_micro = F.round(F.lit(1_000_000.0) * F.log(p), 0).cast("long")
     return (
-        joined.groupBy(F.col(id_col))
+        joined.groupBy(F.col(id_col), *[F.col(c) for c in carry_cols])
         .agg(F.count(F.lit(1)).alias("n_trigrams"), F.sum(lp_micro).alias("lp_sum"))
         .select(
             F.col(id_col),
+            *carry_cols,
             "n_trigrams",
             "lp_sum",
             (F.col("lp_sum") / (F.lit(1_000_000.0) * F.col("n_trigrams"))).alias(

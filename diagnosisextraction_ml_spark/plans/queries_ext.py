@@ -6542,12 +6542,22 @@ def _ccnet_buckets(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    scored = _lm_bigram(spark, sf_dir)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    from diagnosisextraction_ml_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    bigrams, unigrams = lm.fit_bigram_counts(docs.filter(F.col("lang") == "en"))
+    # lang rides the scoring pass (carry_cols — functionally dependent
+    # on doc_id, row-identical to the former join-back, one corpus
+    # scan fewer); `s` feeds BOTH the tercile-cut aggregation and the
+    # labeling pass, so left lazy each consumer re-ran the full
+    # scoring pass (r16 plan audit: 4 document scans). localCheckpoint
+    # materializes the narrow per-doc (lang, id, sm) rollup — the same
+    # dsir/doremi scored-rollup discipline; plan after: 0 re-scans.
+    scored = lm.score_bigram_logprob(docs, bigrams, unigrams, carry_cols=("lang",))
     s = (
         scored.filter(F.col("n_bigrams") > 0)
-        .join(docs, "doc_id")
         .select("lang", "doc_id", F.expr("lp_sum div n_bigrams").alias("sm"))
+        .localCheckpoint()
     )
     per = s.groupBy("lang", "sm").agg(F.count(F.lit(1)).alias("n"))
     w_run = (

@@ -189,3 +189,29 @@ def test_trigram_short_docs_drop_out(spark):
     tri, big, uni = lm.fit_trigram_counts(train)
     got = {r.doc_id for r in lm.score_trigram_interp(probe, tri, big, uni).collect()}
     assert got == {4}
+
+
+def test_carry_cols_equals_join_back(spark, sf_dir):
+    """carry_cols rides a per-doc attribute through the scoring pass;
+    the result must be row-identical to scoring and joining the
+    attribute back by id (both scorers — r16 ccnet scan removal)."""
+    from diagnosisextraction_ml_spark.sources.readers import load_table
+    from diagnosisextraction_ml_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    bigrams, unigrams = fit_bigram_counts(docs.filter(F.col("lang") == "en"))
+    carried = lm.score_bigram_logprob(docs, bigrams, unigrams, carry_cols=("lang",))
+    joined = score_bigram_logprob(docs, bigrams, unigrams).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "n_bigrams", "lp_sum", "score")
+    assert carried.columns == ["doc_id", "lang", "n_bigrams", "lp_sum", "score"]
+    assert carried.exceptAll(joined).count() == 0
+    assert joined.exceptAll(carried).count() == 0
+
+    tri, big, uni = lm.fit_trigram_counts(docs.filter(F.col("lang") == "en"))
+    carried3 = lm.score_trigram_interp(docs, tri, big, uni, carry_cols=("lang",))
+    joined3 = lm.score_trigram_interp(docs, tri, big, uni).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "n_trigrams", "lp_sum", "score")
+    assert carried3.exceptAll(joined3).count() == 0
+    assert joined3.exceptAll(carried3).count() == 0
