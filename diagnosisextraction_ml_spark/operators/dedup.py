@@ -1857,7 +1857,12 @@ def prefix_filter_jaccard_pairs(
     # hash partitioning + per-doc rarity rank, each an exchange + sort)
     # execute once per side (r15 plan audit: zero ReusedExchange). The
     # materialized relation is the prefix postings — the (1−t)-fraction
-    # working set the join shuffles anyway.
+    # working set the join shuffles anyway. At-scale tradeoff (noted
+    # r16): localCheckpoint on a corpus-proportional relation trades
+    # lineage for plan reuse — executor loss makes downstream stages
+    # unrecoverable, and plan construction launches the job eagerly.
+    # On a cluster run that cares about fault tolerance, swap for
+    # persist()+unpersist or a reliable checkpoint directory.
     prefix = (
         hs.withColumn("__df", F.count(F.lit(1)).over(wdf))
         .withColumn("__rn", F.row_number().over(wdoc))

@@ -270,15 +270,26 @@ def doremi_mixture_step(
     # pass (corpus scan + five broadcast model joins + the id-keyed
     # aggregate) runs twice (r15 plan audit: mix_doremi_weights
     # scanned documents 30× through the lazy scored/per/model chain).
-    # The materialized relation is the narrow (id, n_trigrams, lp_sum,
-    # score) per-doc rollup — the right thing to keep at any scale.
+    # The materialized relation is the narrow (id, source, n_trigrams,
+    # lp_sum, score) per-doc rollup — the right thing to keep at any
+    # scale. `source` rides the scoring pass as a carry column (r16):
+    # functionally dependent on the doc id, so grouping on it is
+    # row-identical to the former join-back by id — minus a second
+    # docs scan and the |docs|-row join exchange. At-scale tradeoff:
+    # localCheckpoint on a corpus-proportional relation trades lineage
+    # for plan reuse (executor loss is unrecoverable downstream, the
+    # job runs eagerly at plan build); a fault-tolerant cluster run
+    # would use persist()+unpersist or a reliable checkpoint dir.
     scored = score_trigram_interp(
-        docs, trigrams, bigrams, unigrams, id_col=id_col
+        docs.select(F.col(id_col), F.col(source_col).alias("source"), F.col("text")),
+        trigrams,
+        bigrams,
+        unigrams,
+        id_col=id_col,
+        carry_cols=("source",),
     ).localCheckpoint()
-    src = docs.select(F.col(id_col), F.col(source_col).alias("source"))
     per = (
-        scored.join(src, [id_col])
-        .groupBy("source")
+        scored.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("lp_sum").alias("__lp"),

@@ -87,10 +87,14 @@ def fit_token_logodds(
     The corpus pass is EAGER: the ≤n_buckets-row class-count table is
     materialized JVM-side via ``localCheckpoint`` (all arithmetic runs
     in Spark expressions, so values stay engine-exact vs the SQL
-    oracle; no driver/Arrow round-trip) and nothing is left in the
-    storage layer — repeated fits (CV folds, long-lived sessions) are
-    clean. The weight projection over it stays lazy (metadata-cheap);
-    the table is broadcast-joined in downstream scoring.
+    oracle; no driver/Arrow round-trip). The checkpointed blocks are
+    freed by the ContextCleaner once the returned DataFrame is
+    unreachable — not synchronously at return — so repeated fits in a
+    long session carry a small, GC-bounded block residue (≤n_buckets
+    rows each); the returned plan still references the blocks, which
+    is why there is no explicit unpersist here. The weight projection
+    over it stays lazy (metadata-cheap); the table is broadcast-joined
+    in downstream scoring.
     """
     tok = _token_buckets(df, text_col, id_col, n_buckets, extra=[label_col])
     b = tok.select(F.col("bucket"), F.col(label_col).cast("long").alias("pos"))

@@ -529,16 +529,30 @@ def _publish_bucketed_layout(
 _LAYOUT_MEMO: dict[tuple[str, str], "DataFrame"] = {}
 
 
+def _layout_memo_key(spark, table: str, loc: str):
+    # mtime_ns+size of the published dir in the key (r16, ADVICE): a
+    # republished layout (atomic rename updates the dir stat) misses
+    # the memo instead of serving the old file listing.
+    import os as _os
+
+    try:
+        st = _os.stat(loc)
+        tok = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        tok = (None, None)
+    return (spark.sparkContext.applicationId, table, tok)
+
+
 def _layout_memo_get(spark, table: str, loc: str):
     import os as _os
 
     if not _os.path.isdir(loc):
         return None
-    return _LAYOUT_MEMO.get((spark.sparkContext.applicationId, table))
+    return _LAYOUT_MEMO.get(_layout_memo_key(spark, table, loc))
 
 
-def _layout_memo_put(spark, table: str, df):
-    _LAYOUT_MEMO[(spark.sparkContext.applicationId, table)] = df
+def _layout_memo_put(spark, table: str, df, loc: str):
+    _LAYOUT_MEMO[_layout_memo_key(spark, table, loc)] = df
     return df
 
 
@@ -588,7 +602,7 @@ def _bucketed_fact(
         if memo is not None:
             return memo
         if spark.catalog.tableExists(table) and _os.path.isdir(loc):
-            return _layout_memo_put(spark, table, spark.table(table))
+            return _layout_memo_put(spark, table, spark.table(table), loc)
         if not _os.path.isdir(loc):
             _publish_bucketed_layout(spark, sf_dir, source, key, n_buckets, loc)
         # Register (or refresh) the external bucketed table over the
@@ -606,7 +620,7 @@ def _bucketed_fact(
             f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
             f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
         )
-        return _layout_memo_put(spark, table, spark.table(table))
+        return _layout_memo_put(spark, table, spark.table(table), loc)
     except Exception:  # noqa: BLE001 — layout is optional, results aren't
         return _t(spark, sf_dir, source)
 
@@ -671,8 +685,11 @@ def _bucketed_partitioned_fact(
         ).hexdigest()[:10]
         table = f"{source}_bp_{tag}"
         loc = _os.path.join(_bucketed_base_dir(), table)
+        memo = _layout_memo_get(spark, table, loc)
+        if memo is not None:
+            return memo
         if spark.catalog.tableExists(table) and _os.path.isdir(loc):
-            return spark.table(table)
+            return _layout_memo_put(spark, table, spark.table(table), loc)
         if not _os.path.isdir(loc):
             stage = f"{loc}.stage.{_os.getpid()}"
             stage_table = f"{table}__stage_{_os.getpid()}"
@@ -709,7 +726,7 @@ def _bucketed_partitioned_fact(
             f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
         )
         spark.sql(f"MSCK REPAIR TABLE {table}")
-        return spark.table(table)
+        return _layout_memo_put(spark, table, spark.table(table), loc)
     except Exception:  # noqa: BLE001 — layout is optional, results aren't
         return fallback()
 
@@ -751,6 +768,9 @@ def _partitioned_fact(spark, sf_dir: str, source: str, part_col: str):
             f"{_os.path.realpath(sf_dir)}|{part_col}".encode()
         ).hexdigest()[:10]
         loc = _os.path.join(_bucketed_base_dir(), f"{source}_p_{tag}")
+        memo = _layout_memo_get(spark, f"{source}_p_{tag}", loc)
+        if memo is not None:
+            return memo
         if not _os.path.isdir(loc):
             stage = f"{loc}.stage.{_os.getpid()}"
             shutil.rmtree(stage, ignore_errors=True)
@@ -771,7 +791,12 @@ def _partitioned_fact(spark, sf_dir: str, source: str, part_col: str):
         # infers event_day (yyyy-MM-dd) as DATE and appends partition
         # columns at the end, so a query projecting the partition
         # column would silently differ between layout and fallback.
-        return read_partitioned_table(spark, loc, schema=fallback().schema)
+        return _layout_memo_put(
+            spark,
+            f"{source}_p_{tag}",
+            read_partitioned_table(spark, loc, schema=fallback().schema),
+            loc,
+        )
     except Exception:  # noqa: BLE001 — layout is optional, results aren't
         return fallback()
 

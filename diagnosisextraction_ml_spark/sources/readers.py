@@ -104,8 +104,19 @@ def read_predictions(spark: SparkSession, path: str) -> DataFrame:
 # DuckDB anchor likewise registers its parquet views once per
 # session). No DATA is cached: the memo holds a lazy plan, every
 # action still scans the parquet files. Keyed by applicationId so a
-# stopped/restarted session can never serve stale plans.
-_READER_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# stopped/restarted session can never serve stale plans, plus a cheap
+# freshness token (path mtime_ns + size) so regenerating a table's
+# files inside one application invalidates the memoized listing
+# instead of serving a stale file set (r16, ADVICE).
+_READER_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _freshness_token(path: str) -> tuple:
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (None, None)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -127,7 +138,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       ``CAST(ts AS TIMESTAMP)`` exactly.
     - TIMESTAMP: already canonical, no-op.
     """
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), name)
+    path = f"{os.path.realpath(sf_dir)}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, path, _freshness_token(path))
     memo = _READER_MEMO.get(key)
     if memo is not None:
         return memo

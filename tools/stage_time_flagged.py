@@ -82,15 +82,10 @@ def main() -> int:
         "reps_plus_minhash_wide": t(
             lambda: noop(
                 dedup._minhash_wide(
-                    dedup.shingles(
-                        reps.select(
-                            F.col("__members")[0].alias("doc_id"), "text"
-                        ),
-                        "text",
-                        "doc_id",
-                        3,
-                    ),
+                    reps.select(F.col("__members")[0].alias("doc_id"), "text"),
+                    "text",
                     "doc_id",
+                    3,
                     16,
                 )
             )
@@ -126,6 +121,83 @@ def main() -> int:
     # ---- quality logodds: train pass vs full train+score -------------------
     out["quality_token_logodds"] = {
         "full": t(lambda: noop(qs["quality_token_logodds"](spark, sf_dir))),
+    }
+
+    # ---- prefix jaccard: cumulative pipeline stages (r16, VERDICT #3) ------
+    # Each step BELOW re-runs its predecessors (fresh lazy plans each
+    # call, except the eager checkpoints inside the operator), so read
+    # the table as cumulative-cost-through-stage; deltas between rows
+    # are the marginal stage costs.
+    reps_pj = corpus.groupBy(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("__fp")
+    ).agg(
+        F.array_sort(F.collect_list("doc_id")).alias("__members"),
+        F.min("text").alias("text"),
+    ).select(F.col("__members")[0].alias("doc_id"), "text")
+
+    def _pj_sharr():
+        return dedup.shingle_arrays(reps_pj, "text", "doc_id", 3).withColumn(
+            "__harr",
+            F.array_distinct(F.transform("__grams", lambda g: F.xxhash64(g))),
+        )
+
+    def _pj_prefix(sharr):
+        from pyspark.sql import Window
+
+        num, den = 4, 5
+        hs = sharr.select(
+            F.col("doc_id"),
+            F.size("__harr").cast("long").alias("sz"),
+            F.explode("__harr").alias("__h"),
+        )
+        wdf = Window.partitionBy("__h")
+        wdoc = Window.partitionBy("doc_id").orderBy(F.asc("__df"), F.asc("__h"))
+        return (
+            hs.withColumn("__df", F.count(F.lit(1)).over(wdf))
+            .withColumn("__rn", F.row_number().over(wdoc))
+            .filter(
+                F.col("__rn")
+                <= F.col("sz") - F.expr(f"({num} * sz + {den - 1}) DIV {den}") + F.lit(1)
+            )
+            .select(F.col("doc_id"), "__h", "sz", "__rn")
+        )
+
+    def _pj_cands(prefix):
+        a = prefix.select(
+            F.col("doc_id").alias("id_a"), "__h",
+            F.col("sz").alias("sz_a"), F.col("__rn").alias("rn_a"),
+        )
+        b = prefix.select(
+            F.col("doc_id").alias("id_b"), "__h",
+            F.col("sz").alias("sz_b"), F.col("__rn").alias("rn_b"),
+        )
+        num, den = 4, 5
+        return (
+            a.join(b, "__h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.lit(num) * F.greatest("sz_a", "sz_b")
+                <= F.lit(den) * F.least("sz_a", "sz_b")
+            )
+            .groupBy("id_a", "id_b", "sz_a", "sz_b")
+            .agg(F.min("rn_a").alias("__ra"), F.min("rn_b").alias("__rb"))
+            .filter(
+                F.lit(num + den)
+                * (F.lit(1) + F.least(
+                    F.col("sz_a") - F.col("__ra"), F.col("sz_b") - F.col("__rb")))
+                >= F.lit(num) * (F.col("sz_a") + F.col("sz_b"))
+            )
+            .select("id_a", "id_b")
+        )
+
+    out["dedup_prefix_jaccard_pairs"] = {
+        "collapse_exact_reps": t(lambda: noop(reps_pj)),
+        "shingle_hash_arrays": t(lambda: noop(_pj_sharr())),
+        "prefix_postings": t(lambda: noop(_pj_prefix(_pj_sharr()))),
+        "candidates_ppjoin": t(lambda: noop(_pj_cands(_pj_prefix(_pj_sharr())))),
+        "full": t(
+            lambda: noop(qs["dedup_prefix_jaccard_pairs"](spark, sf_dir))
+        ),
     }
 
     print(json.dumps(out, indent=1))
