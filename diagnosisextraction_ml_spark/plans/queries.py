@@ -533,6 +533,16 @@ def _layout_memo_key(spark, table: str, loc: str):
     # mtime_ns+size of the published dir in the key (r16, ADVICE): a
     # republished layout (atomic rename updates the dir stat) misses
     # the memo instead of serving the old file listing.
+    #
+    # id(spark) in the key (r16 regression fix): ``spark.newSession()``
+    # SHARES the applicationId, so an appId-only key served the parent
+    # session's DataFrame to a sibling session — skipping the DDL+MSCK
+    # re-register a fresh catalog needs (and, after a DROP TABLE in the
+    # shared catalog, leaving the table unregistered for EVERY later
+    # caller in the application). Keyed per session object, a sibling
+    # session misses the memo, re-checks the catalog, and re-registers;
+    # appId stays in the key so a recycled id() from a dead session of
+    # another application can never collide.
     import os as _os
 
     try:
@@ -540,7 +550,7 @@ def _layout_memo_key(spark, table: str, loc: str):
         tok = (st.st_mtime_ns, st.st_size)
     except OSError:
         tok = (None, None)
-    return (spark.sparkContext.applicationId, table, tok)
+    return (id(spark), spark.sparkContext.applicationId, table, tok)
 
 
 def _layout_memo_get(spark, table: str, loc: str):

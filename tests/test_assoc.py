@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from itertools import combinations
 
+import pytest
 from pyspark.sql import functions as F
 
 from diagnosisextraction_ml_spark.functions.hashing import md5_hash64
@@ -137,6 +138,7 @@ def test_table_checksum_empty_table(spark):
     assert (row["n_rows"], row["xor_checksum"]) == (0, 0)
 
 
+@pytest.mark.slow
 def test_triangle_doulion_full_keep_equals_exact(spark):
     # p = 1 keeps every edge: the "estimate" must equal the exact count
     # on any graph (sampled-count path == exact path end to end).
@@ -152,6 +154,7 @@ def test_triangle_doulion_full_keep_equals_exact(spark):
     assert row["n_sampled_edges"] == len(edges)
 
 
+@pytest.mark.slow
 def test_triangle_doulion_deterministic_and_unbiased_ballpark(spark):
     # md5-coin sampling: identical result at any partitioning, and the
     # p^-3 blow-up lands within a loose factor of the exact count on a

@@ -151,6 +151,7 @@ def test_embedding_near_dup(spark):
     assert got2 == {(1, 2)}
 
 
+@pytest.mark.slow
 def test_lsh_collapse_exact_is_output_identical(spark):
     """The exact-duplicate pre-collapse (collapse_exact=True, the
     default) must be row-for-row identical to the direct pipeline —
@@ -206,6 +207,7 @@ def test_lsh_max_bucket_drops_hot_bucket_keeps_rest(spark):
     assert (100, 101) in capped  # small buckets unaffected
 
 
+@pytest.mark.slow
 def test_connected_components_chain_clique_and_convergence(spark):
     """Chain + clique resolve to min-id components; singletons absent;
     keep_canonical keeps one survivor per cluster plus singletons; a
@@ -755,6 +757,7 @@ def test_embedding_near_dup_string_ids_fall_back_to_expr(spark):
     assert got == {("docA", "docB")}
 
 
+@pytest.mark.slow
 def test_star_components_equal_propagate_on_random_graphs(spark):
     """Seeded random pair lists: the star-contraction engine must be
     row-for-row identical to min-label propagation."""
@@ -864,6 +867,7 @@ def test_star_expansion_same_components_fewer_pairs(spark):
     assert len({comp_of[i] for i in range(100)}) == 1
 
 
+@pytest.mark.slow
 def test_star_expansion_equality_mixed_group_sizes(spark):
     """Randomized (seeded) corpus with duplicate groups of every size
     1..14 — some under, some at, some over star_over=8 — must yield

@@ -53,6 +53,7 @@ def test_harness_wordmatching_fast(patient_df):
     assert med.model == "WordMatching"
 
 
+@pytest.mark.slow
 def test_fit_models_parallel_identical_to_sequential(patient_df):
     """O1 — the bounded thread pool must change wall-time only: same
     FoldResults (AUCs bit-identical), same result-list order."""

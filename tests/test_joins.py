@@ -200,6 +200,7 @@ def test_salted_join_equals_plain_join(spark):
         salted_join(left, right, "k", "rk", F.col("rid"), how="full")
 
 
+@pytest.mark.slow
 def test_salted_join_randomized_equivalence_with_nulls(spark):
     """Seeded random draws incl. NULL keys: salted inner/left joins
     must equal the plain joins exactly (NULL keys never match, and

@@ -112,6 +112,7 @@ def test_feature_vector_convention():
     assert abs(f[3] - 128 / 255) < 0.01
 
 
+@pytest.mark.slow
 def test_real_jpeg_decode_through_mapinpandas(spark):
     """End-to-end: JPEG payloads decode distributed via the sniffing
     decoder; a progressive payload quarantines as one row."""

@@ -209,6 +209,7 @@ def test_two_process_reader_through_concurrent_compaction(
     assert spark.read.parquet(path).count() == expect
 
 
+@pytest.mark.slow
 def test_concurrent_compactor_loser_discards_and_reads_winner(
     spark, sf_dir, tmp_path, monkeypatch
 ):

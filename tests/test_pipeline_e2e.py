@@ -52,6 +52,7 @@ def test_ep3_gold_set_scoring(spark, reference_dir):
     assert rep["acc"] > 0.8
 
 
+@pytest.mark.slow
 def test_model_save_load_round_trip(spark, reference_dir, tmp_path):
     """S4 — PipelineModel.save/load preserves transform output."""
     train = binarize_label(
@@ -75,6 +76,7 @@ def test_model_save_load_round_trip(spark, reference_dir, tmp_path):
     assert a == b
 
 
+@pytest.mark.slow
 def test_param_models_save_load_round_trip(spark, reference_dir, tmp_path):
     """S4 — Dummy/WordMatching state (prevalence, key, targets) must
     survive save/load: their state lives in ml Params, not plain

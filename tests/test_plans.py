@@ -19,6 +19,19 @@ def qs():
     return queries()
 
 
+@pytest.fixture(scope="module")
+def all_plans(spark, sf_dir, qs):
+    """One physical-plan string per registered query, built ONCE.
+
+    The five registry-wide lints below each iterated all 215 queries
+    and re-ran plan construction (including the eager localCheckpoint
+    materializations some operators perform at DataFrame-build time) —
+    five times the same ~20 s pass. Shared here so the full-suite wall
+    pays it once (VERDICT r15 #2: the driver's pytest gate must finish
+    inside its window)."""
+    return {name: _plan(fn(spark, sf_dir)) for name, fn in qs.items()}
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir, qs):
     plan = _plan(qs["rel_filter_project"](spark, sf_dir))
     assert "PushedFilters: [" in plan
@@ -39,11 +52,10 @@ def test_star_join_all_broadcast(spark, sf_dir, qs):
     assert "SortMergeJoin" not in plan
 
 
-def test_no_cartesian_anywhere(spark, sf_dir, qs):
+def test_no_cartesian_anywhere(all_plans):
     # every registered query must be cartesian-free (sim_bruteforce's
     # 1-row literal query vector is a projection, not a join)
-    for name, fn in qs.items():
-        plan = _plan(fn(spark, sf_dir))
+    for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, name
 
 
@@ -134,15 +146,14 @@ UNPARTITIONED_WINDOW_WHITELIST = {
 }
 
 
-def test_no_unpartitioned_window_in_any_registered_query(spark, sf_dir, qs):
+def test_no_unpartitioned_window_in_any_registered_query(all_plans):
     """Repo-wide guard (the single-task funnel class of bug): no
     registered query's physical plan may contain a Window with an
     empty partition spec unless whitelisted above with a cardinality
     bound. The curve engine (curve_by_threshold / auc_rank) and the
     pareto/quantile cutoffs use the two-level bucketed cumsum
     precisely to stay out of this list; new eval queries must too."""
-    for name, fn in qs.items():
-        plan = _plan(fn(spark, sf_dir))
+    for name, plan in all_plans.items():
         bad = _unpartitioned_windows(plan)
         if name in UNPARTITIONED_WINDOW_WHITELIST:
             # the whitelist must not rot: a whitelisted query that no
@@ -365,31 +376,29 @@ def test_q21_exists_branches_are_semi_anti_on_orderkey(spark, sf_dir, qs):
     assert len(semi) >= 2 and len(anti) >= 1  # both EXISTS legs + orders attach
 
 
-def test_no_row_python_udf_in_any_registered_query(spark, sf_dir, qs):
+def test_no_row_python_udf_in_any_registered_query(all_plans):
     """Python in a hot path must be Arrow-batched (ArrowEvalPython /
     MapInPandas / FlatMapGroupsInPandas — 8 registered queries use
     those). BatchEvalPython (row-at-a-time pickling, the 10-100×
     slow path) is forbidden in every registered plan; this turns the
     UDF-policy doctrine into a closed class like the window lint."""
-    for name, fn in qs.items():
-        plan = _plan(fn(spark, sf_dir))
+    for name, plan in all_plans.items():
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
 
 
-def test_no_global_sort_in_any_registered_query(spark, sf_dir, qs):
+def test_no_global_sort_in_any_registered_query(all_plans):
     """Every ORDER BY in the registry feeds a LIMIT and plans as
     TakeOrderedAndProject; a bare global Sort (range-shuffle + full
     sort of its input) has no place in a 100 TB plan. Zero queries
     plan one today — keep it a closed class."""
     import re
 
-    for name, fn in qs.items():
-        plan = _plan(fn(spark, sf_dir))
+    for name, plan in all_plans.items():
         g = re.findall(r"Sort \[[^\n]*\], true, 0", plan)
         assert not g, f"{name}: global Sort: {g[:2]}"
 
 
-def test_plan_fingerprints_unchanged(spark, sf_dir, qs):
+def test_plan_fingerprints_unchanged(spark, sf_dir, qs, all_plans):
     """Closed-class plan-regression net: every registered query's
     physical-plan shape (join strategies, exchange kinds, windows,
     top-k, Python-eval nodes — counts at sf0.001) must match the
@@ -409,8 +418,7 @@ def test_plan_fingerprints_unchanged(spark, sf_dir, qs):
         "regenerate with tools/plan_fingerprints.py"
     )
     bad = {}
-    for name, fn in qs.items():
-        plan = _plan(fn(spark, sf_dir))
+    for name, plan in all_plans.items():
         cur = fingerprint(plan)
         if cur != committed[name]:
             bad[name] = {"committed": committed[name], "current": cur}

@@ -345,6 +345,7 @@ def test_assign_numpy_matches_expr_real_embeddings(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_assign_numpy_matches_expr_srp_corpus(spark, sf_dir):
     """Parity at pipeline_text_semdedup's registered params (k=32,
     iters=2, dim=16) over the SRP projection of the real documents —
