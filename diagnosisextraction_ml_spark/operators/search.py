@@ -140,6 +140,117 @@ def _scan_term_tf(
     ).filter(F.col("dl") > 0)
 
 
+# Measured dispatch threshold between the two scoring forms (r16,
+# tools/search_batch_probe.py at sf0.1): the INLINE form compiles one
+# per-query struct into the scoring projection — zero extra shuffle,
+# ideal for interactive batches, but generated-code size grows with
+# |queries| (10q 3.98 s → 100q 15.1 s; at 1000q janino FAILS to
+# compile the Generate stage outright). The BATCH form explodes only
+# MATCHED (doc, term) rows — codegen is O(|distinct terms|, capped at
+# MAX_SCAN_TERMS) regardless of |queries| — joins the broadcast
+# (query, term) relation (data, not expressions), and long-sums per
+# (query, doc). Scores are bit-identical: every per-term score is
+# quantized to an integer BEFORE summation, and long addition is
+# order-independent. Registry/oracle batches (3 queries) stay on the
+# inline plan unchanged.
+SMALL_QUERY_BATCH = 32
+
+
+def _batch_rank(per_doc: DataFrame, k: int, id_col: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score_micro")
+    )
+
+
+def _bm25_topk_batch(
+    docs: DataFrame,
+    terms: list[str],
+    by_query: dict[str, list[int]],
+    k: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Standing-workload BM25 scoring: matched-postings join form.
+
+    Same one-scan ``_scan_term_tf`` base and 1-row stats broadcast as
+    the inline form; scoring explodes the per-doc tf vector to MATCHED
+    (doc, term) rows only, computes the per-term score once per match
+    (independent of how many queries share the term), broadcast-joins
+    the metadata-sized (query_id, term_idx) relation, and long-sums
+    per (query, doc). See SMALL_QUERY_BATCH for the A/B that picked
+    the dispatch point."""
+    base = _scan_term_tf(docs, terms, text_col, id_col).localCheckpoint()
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    tf_arr = F.array(*[F.col(f"__tf{i}") for i in range(len(terms))])
+    df_arr = F.array(*[F.col(f"__df{i}") for i in range(len(terms))])
+    per_term = scored.select(
+        F.col(id_col),
+        F.col("dl"),
+        F.col("n_docs"),
+        (
+            F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+        ).alias("__avgdl"),
+        df_arr.alias("__dfs"),
+        F.posexplode(tf_arr).alias("__ti", "__tf"),
+    ).filter(F.col("__tf") > 0)
+    dft = F.element_at("__dfs", F.col("__ti") + F.lit(1)).cast("double")
+    idf_micro = (
+        F.round(
+            F.lit(1_000_000.0)
+            * F.log(
+                (F.col("n_docs").cast("double") - dft + F.lit(0.5))
+                / (dft + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            0,
+        )
+        .cast("long")
+    )
+    tf_d = F.col("__tf").cast("double")
+    score = (
+        F.round(
+            (idf_micro.cast("double") * (tf_d * F.lit(1.0 + BM25_K1)))
+            / (
+                tf_d
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B)
+                    * (F.col("dl").cast("double") / F.col("__avgdl"))
+                )
+            ),
+            0,
+        )
+        .cast("long")
+    )
+    qt = docs.sparkSession.createDataFrame(
+        [(qid, ti) for qid, idxs in by_query.items() for ti in idxs],
+        "query_id string, __ti int",
+    )
+    per_doc = (
+        per_term.withColumn("__s", score)
+        .join(F.broadcast(qt), "__ti")
+        .groupBy("query_id", id_col)
+        .agg(F.sum("__s").alias("score_micro"))
+    )
+    return _batch_rank(per_doc, k, id_col)
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[tuple[str, str]],
@@ -170,6 +281,8 @@ def bm25_topk(
     by_query: dict[str, list[int]] = {}
     for qid, t in query_terms:
         by_query.setdefault(qid, []).append(tidx[t])
+    if len(by_query) > SMALL_QUERY_BATCH:
+        return _bm25_topk_batch(docs, terms, by_query, k, text_col, id_col)
 
     # localCheckpoint: `base` is consumed twice — the 1-row stats
     # aggregate AND the scoring pass. Left lazy, the tokenize +
@@ -264,6 +377,78 @@ def bm25_topk(
 QLD_MU = 1000
 
 
+def _qld_topk_batch(
+    docs: DataFrame,
+    terms: list[str],
+    by_query: dict[str, list[int]],
+    k: int,
+    mu: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Standing-workload QLD scoring — same matched-postings join form
+    as :func:`_bm25_topk_batch`. The per-doc Dirichlet constant
+    ``|q|·ln(μ/(dl+μ))`` rides each matched row and re-attaches at the
+    aggregation (identical within a (query, doc) group, taken via
+    min); ``n_terms`` rides the broadcast query relation."""
+    base = _scan_term_tf(docs, terms, text_col, id_col).localCheckpoint()
+    stats = base.agg(
+        F.sum("dl").alias("total_dl"),
+        *[F.sum(f"__tf{i}").alias(f"__cf{i}") for i in range(len(terms))],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    tf_arr = F.array(*[F.col(f"__tf{i}") for i in range(len(terms))])
+    cf_arr = F.array(*[F.col(f"__cf{i}") for i in range(len(terms))])
+    dl_term = F.round(
+        F.lit(1_000_000.0)
+        * F.log(
+            F.lit(float(mu)) / (F.col("dl").cast("double") + F.lit(float(mu)))
+        ),
+        0,
+    ).cast("long")
+    per_term = scored.select(
+        F.col(id_col),
+        F.col("total_dl"),
+        dl_term.alias("__dlt"),
+        cf_arr.alias("__cfs"),
+        F.posexplode(tf_arr).alias("__ti", "__tf"),
+    ).filter(F.col("__tf") > 0)
+    # tf > 0 ⇒ cf ≥ tf > 0, so the inline form's cf-guard is implied
+    cft = F.element_at("__cfs", F.col("__ti") + F.lit(1)).cast("double")
+    part = (
+        F.round(
+            F.lit(1_000_000.0)
+            * F.log(
+                F.lit(1.0)
+                + (F.col("__tf").cast("double") * F.col("total_dl").cast("double"))
+                / (F.lit(float(mu)) * cft)
+            ),
+            0,
+        )
+        .cast("long")
+    )
+    qt = docs.sparkSession.createDataFrame(
+        [
+            (qid, ti, len(idxs))
+            for qid, idxs in by_query.items()
+            for ti in idxs
+        ],
+        "query_id string, __ti int, __nt int",
+    )
+    per_doc = (
+        per_term.withColumn("__p", part)
+        .join(F.broadcast(qt), "__ti")
+        .groupBy("query_id", id_col)
+        .agg(
+            (
+                F.sum("__p")
+                + F.min("__nt").cast("long") * F.min("__dlt")
+            ).alias("score_micro")
+        )
+    )
+    return _batch_rank(per_doc, k, id_col)
+
+
 def qld_topk(
     docs: DataFrame,
     query_terms: list[tuple[str, str]],
@@ -298,6 +483,8 @@ def qld_topk(
     by_query: dict[str, list[int]] = {}
     for qid, t in query_terms:
         by_query.setdefault(qid, []).append(tidx[t])
+    if len(by_query) > SMALL_QUERY_BATCH:
+        return _qld_topk_batch(docs, terms, by_query, k, mu, text_col, id_col)
 
     # Same one-scan plan as bm25_topk (see _scan_term_tf): collection
     # frequencies ride the single stats aggregate, per-(query, doc)

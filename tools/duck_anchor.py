@@ -50,7 +50,16 @@ def run_anchor(
         con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
+        if os.path.isdir(path):
+            # Spark-written table (tools/gen_sf.py scale dirs): a
+            # directory of part files — glob it. The driver's testdata
+            # stays single-file and takes the plain-path branch, so
+            # bench.py's embedded anchor is unchanged.
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{path}/*.parquet')"
+            )
+        elif os.path.exists(path):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )

@@ -78,12 +78,12 @@ def main() -> int:
                 t0 = time.time()
                 noop(fn(docs, qb, k=10))
                 walls.append(round(time.time() - t0, 3))
-            plan = fn(docs, qb, k=10)._jdf.queryExecution().explainString("formatted")
+            plan = fn(docs, qb, k=10)._jdf.queryExecution().executedPlan().toString()
             per_n[n] = {
                 "wall_sec": min(walls),
                 "walls": walls,
-                "n_window_group_limit": plan.count("WindowGroupLimit") // 2,
-                "n_exchange": plan.count("Exchange") // 2,
+                "n_window_group_limit": plan.count("WindowGroupLimit"),
+                "n_exchange": plan.count("Exchange"),
             }
         results[fn_name] = per_n
         spark.sparkContext.setJobDescription(None)
