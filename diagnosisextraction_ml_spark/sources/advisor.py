@@ -173,9 +173,12 @@ class StateStoreAdvice:
 
 #: Fraction of executor heap that open-session state may occupy before
 #: the in-memory HDFSBackedStateStore becomes an OOM bet. Streaming
-#: decade measurement (PERF.md r15): sessionization state is LINEAR in
-#: open keys (333 MB at 32k users / 10M rows), while RocksDB costs a
-#: measured 1.6-2.6× per-batch wall at scales where state still fits —
+#: decade measurement (PERF.md r15, re-run r16): sessionization state
+#: is LINEAR in open keys — 3.2 MB / 320 sessions (sf0.1), 32 MB /
+#: 3,200 (sf1, independently reproduced r16), 333 MB / 32,000 (sf10),
+#: ~10 KB per open session at every rung — while RocksDB costs
+#: measured per-batch wall at scales where state still fits (1.33×
+#: at sf1 r16, 1.6-2.6× at sf10 r15; the cost grows with state) —
 #: so the switch should happen at the projection, not before.
 STATE_HEAP_FRACTION = 0.5
 

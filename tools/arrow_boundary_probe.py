@@ -61,9 +61,9 @@ def main() -> int:
     for name in ("text_stemmed", "text_nfc_normalized", "text_typo_corrected"):
         fn = qs[name]
         out[name] = timed(name, lambda fn=fn: fn(spark, sf_dir))
-        plan = fn(spark, sf_dir)._jdf.queryExecution().explainString("formatted")
-        out[name]["n_arrow_eval_python"] = plan.count("ArrowEvalPython") // 2
-        out[name]["n_batch_eval_python"] = plan.count("BatchEvalPython") // 2
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        out[name]["n_arrow_eval_python"] = plan.count("ArrowEvalPython")
+        out[name]["n_batch_eval_python"] = plan.count("BatchEvalPython")
 
     print(json.dumps(out))
     return 0
